@@ -1,0 +1,240 @@
+"""Perturbed (Eulerian) density + velocity fields at a given redshift.
+
+TPU-native equivalent of reference PerturbedField.c:389-496 + map_mass.c:146-208.
+The hires IC "particles" (one per hires cell, mass 1 + delta*D_init) are moved by
+the (2)LPT displacement and CIC-deposited on the output grid.  The particle loop
+becomes a `lax.scan` over x-slabs of the hires grid, each slab doing vectorized
+gathers (displacement lookup) + 8 scatter-adds — bounded memory, no atomics.
+
+Normalization chain (lowres path):
+  grid = CIC(1 + delta_hi * D_init)            [sum of masses per cell]
+  1+delta = grid * HII^3/DIM^3 ; delta = .. - 1
+  optional gaussian smoothing; clip at -1+eps
+Velocities:  v_i(k) = dD/dt / D * i k_i / k^2 * delta(k)   [comoving Mpc/s]
+(reference compute_perturbed_velocities:284-388).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmology.constants import FRACT_FLOAT_ERR
+from ..inputs import InputParameters
+from ..ops import cic, fft, filters, grids
+from ..outputs import InitialConditions, PerturbedField
+
+__all__ = ["perturb_field"]
+
+
+def _displacement_factors(inputs: InputParameters, redshift: float):
+    cosmo = inputs.cosmology
+    so = inputs.simulation_options
+    D = float(cosmo.dicke(redshift))
+    D_init = float(cosmo.dicke(so.INITIAL_REDSHIFT))
+    fac_za = D - D_init
+    # 2LPT displacement is psi2 * (-3/7) D^2 (Scoccimarro 1998 eq. D8);
+    # the reference subtracts, with the same form evaluated at both z's.
+    fac_2lpt = (-3.0 / 7.0) * (D**2 - D_init**2)
+    return D, D_init, fac_za, fac_2lpt
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "hi_shape",
+        "pt_shape",
+        "out_shape",
+        "box_lens",
+        "use_2lpt",
+        "n_slabs",
+    ),
+)
+def _displace_and_deposit(
+    hires_density,
+    vel,
+    vel_2lpt,
+    d_init,
+    fac_za,
+    fac_2lpt,
+    *,
+    hi_shape,
+    pt_shape,
+    out_shape,
+    box_lens,
+    use_2lpt,
+    n_slabs,
+):
+    """Move hires cell masses by the scaled displacement; CIC onto out grid.
+
+    Deposition accumulates in float32; the mean-fix global sums downstream are
+    done in float64 on host to preserve the reference's double accumulation
+    (PerturbedField.c:100-104) where it matters.
+    """
+    nx, ny, nz = hi_shape
+    vx, vy, vz = vel
+    ratio_out = out_shape[0] / hi_shape[0]
+    ratio_out_z = out_shape[2] / hi_shape[2]
+
+    # displacement -> hires-cell units (map_mass.c:164-171), then -> out units
+    disp_scale = jnp.asarray(
+        [fac_za * hi_shape[i] / box_lens[i] for i in range(3)], dtype=jnp.float32
+    )
+    disp_scale_2 = jnp.asarray(
+        [fac_2lpt * hi_shape[i] / box_lens[i] for i in range(3)], dtype=jnp.float32
+    )
+
+    # index maps hires -> pt grid (for reading displacement at particle location),
+    # mirroring reference resample_index + wrap (map_mass.c:186-188)
+    map_x = jnp.asarray(((np.arange(nx) * (pt_shape[0] / nx) + 0.5).astype(np.int32)) % pt_shape[0])
+    map_y = jnp.asarray(((np.arange(ny) * (pt_shape[1] / ny) + 0.5).astype(np.int32)) % pt_shape[1])
+    map_z = jnp.asarray(((np.arange(nz) * (pt_shape[2] / nz) + 0.5).astype(np.int32)) % pt_shape[2])
+
+    slab = nx // n_slabs
+    iy = jnp.arange(ny, dtype=jnp.float32)[:, None]
+    iz = jnp.arange(nz, dtype=jnp.float32)[None, :]
+    vy_g = jnp.take(map_y, jnp.arange(ny))
+    vz_g = jnp.take(map_z, jnp.arange(nz))
+
+    def body(acc_flat, s):
+        x0 = s * slab
+        xs = x0 + jnp.arange(slab)
+        ix = xs.astype(jnp.float32)[:, None, None]
+        pxi = jnp.take(map_x, xs)  # pt-grid x indices for this slab
+
+        # gather displacement fields on the slab: (slab, ny, nz)
+        def g(v):
+            return v[pxi][:, vy_g][:, :, vz_g]
+
+        px = ix + g(vx) * disp_scale[0]
+        py = iy[None] + g(vy) * disp_scale[1]
+        pz = iz[None] + g(vz) * disp_scale[2]
+        if use_2lpt:
+            v2x, v2y, v2z = vel_2lpt
+            px = px - g(v2x) * disp_scale_2[0]
+            py = py - g(v2y) * disp_scale_2[1]
+            pz = pz - g(v2z) * disp_scale_2[2]
+
+        mass = 1.0 + jax.lax.dynamic_slice_in_dim(hires_density, x0, slab, axis=0) * d_init
+        acc_flat = cic.cic_scatter_flat(
+            acc_flat,
+            px * ratio_out,
+            py * ratio_out,
+            pz * ratio_out_z,
+            mass,
+            out_shape,
+        )
+        return acc_flat, None
+
+    acc = jnp.zeros(int(np.prod(out_shape)), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(n_slabs))
+    return acc.reshape(out_shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lo_shape", "box_lens", "smooth", "smooth_R", "need_xy"),
+)
+def _finalize_density_and_velocity(
+    grid_1pd, mass_factor, dDdt_over_D, *, lo_shape, box_lens, smooth, smooth_R, need_xy
+):
+    """(1+delta) normalization, optional smoothing, clipping, k-space velocities."""
+    delta = grid_1pd * mass_factor - 1.0
+    d_k = fft.rfft3(delta)
+    if smooth:
+        kmag = grids.kmag_grid(lo_shape, box_lens)
+        d_k = filters.filter_kbox(d_k, kmag, filters.GAUSSIAN, smooth_R)
+    delta = fft.irfft3(d_k, lo_shape)
+    delta = jnp.maximum(delta, -1.0 + FRACT_FLOAT_ERR)
+
+    kx, ky, kz = grids.k_axes(lo_shape, box_lens)
+    ksq = grids.ksq_grid(lo_shape, box_lens)
+    ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+
+    def vel_axis(kvec):
+        v_k = d_k * (1j * kvec * dDdt_over_D / ksq_safe)
+        v_k = jnp.where(ksq > 0, v_k, 0.0)
+        return fft.irfft3(v_k, lo_shape)
+
+    v_z = vel_axis(kz[None, None, :])
+    v_x = vel_axis(kx[:, None, None]) if need_xy else None
+    v_y = vel_axis(ky[None, :, None]) if need_xy else None
+    return delta, v_x, v_y, v_z
+
+
+def perturb_field(
+    redshift: float, inputs: InputParameters, ics: InitialConditions
+) -> PerturbedField:
+    """Compute the Eulerian density/velocity at `redshift` from the ICs."""
+    so = inputs.simulation_options
+    mo = inputs.matter_options
+    cosmo = inputs.cosmology
+    hi_shape = so.hires_shape
+    lo_shape = so.lowres_shape
+    pt_shape = hi_shape if mo.PERTURB_ON_HIGH_RES else lo_shape
+    out_shape = pt_shape  # deposit on the same grid the velocities live on
+    box_lens = so.box_lens
+
+    D, D_init, fac_za, fac_2lpt = _displacement_factors(inputs, redshift)
+    dDdt_over_D = float(cosmo.ddicke_dt(redshift) / D)
+
+    if mo.PERTURB_ALGORITHM == "LINEAR":
+        delta_pt = ics.lowres_density * jnp.float32(D)
+        grid_1pd = delta_pt + 1.0
+        mass_factor = 1.0
+    else:
+        # slabs sized to keep the particle working set ~16M cells
+        per_slab = max(1, int(2**24 // (hi_shape[1] * hi_shape[2])))
+        n_slabs = max(1, hi_shape[0] // per_slab)
+        while hi_shape[0] % n_slabs:
+            n_slabs += 1
+        grid_1pd = _displace_and_deposit(
+            ics.hires_density,
+            (ics.vx, ics.vy, ics.vz),
+            (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
+            if mo.PERTURB_ALGORITHM == "2LPT"
+            else (ics.vx, ics.vy, ics.vz),
+            jnp.float32(D_init),
+            jnp.float32(fac_za),
+            jnp.float32(fac_2lpt),
+            hi_shape=hi_shape,
+            pt_shape=pt_shape,
+            out_shape=out_shape,
+            box_lens=box_lens,
+            use_2lpt=mo.PERTURB_ALGORITHM == "2LPT",
+            n_slabs=n_slabs,
+        )
+        mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
+
+    if mo.PERTURB_ON_HIGH_RES and out_shape != lo_shape:
+        # filter the hires (1+delta) field down to lowres before normalization
+        from ..cosmology.constants import physconst
+
+        d_k = fft.rfft3(grid_1pd)
+        kmag = grids.kmag_grid(out_shape, box_lens)
+        d_k = filters.filter_kbox(
+            d_k, kmag, filters.TOPHAT, physconst.l_factor * box_lens[0] / lo_shape[0]
+        )
+        grid_1pd = grids.subsample(fft.irfft3(d_k, out_shape), lo_shape)
+        mass_factor = 1.0
+
+    delta, v_x, v_y, v_z = _finalize_density_and_velocity(
+        grid_1pd,
+        jnp.float32(mass_factor),
+        jnp.float32(dDdt_over_D),
+        lo_shape=lo_shape,
+        box_lens=box_lens,
+        smooth=mo.SMOOTH_EVOLVED_DENSITY_FIELD,
+        smooth_R=so.DENSITY_SMOOTH_RADIUS * so.box_len / so.HII_DIM,
+        need_xy=mo.KEEP_3D_VELOCITIES,
+    )
+    return PerturbedField(
+        redshift=jnp.float32(redshift),
+        density=delta,
+        velocity_z=v_z,
+        velocity_x=v_x,
+        velocity_y=v_y,
+    )

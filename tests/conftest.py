@@ -3,7 +3,9 @@ exercised without TPU hardware. Must set flags before jax import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment exports JAX_PLATFORMS=axon (the TPU tunnel),
+# which must not be claimed by the test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
