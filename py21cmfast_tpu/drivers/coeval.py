@@ -1,0 +1,140 @@
+"""Coeval-cube driver: the full snapshot pipeline.
+
+Equivalent of reference drivers/coeval.py:521-992 (`generate_coeval`/`run_coeval`).
+The redshift scroll is a host loop (inherently sequential); each snapshot runs
+as a handful of jitted super-kernels (perturb -> [halos/Ts] -> ionize -> Tb).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..inputs import InputParameters
+from ..models.brightness import brightness_temperature
+from ..models.ics import compute_initial_conditions
+from ..models.ionization import compute_ionization_field
+from ..models.perturb import perturb_field
+from ..outputs import (
+    BrightnessTemp,
+    InitialConditions,
+    IonizedBox,
+    PerturbedField,
+    TsBox,
+)
+
+__all__ = ["Coeval", "run_coeval", "generate_coeval"]
+
+
+@dataclasses.dataclass
+class Coeval:
+    """All output boxes at one redshift (reference coeval.py:61)."""
+
+    redshift: float
+    initial_conditions: InitialConditions
+    perturbed_field: PerturbedField
+    ionized_box: IonizedBox
+    brightness_temperature: BrightnessTemp
+    spin_temp: TsBox | None = None
+    halobox: object | None = None
+
+    @property
+    def brightness_temp(self):
+        return self.brightness_temperature.brightness_temp
+
+    @property
+    def neutral_fraction(self):
+        return self.ionized_box.neutral_fraction
+
+    @property
+    def density(self):
+        return self.perturbed_field.density
+
+
+def _required_redshifts(inputs: InputParameters, out_redshifts):
+    """Union of node redshifts and requested outputs, descending
+    (reference _get_required_redshifts_coeval, coeval.py:971)."""
+    zs = set(float(z) for z in out_redshifts)
+    zs |= set(float(z) for z in inputs.node_redshifts)
+    return sorted(zs, reverse=True)
+
+
+def generate_coeval(
+    inputs: InputParameters,
+    out_redshifts=(),
+    initial_conditions: InitialConditions | None = None,
+    cache=None,
+):
+    """Yield Coeval objects at each requested redshift, evolving down the
+    node-redshift ladder (reference _redshift_loop_generator, coeval.py:749)."""
+    from ..models import spintemp as spintemp_module
+
+    ao = inputs.astro_options
+    out_redshifts = [float(z) for z in np.atleast_1d(np.asarray(out_redshifts))]
+    all_z = _required_redshifts(inputs, out_redshifts)
+    if not all_z:
+        raise ValueError("no redshifts requested")
+
+    needs_evolution = ao.USE_TS_FLUCT or ao.uses_recombination or inputs.node_redshifts
+
+    if initial_conditions is None:
+        initial_conditions = compute_initial_conditions(inputs)
+
+    prev_ion: IonizedBox | None = None
+    prev_ts = None
+    prev_z = None
+    ts_state = None
+
+    for z in all_z:
+        pf = perturb_field(z, inputs, initial_conditions)
+
+        ts = None
+        if ao.USE_TS_FLUCT:
+            ts, ts_state = spintemp_module.compute_spin_temperature(
+                z,
+                inputs,
+                pf,
+                prev_state=ts_state,
+                prev_redshift=prev_z,
+                initial_conditions=initial_conditions,
+            )
+
+        ion = compute_ionization_field(
+            z,
+            inputs,
+            pf,
+            previous_ionized_box=prev_ion,
+            spin_temp=ts,
+            prev_redshift=prev_z,
+        )
+        tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
+
+        coeval = Coeval(
+            redshift=z,
+            initial_conditions=initial_conditions,
+            perturbed_field=pf,
+            ionized_box=ion,
+            brightness_temperature=tb,
+            spin_temp=ts,
+        )
+        if (not out_redshifts) or any(abs(z - oz) < 1e-8 for oz in out_redshifts):
+            yield coeval
+
+        prev_ion, prev_ts, prev_z = ion, ts, z
+        if not needs_evolution:
+            prev_ion = None  # no coupling between snapshots
+
+
+def run_coeval(
+    inputs: InputParameters,
+    out_redshifts,
+    initial_conditions: InitialConditions | None = None,
+    cache=None,
+):
+    """Compute coeval boxes at the given redshifts (reference run_coeval:690)."""
+    single = np.isscalar(out_redshifts)
+    coevals = list(
+        generate_coeval(inputs, np.atleast_1d(out_redshifts), initial_conditions, cache)
+    )
+    return coevals[0] if single and len(coevals) == 1 else coevals

@@ -1,0 +1,422 @@
+"""Excursion-set ionization box.
+
+TPU-native equivalent of reference IonisationBox.c:1344-1649.  The descending
+radius ladder (find_HII_bubbles) becomes a `lax.scan` carrying the neutral
+fraction / Gamma12 / MFP state; each step is: filter the k-space grids at R,
+inverse-FFT, evaluate the conditional collapsed fraction (closed-form erfc for
+CONST-ION-EFF; per-R density-table gather for the mass-dependent source models),
+mean-fix via a `psum`-friendly grid mean, and apply the ionization criterion
+with first-crossing bookkeeping (IonisationBox.c:1008-1201).
+
+Host side precomputes (per snapshot): the radius ladder, sigma(M(R)), the global
+Nion/Fcoll normalizations, and the per-R conditional-Nion tables over density
+(reference setup_integration_tables:702-768, interp_tables.c:291-579).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmology.constants import FRACT_FLOAT_ERR, TINY, physconst
+from ..cosmology.recombination import RecombinationHistory
+from ..inputs import InputParameters
+from ..ops import fft, filters, grids
+from ..outputs import HaloBox, IonizedBox, PerturbedField, TsBox
+from . import hmf
+
+__all__ = ["compute_ionization_field", "setup_radii"]
+
+HII_ROUND_ERR = 1e-5
+N_DELTA_TABLE = 400
+
+
+@dataclasses.dataclass(frozen=True)
+class RadiusLadder:
+    """Filter radii (ascending) with per-R mass/sigma (IonisationBox.c:964-1006)."""
+
+    R: np.ndarray
+    M_max: np.ndarray
+    sigma_max: np.ndarray
+
+    @property
+    def n(self):
+        return len(self.R)
+
+
+def setup_radii(inputs: InputParameters, m_min: float) -> RadiusLadder:
+    so = inputs.simulation_options
+    ap = inputs.astro_params
+    ao = inputs.astro_options
+    mo = inputs.matter_options
+    cosmo = inputs.cosmology
+
+    r_max = min(ap.r_bubble_max(ao), physconst.l_factor * so.box_len)
+    pixel = so.box_len / so.HII_DIM
+    cell_factor = physconst.l_factor
+    if mo.source_model_uses_lagrangian_grids and not ao.IONISE_ENTIRE_SPHERE and pixel < 1:
+        cell_factor = 1.0
+    r_min = max(ap.R_BUBBLE_MIN, cell_factor * pixel)
+
+    n_r = int(np.log(r_max / r_min) / np.log(ap.DELTA_R_HII_FACTOR) + 1)
+    radii = []
+    for i in range(n_r):
+        r = r_min * ap.DELTA_R_HII_FACTOR**i
+        if r > r_max - FRACT_FLOAT_ERR:
+            radii.append(r_max)
+            break
+        radii.append(r)
+    radii = np.array(radii)
+    m_max = np.asarray(cosmo.RtoM(radii))
+    # drop radii whose mass is below the minimum source mass (loop break, :1537)
+    keep = m_max >= m_min
+    radii, m_max = radii[keep], m_max[keep]
+    sigma = cosmo.sigma_z0(m_max)
+    return RadiusLadder(R=radii, M_max=m_max, sigma_max=sigma)
+
+
+def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
+    """Per-R conditional-Nion(delta) tables + caps for the E-INTEGRAL model.
+
+    Returns (delta_lo[n_R], delta_hi[n_R], tables[n_R, N_DELTA]) where the cap
+    behavior above 0.99*delta_crit is folded into the table's last node."""
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    ln_m_min = np.log(m_min)
+    n_r = ladder.n
+    d_lo = np.full(n_r, -1.0 + 1e-6)
+    d_hi = np.empty(n_r)
+    tables = np.empty((n_r, N_DELTA_TABLE))
+    eff_hmf = hmf_int if hmf_int in (hmf.HMF_PS, hmf.HMF_ST, hmf.HMF_DELOS) else hmf.HMF_PS
+    for i in range(n_r):
+        sig = ladder.sigma_max[i]
+        dcrit = float(hmf.get_delta_crit(eff_hmf, sig, growth))
+        d_hi[i] = dcrit  # table upper edge == barrier; cap applied beyond
+        deltas = np.linspace(d_lo[i], d_hi[i] * hmf.MAX_DELTAC_FRAC, N_DELTA_TABLE)
+        tables[i] = hmf.nion_conditional(
+            sigma_table,
+            hmf_int,
+            growth,
+            ln_m_min,
+            float(np.log(ladder.M_max[i])),
+            sig,
+            deltas,
+            sc.mturn_a_nofb,
+            sc,
+        )
+        d_hi[i] = dcrit * hmf.MAX_DELTAC_FRAC
+    # cap value for delta > 0.99 delta_crit: one halo at the condition mass
+    caps = np.array(
+        [
+            hmf.nion_weight(np.array([np.log(m)]), sc, sc.mturn_a_nofb)[0] / m
+            for m in ladder.M_max
+        ]
+    )
+    return d_lo, d_hi, tables, caps
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "shape",
+        "box_lens",
+        "hii_filter",
+        "mass_dep",
+        "use_ts",
+        "track_gamma",
+        "last_filtered",
+    ),
+)
+def _ionize_scan(
+    delta,
+    xe_box,
+    r_values,
+    sigma_r,
+    table_dlo,
+    table_dhi,
+    fcoll_tables,
+    fcoll_caps,
+    mean_fcoll_global,
+    f_limit,
+    ion_eff,
+    gamma_prefactor,
+    sigma_min,
+    growth,
+    prev_z_reion,
+    redshift,
+    photoncons_factor,
+    *,
+    shape,
+    box_lens,
+    hii_filter,
+    mass_dep,
+    use_ts,
+    track_gamma,
+    last_filtered,
+):
+    """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
+    ordered largest R first (index 0 == largest)."""
+    kmag = grids.kmag_grid(shape, box_lens)
+    delta_adj = delta * photoncons_factor
+    d_k = fft.rfft3(delta_adj)
+    xe_k = fft.rfft3(xe_box) if use_ts else None
+    n_r = r_values.shape[0]
+
+    def step(carry, xs):
+        xh, gamma, mfp = carry
+        (r, sig_r, d_lo, d_hi, table, cap, idx) = xs
+        is_last = idx == n_r - 1
+
+        if last_filtered:
+            delta_r = fft.irfft3(
+                filters.filter_kbox(d_k, kmag, hii_filter, r), shape
+            )
+        else:
+            # smallest R uses the unfiltered field (IonisationBox.c:1048-1052)
+            delta_r = jax.lax.cond(
+                is_last,
+                lambda: delta_adj,
+                lambda: fft.irfft3(filters.filter_kbox(d_k, kmag, hii_filter, r), shape),
+            )
+        delta_r = jnp.maximum(delta_r, -1.0 + FRACT_FLOAT_ERR)
+
+        if use_ts:
+            xe_r = jax.lax.cond(
+                is_last & (not last_filtered),
+                lambda: xe_box,
+                lambda: fft.irfft3(filters.filter_kbox(xe_k, kmag, hii_filter, r), shape),
+            )
+            xe_r = jnp.clip(xe_r, 0.0, 0.999)
+        else:
+            xe_r = 0.0
+
+        if mass_dep:
+            # gather from the per-R Nion(delta) table; cap above the barrier
+            t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
+            t = jnp.clip(t, 0.0, N_DELTA_TABLE - 1.001)
+            i0 = t.astype(jnp.int32)
+            frac = t - i0
+            fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
+            fcoll = jnp.where(delta_r >= d_hi, cap, fcoll)
+            fcoll = jnp.clip(fcoll, 1e-40, 1.0)
+        else:
+            # closed-form conditional EPS erfc (hmf.c:1221-1241) — no tables
+            sigdiff = jnp.sqrt(
+                jnp.maximum(sigma_min**2 - sig_r**2, 1e-30)
+            )
+            arg = (physconst.delta_c_sph - delta_r) / growth / (jnp.sqrt(2.0) * sigdiff)
+            fcoll = jax.scipy.special.erfc(arg)
+
+        # mean fix: normalize the grid mean to the global unconditional value
+        grid_mean = jnp.maximum(jnp.mean(fcoll), f_limit)
+        fcoll = fcoll * (mean_fcoll_global / grid_mean)
+        if mass_dep:
+            fcoll = jnp.maximum(fcoll, f_limit)
+
+        ionized = fcoll * ion_eff > (1.0 - xe_r)
+        newly = ionized & (xh > FRACT_FLOAT_ERR)
+        if track_gamma:
+            gamma = jnp.where(newly, r * gamma_prefactor * fcoll, gamma)
+            mfp = jnp.where(newly, r, mfp)
+
+        xh = jnp.where(ionized, 0.0, xh)
+
+        # partial ionization on the last (smallest) step (IonisationBox.c:1161-1196)
+        def partial_ion(xh):
+            res = 1.0 - fcoll * ion_eff - xe_r
+            res = jnp.clip(res, 0.0, 1.0)
+            return jnp.where((~ionized) & (xh > TINY), res, xh)
+
+        xh = jax.lax.cond(is_last, partial_ion, lambda x: x, xh)
+        return (xh, gamma, mfp), grid_mean
+
+    # the neutral-fraction buffer starts at 1 (reference outputs.py:1525);
+    # x-ray ionization enters via the criterion and the last-step partial branch
+    xh0 = jnp.ones_like(delta)
+    gamma0 = jnp.zeros_like(delta)
+    mfp0 = jnp.zeros_like(delta)
+    (xh, gamma, mfp), grid_means = jax.lax.scan(
+        step,
+        (xh0, gamma0, mfp0),
+        (
+            r_values,
+            sigma_r,
+            table_dlo,
+            table_dhi,
+            fcoll_tables,
+            fcoll_caps,
+            jnp.arange(n_r),
+        ),
+    )
+
+    ionized_final = xh < TINY
+    z_reion = jnp.where(
+        ionized_final,
+        jnp.where(prev_z_reion >= 0, prev_z_reion, redshift),
+        jnp.where(prev_z_reion >= 0, prev_z_reion, -1.0),
+    )
+    return xh, gamma, mfp, z_reion, grid_means
+
+
+def compute_ionization_field(
+    redshift: float,
+    inputs: InputParameters,
+    perturbed_field: PerturbedField,
+    previous_ionized_box: IonizedBox | None = None,
+    spin_temp: TsBox | None = None,
+    halobox: HaloBox | None = None,
+    previous_perturbed_field: PerturbedField | None = None,
+    prev_redshift: float | None = None,
+) -> IonizedBox:
+    so = inputs.simulation_options
+    mo = inputs.matter_options
+    ao = inputs.astro_options
+    ap = inputs.astro_params
+    cosmo = inputs.cosmology
+    shape = so.lowres_shape
+    box_lens = so.box_lens
+
+    growth = float(cosmo.dicke(redshift))
+    sc = hmf.set_scaling_constants(redshift, inputs)
+    m_min = hmf.minimum_source_mass(redshift, inputs, xray=False)
+    sigma_min = float(cosmo.sigma_z0(m_min))
+    sigma_table = _get_sigma_table(inputs)
+    ln_m_min, ln_m_max = np.log(m_min), np.log(hmf.M_MAX_INTEGRAL)
+    hmf_int = hmf.HMF_NAMES[mo.HMF]
+
+    mass_dep = mo.source_model_is_mass_dependent
+    lagrangian = mo.source_model_uses_lagrangian_grids
+
+    if mass_dep:
+        ion_eff = sc.pop2_ion * sc.fstar_10 * sc.fesc_10
+    else:
+        ion_eff = ap.HII_EFF_FACTOR
+
+    # --- global normalization (set_mean_fcoll, IonisationBox.c:468-529) -----
+    if mass_dep:
+        mean_fcoll = float(
+            hmf.nion_general(
+                sigma_table, cosmo, hmf_int, redshift, ln_m_min, ln_m_max,
+                sc.mturn_a_nofb, sc,
+            )
+        )
+        f_limit = float(
+            hmf.nion_general(
+                sigma_table, cosmo, hmf_int, so.Z_HEAT_MAX, ln_m_min, ln_m_max,
+                sc.mturn_a_nofb, sc,
+            )
+        )
+        log10_mturn_ave = np.log10(sc.mturn_a_nofb)
+    else:
+        mean_fcoll = float(
+            hmf.fcoll_general(sigma_table, cosmo, hmf_int, redshift, ln_m_min, ln_m_max)
+        )
+        f_limit = FRACT_FLOAT_ERR
+        log10_mturn_ave = np.log10(m_min)
+
+    prev_z_reion = (
+        previous_ionized_box.z_reion
+        if previous_ionized_box is not None
+        else jnp.full(shape, -1.0, jnp.float32)
+    )
+
+    # --- early exit: nothing ionizes (IonisationBox.c:1472-1475) ------------
+    if mean_fcoll * ion_eff < HII_ROUND_ERR:
+        rec_hist = RecombinationHistory(cosmo)
+        if spin_temp is not None:
+            xh = 1.0 - spin_temp.xray_ionised_fraction
+        else:
+            xh = jnp.full(shape, 1.0 - float(rec_hist.x_e(redshift)), jnp.float32)
+        return IonizedBox(
+            redshift=jnp.float32(redshift),
+            neutral_fraction=xh,
+            z_reion=prev_z_reion,
+            ionisation_rate_G12=jnp.zeros(shape, jnp.float32),
+            mean_f_coll=jnp.float32(mean_fcoll),
+            mean_f_coll_MINI=jnp.float32(0.0),
+            log10_Mturnover_ave=jnp.float32(log10_mturn_ave),
+            log10_Mturnover_MINI_ave=jnp.float32(0.0),
+        )
+
+    ladder = setup_radii(inputs, m_min)
+    n_r = ladder.n
+
+    # --- per-R tables (mass-dep only) ---------------------------------------
+    if mass_dep and not lagrangian:
+        d_lo, d_hi, tables, caps = _build_nion_tables(
+            inputs, ladder, sigma_table, growth, m_min, sc
+        )
+    else:
+        d_lo = np.zeros(n_r)
+        d_hi = np.ones(n_r)
+        tables = np.zeros((n_r, N_DELTA_TABLE))
+        caps = np.zeros(n_r)
+
+    gamma_prefactor = (
+        (1 + redshift) ** 2
+        * physconst.cm_per_Mpc
+        * physconst.sigma_HI
+        * ap.ALPHA_UVB
+        / (ap.ALPHA_UVB + 2.75)
+        * cosmo.N_b0
+        * ion_eff
+        / 1.0e-12
+    )
+    if mass_dep:
+        gamma_prefactor /= sc.t_h * sc.t_star
+
+    # descending order for the scan (largest R first)
+    order = np.argsort(ladder.R)[::-1]
+    xh, gamma, mfp, z_reion, _ = _ionize_scan(
+        perturbed_field.density,
+        spin_temp.xray_ionised_fraction if spin_temp is not None else jnp.zeros(shape, jnp.float32),
+        jnp.asarray(ladder.R[order], jnp.float32),
+        jnp.asarray(ladder.sigma_max[order], jnp.float32),
+        jnp.asarray(d_lo[order], jnp.float32),
+        jnp.asarray(d_hi[order], jnp.float32),
+        jnp.asarray(tables[order], jnp.float32),
+        jnp.asarray(caps[order], jnp.float32),
+        jnp.float32(mean_fcoll),
+        jnp.float32(f_limit),
+        jnp.float32(ion_eff),
+        jnp.float32(gamma_prefactor),
+        jnp.float32(sigma_min),
+        jnp.float32(growth),
+        prev_z_reion,
+        jnp.float32(redshift),
+        jnp.float32(1.0),
+        shape=shape,
+        box_lens=box_lens,
+        hii_filter=ao.hii_filter_int,
+        mass_dep=mass_dep,
+        use_ts=spin_temp is not None,
+        track_gamma=True,
+        last_filtered=False,
+    )
+
+    return IonizedBox(
+        redshift=jnp.float32(redshift),
+        neutral_fraction=xh,
+        z_reion=z_reion,
+        ionisation_rate_G12=gamma,
+        mean_f_coll=jnp.float32(mean_fcoll),
+        mean_f_coll_MINI=jnp.float32(0.0),
+        log10_Mturnover_ave=jnp.float32(log10_mturn_ave),
+        log10_Mturnover_MINI_ave=jnp.float32(0.0),
+        mean_free_path=mfp,
+    )
+
+
+_sigma_table_cache = {}
+
+
+def _get_sigma_table(inputs: InputParameters):
+    key = inputs.matter_cosmo_hash
+    if key not in _sigma_table_cache:
+        _sigma_table_cache[key] = inputs.cosmology.build_sigma_table(
+            m_min=1e2, m_max=1e20, n=600
+        )
+    return _sigma_table_cache[key]

@@ -1,0 +1,152 @@
+"""Mesh-sharded snapshot step: excursion-set ionization + brightness temperature
+with slab-decomposed FFTs (the multi-chip scale-out path, SURVEY.md §7 step 8).
+
+The box is x-slab sharded; each radius step runs: distributed filter+iFFT
+(parallel/pfft.py), local conditional-fcoll evaluation, a `psum` grid mean for
+the mean-fix (the global reduction noted in SURVEY.md §5), and the local
+ionization criterion.  Identical physics to models/ionization._ionize_scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..cosmology.constants import FRACT_FLOAT_ERR, TINY, physconst
+from ..ops import filters
+from . import pfft
+from .mesh import GRID_AXIS
+
+
+def build_sharded_snapshot(mesh, shape, box_lens, hii_filter: int, mass_dep: bool,
+                           n_delta_table: int = 400):
+    """Return a jitted function computing (xH, Tb) from a sharded density field.
+
+    fn(delta, r_values, sigma_r, d_lo, d_hi, tables, caps, scalars...) where
+    `delta` is sharded P('x', None, None) and everything else replicated.
+    """
+    n_shards = mesh.devices.size
+    nx, ny, nz = shape
+
+    def per_shard(delta, r_values, sigma_r, d_lo, d_hi, tables, caps,
+                  mean_fcoll_global, f_limit, ion_eff, sigma_min, growth,
+                  tb_const):
+        d_k = pfft.rfft3(delta)
+        kmag = pfft.local_kmag(shape, box_lens, n_shards)
+        n_r = r_values.shape[0]
+
+        def step(carry, xs):
+            xh = carry
+            r, sig_r, dlo, dhi, table, cap, idx = xs
+            is_last = idx == n_r - 1
+
+            delta_r = jax.lax.cond(
+                is_last,
+                lambda: delta,
+                lambda: pfft.irfft3(
+                    filters.filter_kbox(d_k, kmag, hii_filter, r), nz
+                ),
+            )
+            delta_r = jnp.maximum(delta_r, -1.0 + FRACT_FLOAT_ERR)
+
+            if mass_dep:
+                t = (delta_r - dlo) / (dhi - dlo) * (n_delta_table - 1)
+                t = jnp.clip(t, 0.0, n_delta_table - 1.001)
+                i0 = t.astype(jnp.int32)
+                frac = t - i0
+                fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
+                fcoll = jnp.where(delta_r >= dhi, cap, fcoll)
+                fcoll = jnp.clip(fcoll, 1e-40, 1.0)
+            else:
+                sigdiff = jnp.sqrt(jnp.maximum(sigma_min**2 - sig_r**2, 1e-30))
+                arg = (physconst.delta_c_sph - delta_r) / growth / (jnp.sqrt(2.0) * sigdiff)
+                fcoll = jax.scipy.special.erfc(arg)
+
+            # global grid mean over all shards
+            local_sum = jnp.sum(fcoll)
+            grid_mean = jax.lax.psum(local_sum, GRID_AXIS) / (nx * ny * nz)
+            grid_mean = jnp.maximum(grid_mean, f_limit)
+            fcoll = fcoll * (mean_fcoll_global / grid_mean)
+            if mass_dep:
+                fcoll = jnp.maximum(fcoll, f_limit)
+
+            ionized = fcoll * ion_eff > 1.0
+            xh = jnp.where(ionized, 0.0, xh)
+
+            def partial_ion(x):
+                res = jnp.clip(1.0 - fcoll * ion_eff, 0.0, 1.0)
+                return jnp.where((~ionized) & (x > TINY), res, x)
+
+            xh = jax.lax.cond(is_last, partial_ion, lambda x: x, xh)
+            return xh, None
+
+        xh0 = jnp.ones_like(delta)
+        xh, _ = jax.lax.scan(
+            step,
+            xh0,
+            (r_values, sigma_r, d_lo, d_hi, tables, caps, jnp.arange(r_values.shape[0])),
+        )
+        tb = tb_const * xh * (1.0 + delta)
+        return xh, tb
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(GRID_AXIS, None, None),
+            P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(GRID_AXIS, None, None), P(GRID_AXIS, None, None)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def build_sharded_ics(mesh, hi_shape, box_lens):
+    """Sharded GRF + Zel'dovich displacement: the IC part of the multi-chip step.
+
+    Returns jitted fn(white_sharded, ln_k_table, sqrtp_table) ->
+    (hires_density, psi_x, psi_y, psi_z), all x-slab sharded.
+    """
+    n_shards = mesh.devices.size
+    nx, ny, nz = hi_shape
+    n_tot = nx * ny * nz
+    volume = box_lens[0] * box_lens[1] * box_lens[2]
+    import numpy as np
+
+    amp_fac = np.float32(np.sqrt(n_tot / volume))
+
+    def per_shard(white, ln_k, sqrtp):
+        d_k = pfft.rfft3(white)
+        kx, ky, kz = pfft.local_k_axes(hi_shape, box_lens, n_shards)
+        kmag = jnp.sqrt(
+            kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
+        )
+        lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
+        amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k, sqrtp), 0.0) * amp_fac
+        d_k = d_k * amp
+        density = pfft.irfft3(d_k, nz)
+        ksq = kmag * kmag
+        ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+
+        def grad(kvec):
+            g = jnp.where(ksq > 0, d_k * (1j * kvec / ksq_safe), 0.0)
+            return pfft.irfft3(g, nz)
+
+        psi_x = grad(kx[:, None, None])
+        psi_y = grad(ky[None, :, None])
+        psi_z = grad(kz[None, None, :])
+        return density, psi_x, psi_y, psi_z
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(GRID_AXIS, None, None), P(), P()),
+        out_specs=(P(GRID_AXIS, None, None),) * 4,
+        check_rep=False,
+    )
+    return jax.jit(sharded)
