@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..cosmology.constants import FRACT_FLOAT_ERR, TINY, physconst
 from ..ops import filters
@@ -101,7 +101,6 @@ def build_sharded_snapshot(mesh, shape, box_lens, hii_filter: int, mass_dep: boo
             P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
         ),
         out_specs=(P(GRID_AXIS, None, None), P(GRID_AXIS, None, None)),
-        check_rep=False,
     )
     return jax.jit(sharded)
 
@@ -147,6 +146,5 @@ def build_sharded_ics(mesh, hi_shape, box_lens):
         mesh=mesh,
         in_specs=(P(GRID_AXIS, None, None), P(), P()),
         out_specs=(P(GRID_AXIS, None, None),) * 4,
-        check_rep=False,
     )
     return jax.jit(sharded)
