@@ -17,6 +17,7 @@ physconst = SimpleNamespace(
     m_e=9.1093837015e-28,  # electron mass [g]
     G=6.6743e-8,  # Newton G [cgs]
     e_charge=4.803204712570263e-10,  # electron charge [esu]
+    vac_perm=8.8541878128e-12,  # vacuum permittivity [F/m]
     # Units
     Msun=1.989e33,  # solar mass [g]
     s_per_yr=31556925.9747,  # seconds per year

@@ -16,6 +16,10 @@ differences from the C implementation:
        psi_i(x)  = irfftn(d_k * i k_i / k^2)                      [ZA, Mpc]
        phi_ij(x) = irfftn(-d_k k_i k_j / k^2)
        psi2_i(x) = irfftn(rfftn(sum_{i<j} phi_ii phi_jj - phi_ij^2) * i k_i/k^2)
+ * The pipeline is split into several *small* jitted stages rather than one
+   super-kernel: XLA's TPU FFT lowering holds multi-hundred-MB temporaries per
+   transform, so fusing all ~14 hires FFTs into one graph OOMs at DIM>~512.
+   Stage-per-FFT keeps peak HBM ~= persistent grids + one transform's temps.
 """
 
 from __future__ import annotations
@@ -45,116 +49,109 @@ def power_amplitude_table(inputs: InputParameters, n: int = 2048):
     return jnp.asarray(ln_k, jnp.float32), jnp.asarray(np.sqrt(p), jnp.float32)
 
 
-def _sqrt_power_grid(shape, box_lens, ln_k_table, sqrtp_table):
-    """sqrt(P(|k|)) on the rfftn half-space via table interpolation (0 at k=0)."""
-    kmag = grids.kmag_grid(shape, box_lens)
+# --------------------------------------------------------------- jit stages
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens"))
+def _sample_dk(key, ln_k_table, sqrtp_table, *, hi_shape, box_lens):
+    """White noise -> colored k-space field d_k (rfftn layout)."""
+    n_tot = hi_shape[0] * hi_shape[1] * hi_shape[2]
+    volume = box_lens[0] * box_lens[1] * box_lens[2]
+    white = jax.random.normal(key, hi_shape, dtype=jnp.float32)
+    w_k = fft.rfft3(white)
+    kmag = grids.kmag_grid(hi_shape, box_lens)
     lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
-    amp = jnp.interp(lnk, ln_k_table, sqrtp_table)
-    return jnp.where(kmag > 0, amp, 0.0)
+    amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k_table, sqrtp_table), 0.0)
+    return w_k * (amp * np.float32(np.sqrt(n_tot / volume)))
 
 
-def _gradient_ik_over_ksq(d_k, shape, box_lens, axis):
-    """d_k * i k_axis / k^2 with DC mode zeroed (InitialConditions.c:240-267)."""
-    kx, ky, kz = grids.k_axes(shape, box_lens)
-    ksq = grids.ksq_grid(shape, box_lens)
-    kvec = (kx[:, None, None], ky[None, :, None], kz[None, None, :])[axis]
-    ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
-    out = d_k * (1j * kvec / ksq_safe)
-    return jnp.where(ksq > 0, out, 0.0)
+@partial(jax.jit, static_argnames=("hi_shape",))
+def _to_real(d_k, *, hi_shape):
+    return fft.irfft3(d_k, hi_shape)
 
 
-def _neg_kikj_over_ksq(d_k, shape, box_lens, ax_i, ax_j):
-    """-d_k k_i k_j / k^2 with DC zeroed (phi_ij source, InitialConditions.c:269-297)."""
-    kx, ky, kz = grids.k_axes(shape, box_lens)
-    axes = (kx[:, None, None], ky[None, :, None], kz[None, None, :])
-    ksq = grids.ksq_grid(shape, box_lens)
-    ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
-    out = -d_k * (axes[ax_i] * axes[ax_j] / ksq_safe)
-    return jnp.where(ksq > 0, out, 0.0)
-
-
-def _filter_and_sample(d_k, hi_shape, box_lens, pt_shape, smooth_R, do_filter):
-    """c2r a (possibly tophat-filtered) k-box and subsample to the pt grid."""
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "out_shape", "do_filter"))
+def _filtered_sample(d_k, *, hi_shape, box_lens, out_shape, do_filter):
+    """Tophat-filter at the lowres cell scale, c2r, subsample."""
     if do_filter:
         kmag = grids.kmag_grid(hi_shape, box_lens)
+        smooth_R = physconst.l_factor * box_lens[0] / out_shape[0]
         d_k = filters.filter_kbox(d_k, kmag, filters.TOPHAT, smooth_R)
     x = fft.irfft3(d_k, hi_shape)
-    if pt_shape != hi_shape:
-        x = grids.subsample(x, pt_shape)
+    if out_shape != hi_shape:
+        x = grids.subsample(x, out_shape)
     return x
 
 
 @partial(
-    jax.jit,
-    static_argnames=("hi_shape", "lo_shape", "pt_shape", "box_lens", "do_2lpt", "filter_lowres"),
+    jax.jit, static_argnames=("hi_shape", "box_lens", "axis", "out_shape", "do_filter")
 )
-def _ics_kernel(
-    key,
-    ln_k_table,
-    sqrtp_table,
-    *,
-    hi_shape,
-    lo_shape,
-    pt_shape,
-    box_lens,
-    do_2lpt,
-    filter_lowres,
-):
-    n_tot = hi_shape[0] * hi_shape[1] * hi_shape[2]
-    volume = box_lens[0] * box_lens[1] * box_lens[2]
-    smooth_R = physconst.l_factor * box_lens[0] / lo_shape[0]
+def _gradient_field(d_k, *, hi_shape, box_lens, axis, out_shape, do_filter):
+    """psi_axis = irfftn(d_k i k/k^2), optionally filtered+subsampled."""
+    kx, ky, kz = grids.k_axes(hi_shape, box_lens)
+    ksq = grids.ksq_grid(hi_shape, box_lens)
+    kvec = (kx[:, None, None], ky[None, :, None], kz[None, None, :])[axis]
+    ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+    g_k = jnp.where(ksq > 0, d_k * (1j * kvec / ksq_safe), 0.0)
+    if do_filter:
+        kmag = jnp.sqrt(ksq)
+        smooth_R = physconst.l_factor * box_lens[0] / out_shape[0]
+        g_k = filters.filter_kbox(g_k, kmag, filters.TOPHAT, smooth_R)
+    x = fft.irfft3(g_k, hi_shape)
+    if out_shape != hi_shape:
+        x = grids.subsample(x, out_shape)
+    return x
 
-    white = jax.random.normal(key, hi_shape, dtype=jnp.float32)
-    amp = _sqrt_power_grid(hi_shape, box_lens, ln_k_table, sqrtp_table)
-    d_k = fft.rfft3(white) * (amp * np.float32(np.sqrt(n_tot / volume)))
 
-    hires_density = fft.irfft3(d_k, hi_shape)
-    lowres_density = _filter_and_sample(
-        d_k, hi_shape, box_lens, lo_shape, smooth_R, filter_lowres
-    )
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "ax_i", "ax_j"))
+def _phi_ij(d_k, *, hi_shape, box_lens, ax_i, ax_j):
+    """phi_ij = irfftn(-d_k k_i k_j / k^2) (2LPT potential second derivative)."""
+    kx, ky, kz = grids.k_axes(hi_shape, box_lens)
+    axes = (kx[:, None, None], ky[None, :, None], kz[None, None, :])
+    ksq = grids.ksq_grid(hi_shape, box_lens)
+    ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+    g_k = jnp.where(ksq > 0, -d_k * (axes[ax_i] * axes[ax_j] / ksq_safe), 0.0)
+    return fft.irfft3(g_k, hi_shape)
 
-    # Zel'dovich displacement fields (filter only when perturbing on lowres grid)
-    do_filter_vel = filter_lowres and (pt_shape != hi_shape)
-    vel = [
-        _filter_and_sample(
-            _gradient_ik_over_ksq(d_k, hi_shape, box_lens, ax),
-            hi_shape,
-            box_lens,
-            pt_shape,
-            smooth_R,
-            do_filter_vel,
+
+@jax.jit
+def _diag_products(phi_xx, phi_yy, phi_zz):
+    return phi_xx * phi_yy + phi_xx * phi_zz + phi_yy * phi_zz
+
+
+@jax.jit
+def _subtract_square(s2, phi_od):
+    return s2 - phi_od * phi_od
+
+
+def _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel):
+    """Scoccimarro 1998 App. D: lap(phi2) = sum_{i<j} phi_ii phi_jj - phi_ij^2,
+    staged to keep at most 4 hires grids + one FFT's temps live."""
+    phi_xx = _phi_ij(d_k, hi_shape=hi_shape, box_lens=box_lens, ax_i=0, ax_j=0)
+    phi_yy = _phi_ij(d_k, hi_shape=hi_shape, box_lens=box_lens, ax_i=1, ax_j=1)
+    phi_zz = _phi_ij(d_k, hi_shape=hi_shape, box_lens=box_lens, ax_i=2, ax_j=2)
+    s2 = _diag_products(phi_xx, phi_yy, phi_zz)
+    del phi_xx, phi_yy, phi_zz
+    for ax_i, ax_j in ((0, 1), (0, 2), (1, 2)):
+        phi_od = _phi_ij(d_k, hi_shape=hi_shape, box_lens=box_lens, ax_i=ax_i, ax_j=ax_j)
+        s2 = _subtract_square(s2, phi_od)
+        del phi_od
+    s2_k = jax.jit(fft.rfft3)(s2)
+    del s2
+    return [
+        _gradient_field(
+            s2_k,
+            hi_shape=hi_shape,
+            box_lens=box_lens,
+            axis=ax,
+            out_shape=pt_shape,
+            do_filter=do_filter_vel,
         )
         for ax in range(3)
     ]
 
-    vel_2lpt = (None, None, None)
-    if do_2lpt:
-        # diagonal phi_ii stored; off-diagonals accumulated on the fly
-        # (Scoccimarro 1998 eq. D13b: lap(phi2) = sum_{i<j} phi_ii phi_jj - phi_ij^2)
-        phi_diag = [
-            fft.irfft3(_neg_kikj_over_ksq(d_k, hi_shape, box_lens, ax, ax), hi_shape)
-            for ax in range(3)
-        ]
-        s2 = phi_diag[0] * phi_diag[1] + phi_diag[0] * phi_diag[2] + phi_diag[1] * phi_diag[2]
-        for ax_i, ax_j in ((0, 1), (0, 2), (1, 2)):
-            phi_od = fft.irfft3(
-                _neg_kikj_over_ksq(d_k, hi_shape, box_lens, ax_i, ax_j), hi_shape
-            )
-            s2 = s2 - phi_od * phi_od
-        s2_k = fft.rfft3(s2)
-        vel_2lpt = [
-            _filter_and_sample(
-                _gradient_ik_over_ksq(s2_k, hi_shape, box_lens, ax),
-                hi_shape,
-                box_lens,
-                pt_shape,
-                smooth_R,
-                do_filter_vel,
-            )
-            for ax in range(3)
-        ]
 
-    return hires_density, lowres_density, vel, vel_2lpt
+# --------------------------------------------------------------- public API
 
 
 def compute_initial_conditions(
@@ -168,103 +165,41 @@ def compute_initial_conditions(
     lo_shape = so.lowres_shape
     pt_shape = hi_shape if mo.PERTURB_ON_HIGH_RES else lo_shape
     box_lens = so.box_lens
+    filter_lowres = so.dim != so.HII_DIM
+    do_filter_vel = filter_lowres and (pt_shape != hi_shape)
 
     if initial_density is not None:
-        return _ics_from_density(inputs, jnp.asarray(initial_density, jnp.float32))
+        hires_density = jnp.asarray(initial_density, jnp.float32)
+        d_k = jax.jit(fft.rfft3)(hires_density)
+    else:
+        ln_k, sqrtp = power_amplitude_table(inputs)
+        key = jax.random.PRNGKey(inputs.random_seed)
+        d_k = _sample_dk(key, ln_k, sqrtp, hi_shape=hi_shape, box_lens=box_lens)
+        hires_density = _to_real(d_k, hi_shape=hi_shape)
 
-    ln_k, sqrtp = power_amplitude_table(inputs)
-    key = jax.random.PRNGKey(inputs.random_seed)
-    hires_density, lowres_density, vel, vel_2lpt = _ics_kernel(
-        key,
-        ln_k,
-        sqrtp,
-        hi_shape=hi_shape,
-        lo_shape=lo_shape,
-        pt_shape=pt_shape,
-        box_lens=box_lens,
-        do_2lpt=mo.PERTURB_ALGORITHM == "2LPT",
-        filter_lowres=so.dim != so.HII_DIM,
-    )
-    return InitialConditions(
-        hires_density=hires_density,
-        lowres_density=lowres_density,
-        vx=vel[0],
-        vy=vel[1],
-        vz=vel[2],
-        vx_2LPT=vel_2lpt[0],
-        vy_2LPT=vel_2lpt[1],
-        vz_2LPT=vel_2lpt[2],
+    lowres_density = _filtered_sample(
+        d_k, hi_shape=hi_shape, box_lens=box_lens, out_shape=lo_shape,
+        do_filter=filter_lowres,
     )
 
-
-@partial(
-    jax.jit,
-    static_argnames=("hi_shape", "lo_shape", "pt_shape", "box_lens", "do_2lpt", "filter_lowres"),
-)
-def _ics_from_density_kernel(
-    density, *, hi_shape, lo_shape, pt_shape, box_lens, do_2lpt, filter_lowres
-):
-    d_k = fft.rfft3(density)
-    smooth_R = physconst.l_factor * box_lens[0] / lo_shape[0]
-    lowres_density = _filter_and_sample(
-        d_k, hi_shape, box_lens, lo_shape, smooth_R, filter_lowres
-    )
-    do_filter_vel = filter_lowres and (pt_shape != hi_shape)
     vel = [
-        _filter_and_sample(
-            _gradient_ik_over_ksq(d_k, hi_shape, box_lens, ax),
-            hi_shape,
-            box_lens,
-            pt_shape,
-            smooth_R,
-            do_filter_vel,
+        _gradient_field(
+            d_k,
+            hi_shape=hi_shape,
+            box_lens=box_lens,
+            axis=ax,
+            out_shape=pt_shape,
+            do_filter=do_filter_vel,
         )
         for ax in range(3)
     ]
+
     vel_2lpt = (None, None, None)
-    if do_2lpt:
-        phi_diag = [
-            fft.irfft3(_neg_kikj_over_ksq(d_k, hi_shape, box_lens, ax, ax), hi_shape)
-            for ax in range(3)
-        ]
-        s2 = phi_diag[0] * phi_diag[1] + phi_diag[0] * phi_diag[2] + phi_diag[1] * phi_diag[2]
-        for ax_i, ax_j in ((0, 1), (0, 2), (1, 2)):
-            phi_od = fft.irfft3(
-                _neg_kikj_over_ksq(d_k, hi_shape, box_lens, ax_i, ax_j), hi_shape
-            )
-            s2 = s2 - phi_od * phi_od
-        s2_k = fft.rfft3(s2)
-        vel_2lpt = [
-            _filter_and_sample(
-                _gradient_ik_over_ksq(s2_k, hi_shape, box_lens, ax),
-                hi_shape,
-                box_lens,
-                pt_shape,
-                smooth_R,
-                do_filter_vel,
-            )
-            for ax in range(3)
-        ]
-    return lowres_density, vel, vel_2lpt
+    if mo.PERTURB_ALGORITHM == "2LPT":
+        vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
 
-
-def _ics_from_density(inputs: InputParameters, density) -> InitialConditions:
-    so = inputs.simulation_options
-    mo = inputs.matter_options
-    hi_shape = so.hires_shape
-    lo_shape = so.lowres_shape
-    pt_shape = hi_shape if mo.PERTURB_ON_HIGH_RES else lo_shape
-    lowres_density, vel, vel_2lpt = _ics_from_density_kernel(
-        density,
-        hi_shape=hi_shape,
-        lo_shape=lo_shape,
-        pt_shape=pt_shape,
-        box_lens=so.box_lens,
-        do_2lpt=mo.PERTURB_ALGORITHM == "2LPT",
-        filter_lowres=so.dim != so.HII_DIM,
-    )
     return InitialConditions(
-        hires_density=density,
+        hires_density=hires_density,
         lowres_density=lowres_density,
         vx=vel[0],
         vy=vel[1],

@@ -1,20 +1,725 @@
-"""Spin-temperature evolution (X-ray heating + Ly-a coupling).
+"""Spin-temperature box: X-ray heating, Lyman-alpha coupling, IGM thermal state.
 
-TPU-native equivalent of reference SpinTemperatureBox.c (ts_main:1387-1720).
-Implemented incrementally; see compute_spin_temperature below.
+TPU-native equivalent of reference SpinTemperatureBox.c (ts_main:1387-1949).
+Architecture:
+
+ * Host (numpy float64, once per snapshot): the z'' shell ladder
+   (setup_z_edges:312), Lyman-series spectral prefactors
+   (calculate_spectral_factors:364), global Nion/SFRD tables, tau_X=1 horizons
+   and X-ray frequency-integral tables (fill_freqint_tables:810), and per-shell
+   conditional-SFRD(delta) tables (calculate_sfrd_from_grid:1010).
+ * Device (one jitted kernel): a `lax.scan` over the N_STEP_TS shells doing
+   filter -> iFFT -> table-gather -> accumulate of the radiative terms
+   (the reference's R-loop, :1562-1803), followed by the fused elementwise
+   per-cell ODE step + Wouthuysen-Field Ts solve (get_Ts_fast:1210-1384).
+
+Known approximations vs the reference (documented for parity review):
+ * Ly-a *heating* (USE_LYA_HEATING) uses the missing-blob table in the
+   reference (`Lyman_alpha_heating_table.dat`, absent from the distribution);
+   here the continuum/injected heating terms are currently set to zero.
+ * RECFAST initial conditions come from our own Peebles solver (~1% of RECFAST).
 """
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmology.constants import FRACT_FLOAT_ERR, physconst
+from ..cosmology.recombination import RecombinationHistory
+from ..inputs import InputParameters
+from ..ops import fft, filters, grids
+from ..outputs import PerturbedField, TsBox, XraySourceBox
+from . import heating, hmf
+
+__all__ = ["compute_spin_temperature"]
+
+MAX_TK = 5e4
+N_DELTA_SFRD = 400
+
+
+# ---------------------------------------------------------------------------
+# host-side shell setup
+
+
+@dataclasses.dataclass
+class ShellLadder:
+    """The N_STEP_TS concentric shells and their emission redshifts."""
+
+    R: np.ndarray  # outer radius of each shell [Mpc]
+    R_inner: np.ndarray
+    zpp_edge: np.ndarray  # redshift at the outer edge
+    zpp: np.ndarray  # shell-centre redshift
+    dzpp: np.ndarray
+    dtdz: np.ndarray
+    growth: np.ndarray
+    m_min: np.ndarray
+    m_max: np.ndarray
+
+
+def setup_z_edges(zp: float, inputs: InputParameters) -> ShellLadder:
+    """Reference setup_z_edges (SpinTemperatureBox.c:312-362)."""
+    so = inputs.simulation_options
+    ap = inputs.astro_params
+    cosmo = inputs.cosmology
+    n_step = ap.N_STEP_TS
+
+    cell = 1.5 if so.HII_DIM == 1 else so.box_len / so.HII_DIM
+    R = physconst.l_factor * cell
+    R_factor = (ap.R_MAX_TS / R) ** (1.0 / n_step)
+
+    Rs, R_in, z_edges, zpps, dzpps, dtdzs, growths = [], [], [], [], [], [], []
+    prev_zpp, prev_R = zp, 0.0
+    for _ in range(n_step):
+        drdz = (1.0 + prev_zpp) * physconst.c_cms * cosmo.dtdz(prev_zpp)  # cm per dz
+        z_edge = prev_zpp - (R - prev_R) * physconst.cm_per_Mpc / drdz
+        zpp = 0.5 * (z_edge + prev_zpp)
+        Rs.append(R)
+        R_in.append(prev_R)
+        z_edges.append(z_edge)
+        zpps.append(zpp)
+        dzpps.append(prev_zpp - z_edge)
+        dtdzs.append(float(cosmo.dtdz(zpp)))
+        growths.append(float(cosmo.dicke(zpp)))
+        prev_zpp, prev_R = z_edge, R
+        R = R * R_factor
+
+    zpps = np.array(zpps)
+    m_min = np.array([hmf.minimum_source_mass(z, inputs, xray=True) for z in zpps])
+    m_max = np.asarray(cosmo.RtoM(np.array(Rs)))
+    return ShellLadder(
+        R=np.array(Rs),
+        R_inner=np.array(R_in),
+        zpp_edge=np.array(z_edges),
+        zpp=zpps,
+        dzpp=np.array(dzpps),
+        dtdz=np.array(dtdzs),
+        growth=np.array(growths),
+        m_min=m_min,
+        m_max=m_max,
+    )
+
+
+def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
+    """Lyman-n recycling sums per shell (calculate_spectral_factors:364-499).
+
+    Returns (starlya, cont, inj) prefactor arrays of shape (n_R,)."""
+    ap = inputs.astro_params
+    spectra = heating.StellarSpectra(ap.POP2_ION, ap.POP3_ION)
+    n_r = len(ladder.R)
+    starlya = np.zeros(n_r)
+    cont = np.zeros(n_r)
+    inj = np.zeros(n_r)
+
+    sum_prev = ly2_prev = lynto2_prev = 0.0
+    first_radii, first_zero = True, True
+    prev_zpp = 0.0
+    for i in range(n_r):
+        zpp = ladder.zpp[i]
+        sum_ly2 = sum_lynto2 = 0.0
+        # n=2 (continuum photons that redshift into Lya)
+        if zpp < heating.zmax_lyn(zp, 2):
+            nuprime = heating.nu_n(2) * (1 + zpp) / (1 + zp)
+            sum_ly2 = heating.frecycle(2) * spectra.emissivity(nuprime, 2)
+        # n>=3 (injected at line centre after cascade)
+        for n in range(heating.NSPEC_MAX, 2, -1):
+            if zpp > heating.zmax_lyn(zp, n):
+                continue
+            nuprime = heating.nu_n(n) * (1 + zpp) / (1 + zp)
+            sum_lynto2 += heating.frecycle(n) * spectra.emissivity(nuprime, 2)
+        sum_lyn = sum_ly2 + sum_lynto2
+
+        # partial-shell edge correction (reference :439-463)
+        if i > 1 and sum_lyn == 0.0 and sum_prev > 0.0 and first_radii:
+            weight = 0.0
+            n_pts = 1000
+            for ii in range(n_pts):
+                trial = prev_zpp + (zpp - prev_zpp) * ii / (n_pts - 1)
+                counter = sum(
+                    1 for n in range(heating.NSPEC_MAX, 1, -1)
+                    if trial <= heating.zmax_lyn(zp, n)
+                )
+                if counter == 0 and first_zero:
+                    first_zero = False
+                    weight = ii / n_pts
+            sum_lyn = weight * sum_prev
+            sum_ly2 = weight * ly2_prev
+            sum_lynto2 = weight * lynto2_prev
+            first_radii = False
+
+        zpp_integrand = (1 + zp) ** 2 * (1 + zpp)
+        starlya[i] = zpp_integrand * sum_lyn
+        cont[i] = zpp_integrand * sum_ly2
+        inj[i] = zpp_integrand * sum_lynto2
+
+        sum_prev, ly2_prev, lynto2_prev = sum_lyn, sum_ly2, sum_lynto2
+        prev_zpp = zpp
+    return starlya, cont, inj
+
+
+def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
+    """Per-shell conditional SFRD(delta) tables (E-INTEGRAL path).
+
+    Table axis is delta *at zpp* in [-1+eps, 0.99*delta_crit]."""
+    n_r = len(ladder.R)
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    eff_hmf = hmf_int if hmf_int in (hmf.HMF_PS, hmf.HMF_ST, hmf.HMF_DELOS) else hmf.HMF_PS
+    d_lo = np.full(n_r, -1.0 + 1e-6)
+    d_hi = np.empty(n_r)
+    tables = np.empty((n_r, N_DELTA_SFRD))
+    caps = np.empty(n_r)
+    sigma_cond = sigma_table.sigma_of_lnm(np.log(ladder.m_max))
+    for i in range(n_r):
+        growth = ladder.growth[i]
+        sc = hmf.set_scaling_constants(ladder.zpp[i], inputs).without_esc()
+        dcrit = float(hmf.get_delta_crit(eff_hmf, sigma_cond[i], growth))
+        d_hi[i] = dcrit * hmf.MAX_DELTAC_FRAC
+        deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_SFRD)
+        tables[i] = hmf.nion_conditional(
+            sigma_table,
+            hmf_int,
+            growth,
+            float(np.log(ladder.m_min[i])),
+            float(np.log(ladder.m_max[i])),
+            sigma_cond[i],
+            deltas,
+            sc.mturn_a_nofb,
+            sc,
+        )
+        caps[i] = (
+            hmf.nion_weight(np.array([np.log(ladder.m_max[i])]), sc, sc.mturn_a_nofb)[0]
+            / ladder.m_max[i]
+        )
+    return d_lo, d_hi, tables, caps
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat"),
+)
+def _ts_kernel(
+    density_pf,
+    prev_ts,
+    prev_tk,
+    prev_xe,
+    # per-R stacked arrays (largest index = largest R; loop order irrelevant for sums)
+    r_values,
+    do_filter,
+    zpp_growth,
+    z_edge_factor,
+    xray_r_factor,
+    sfrd_dlo,
+    sfrd_dhi,
+    sfrd_tables,
+    sfrd_caps,
+    mean_sfrd,
+    tbl_heat,
+    tbl_ion,
+    tbl_lya,
+    pref_starlya,
+    # scalars
+    inv_growth_pf,
+    fstar10,
+    # cell-ODE constants
+    consts,
+    kappa_knots,
+    *,
+    shape,
+    box_lens,
+    heat_filter,
+    use_xray_heat,
+    use_cmb_heat,
+):
+    kmag = grids.kmag_grid(shape, box_lens)
+    d_k = fft.rfft3(density_pf * inv_growth_pf)
+    n_r = r_values.shape[0]
+
+    # per-cell x_e interpolation index into the 14-point deposition-fraction axis
+    xhii_grid = jnp.asarray(heating.X_INT_XHII, jnp.float32)
+    xe_call = jnp.clip(prev_xe, xhii_grid[0] * 1.001, xhii_grid[-1] * 0.999)
+    xidx = jnp.clip(jnp.searchsorted(xhii_grid, xe_call) - 1, 0, 12)
+    ival = (xe_call - xhii_grid[xidx]) / (xhii_grid[xidx + 1] - xhii_grid[xidx])
+
+    def shell_step(carry, xs):
+        dxheat, dxion, dxlya, dstarlya = carry
+        (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
+         th, ti, tl, p_star) = xs
+
+        delta0 = jax.lax.cond(
+            do_f,
+            lambda: fft.irfft3(filters.filter_kbox(d_k, kmag, heat_filter, r), shape),
+            lambda: fft.irfft3(d_k, shape),
+        )
+        delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
+        delta_zpp = delta0 * growth
+
+        # conditional SFRD via table gather
+        t = (delta_zpp - dlo) / (dhi - dlo) * (N_DELTA_SFRD - 1)
+        t = jnp.clip(t, 0.0, N_DELTA_SFRD - 1.001)
+        i0 = t.astype(jnp.int32)
+        frac = t - i0
+        fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
+        fcoll = jnp.where(delta_zpp >= dhi, cap, fcoll)
+        fcoll = jnp.maximum(fcoll, 1e-40)
+
+        ave_fcoll = jnp.maximum(jnp.mean(fcoll), 1e-40)
+        avg_fix = msfrd / ave_fcoll
+        sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
+        # L_X * s/yr and the unit conversions are folded into the tables (host)
+        xray_sfr = sfr_term * xr_fac
+
+        # frequency-integral gathers: th/ti/tl are (14,) vectors for this shell
+        f_heat = th[xidx] + ival * (th[xidx + 1] - th[xidx])
+        f_ion = ti[xidx] + ival * (ti[xidx + 1] - ti[xidx])
+        f_lya = tl[xidx] + ival * (tl[xidx + 1] - tl[xidx])
+
+        if use_xray_heat:
+            dxheat = dxheat + xray_sfr * f_heat
+        dxion = dxion + xray_sfr * f_ion
+        dxlya = dxlya + xray_sfr * f_lya
+        dstarlya = dstarlya + sfr_term * p_star
+        return (dxheat, dxion, dxlya, dstarlya), None
+
+    zero = jnp.zeros(shape, jnp.float32)
+    (dxheat, dxion, dxlya, dstarlya), _ = jax.lax.scan(
+        shell_step,
+        (zero, zero, zero, zero),
+        (
+            r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
+            sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, mean_sfrd,
+            tbl_heat, tbl_ion, tbl_lya, pref_starlya,
+        ),
+    )
+
+    # ------------------------------------------------------- per-cell update
+    # NOTE: the reference's unit prefactors (xray_prefactor, volunit_inv,
+    # lya_star_prefactor...) span 1e-64..1e66 individually; they are folded
+    # into the host-side tables (see compute_spin_temperature) so that every
+    # device-side quantity stays within float32 range.
+    (zp, dzp, growth_zp, inv_growth_pf_c, dgrowth_dzp, dt_dzp, hubble_zp, trad,
+     nb_zp, n_zp, xc_inverse, xa_tilde_prefactor, ts_prefactor, dcomp_prefactor,
+     clump, fH, fHe, no_total, nb0_total) = consts
+
+    delta = density_pf * (growth_zp * inv_growth_pf_c)
+    delta = jnp.maximum(delta, -1.0 + FRACT_FLOAT_ERR)
+
+    # tables already include the unit conversions
+    dxheat_dt = dxheat
+    dxion_dt = dxion
+    dxlya_dt = dxlya * (1.0 + delta)
+    dstarlya_dt = dstarlya
+
+    # --- x_e evolution ---
+    logT = jnp.log(jnp.clip(prev_tk, 1e-2, 1e6) / 1.1604505e4)
+    alpha_a = jnp.exp(
+        -28.6130338
+        - 0.72411256 * logT
+        - 2.02604473e-2 * logT**2
+        - 2.38086188e-3 * logT**3
+        - 3.21260521e-4 * logT**4
+        - 1.42150291e-5 * logT**5
+        + 4.98910892e-6 * logT**6
+        + 5.75561414e-7 * logT**7
+        - 1.85676704e-8 * logT**8
+        - 3.07113524e-9 * logT**9
+    )
+    dxion_sink = alpha_a * clump * prev_xe * prev_xe * fH * nb_zp * (1.0 + delta)
+    dxe_dzp = dt_dzp * (dxion_dt - dxion_sink)
+    x_e = jnp.clip(prev_xe + dxe_dzp * dzp, 0.0, 1.0 - FRACT_FLOAT_ERR)
+
+    # --- Tk evolution ---
+    dadia = 3.0 / (1.0 + zp) + jnp.where(
+        jnp.abs(delta) > FRACT_FLOAT_ERR,
+        dgrowth_dzp / (growth_zp * (1.0 / delta + 1.0)),
+        0.0,
+    )
+    dadia = dadia * (2.0 / 3.0) * prev_tk
+    dspec = -dxe_dzp * prev_tk / (1.0 + prev_xe)
+    dcomp = dcomp_prefactor * (prev_xe / (1.0 + prev_xe + fHe)) * (trad - prev_tk)
+    dxheat_dzp = (
+        dxheat_dt * dt_dzp * 2.0 / 3.0 / physconst.k_B / (1.0 + prev_xe)
+        if use_xray_heat
+        else 0.0
+    )
+    dcmb = 0.0
+    if use_cmb_heat:
+        eps_cmb = (
+            (3.0 / 4.0)
+            * (trad / physconst.T_21)
+            * physconst.A10
+            * fH
+            * (physconst.h_p**2 / physconst.lambda_21**2 / physconst.m_p)
+            * (1.0 + 2.0 * prev_tk / physconst.T_21)
+        )
+        dcmb = (
+            -eps_cmb
+            * (2.0 / 3.0 / physconst.k_B / (1.0 + prev_xe))
+            / hubble_zp
+            / (1.0 + zp)
+        )
+
+    dtk_total = dxheat_dzp + dcomp + dspec + dadia + dcmb
+    tk = jnp.where(prev_tk < MAX_TK, prev_tk + dtk_total * dzp, prev_tk)
+    tk = jnp.where(tk < 0, trad, tk)
+
+    # --- spin temperature (WF + collisional couplings) ---
+    tau21 = (
+        (3 * physconst.h_p * physconst.A10 * physconst.c_cms * physconst.lambda_21**2
+         / 32.0 / np.pi / physconst.k_B)
+        * ((1.0 - prev_xe) * n_zp)
+        / prev_ts
+        / hubble_zp
+    )
+    xcmb = jnp.where(
+        tau21 > 1e-8,
+        (1.0 - jnp.exp(-tau21)) / jnp.maximum(tau21, 1e-30),
+        1.0 - tau21 / 2 * (1 - tau21 / 3 * (1 - tau21 / 4)),
+    )
+
+    hh_t, hh_k, eh_t, eh_k, ph_t, ph_k = kappa_knots
+    log_tk = jnp.log(jnp.clip(tk, 1.0, 1e12))
+
+    def interp_kappa(logt_knots, logk_knots, logT, hh_slope=None):
+        out = jnp.interp(logT, logt_knots, logk_knots)
+        if hh_slope is not None:
+            # power-law extrapolation above the last knot (kappa_10:439-442)
+            out = jnp.where(
+                logT > logt_knots[-1],
+                logk_knots[-1] + hh_slope * (logT - logt_knots[-1]),
+                out,
+            )
+        else:
+            slope = (logk_knots[-1] - logk_knots[-2]) / (logt_knots[-1] - logt_knots[-2])
+            out = jnp.where(
+                logT > logt_knots[-1],
+                logk_knots[-1] + slope * (logT - logt_knots[-1]),
+                out,
+            )
+        return jnp.exp(out)
+
+    kappa_hh = interp_kappa(hh_t, hh_k, log_tk, hh_slope=0.381)
+    kappa_eh = interp_kappa(eh_t, eh_k, log_tk)
+    kappa_ph = interp_kappa(ph_t, ph_k, log_tk)
+
+    xc = (
+        (1.0 + delta)
+        * xc_inverse
+        * ((1.0 - x_e) * no_total * kappa_hh + x_e * nb0_total * kappa_eh + x_e * no_total * kappa_ph)
+    )
+
+    j_alpha = dstarlya_dt + dxlya_dt
+    t_inv = 1.0 / tk
+    t_inv_sq = t_inv * t_inv
+    xi = ts_prefactor * jnp.cbrt((1.0 + delta) * (1.0 - x_e) * t_inv_sq)
+    xa_arg = (
+        xa_tilde_prefactor
+        * j_alpha
+        / (1.0 + 2.98394 * xi + 1.53583 * xi**2 + 3.85289 * xi**3)
+    )
+
+    def wf_iteration(ts, _):
+        ts_inv = 1.0 / ts
+        xa = (
+            1.0
+            - 0.0631789 * t_inv
+            + 0.115995 * t_inv_sq
+            - 0.401403 * t_inv * ts_inv
+            + 0.336463 * t_inv_sq * ts_inv
+        ) * xa_arg
+        ts_new = (xcmb + xa + xc) / (
+            xcmb / trad + xa * (t_inv + 0.405535 * t_inv * ts_inv - 0.405535 * t_inv_sq)
+            + xc * t_inv
+        )
+        return ts_new, None
+
+    ts_wf, _ = jax.lax.scan(wf_iteration, jnp.full(shape, trad, jnp.float32), None, length=10)
+    ts_coll = (xcmb + xc) / (xcmb / trad + xc * t_inv)
+    ts = jnp.where(j_alpha > 1e-20, ts_wf, ts_coll)
+    ts = jnp.abs(ts)
+
+    return ts, tk, x_e, j_alpha
+
+
+# ---------------------------------------------------------------------------
+# public entry
+
+
+def _init_first_ts(redshift, inputs, perturbed_field):
+    """First snapshot / z >= Z_HEAT_MAX: RECFAST-like adiabatic state
+    (reference init_first_Ts:892-926)."""
+    cosmo = inputs.cosmology
+    rec = RecombinationHistory(cosmo)
+    xe = float(rec.x_e(redshift))
+    tk = float(rec.Tk(redshift))
+    ct_ad = float(rec.cT_approx(redshift))
+    growth_zp = float(cosmo.dicke(redshift))
+    inv_growth_pf = 1.0 / float(cosmo.dicke(float(perturbed_field.redshift)))
+
+    dens = perturbed_field.density * jnp.float32(growth_zp * inv_growth_pf)
+    tk_box = jnp.float32(tk) * (1.0 + jnp.float32(ct_ad) * dens)
+
+    # collisional-only Ts (get_Ts with Jalpha=0, heating_helper:738-740)
+    trad = physconst.T_cmb * (1 + redshift)
+    no = cosmo.N_b0 * (1 - cosmo.Y_He) / (
+        (1 - cosmo.Y_He) + cosmo.Y_He / 4
+    )  # hydrogen only
+    no = cosmo.rho_crit_cgs * cosmo.OMb * (1 - cosmo.Y_He) / physconst.m_p
+    nb0 = cosmo.N_b0
+
+    kt = heating.kappa_tables()
+    kap_hh = np.exp(np.interp(np.log(np.maximum(tk, 1.0)), kt["HH"][0], kt["HH"][1]))
+    kap_eh = np.exp(np.interp(np.log(np.maximum(tk, 1.0)), kt["eH"][0], kt["eH"][1]))
+    kap_ph = np.exp(np.interp(np.log(np.maximum(tk, 1.0)), kt["pH"][0], kt["pH"][1]))
+    zp3 = (1.0 + redshift) ** 3
+
+    nH = (1 - xe) * no * zp3 * (1.0 + dens)
+    ne = xe * nb0 * zp3 * (1.0 + dens)
+    npr = xe * no * zp3 * (1.0 + dens)
+    xc = (
+        physconst.T_21
+        / trad
+        * (nH * kap_hh + ne * kap_eh + npr * kap_ph)
+        / physconst.A10
+    )
+    ts = (1.0 + xc) / (1.0 / trad + xc / tk_box)
+
+    box = TsBox(
+        redshift=jnp.float32(redshift),
+        spin_temperature=ts.astype(jnp.float32),
+        xray_ionised_fraction=jnp.full_like(dens, xe),
+        kinetic_temp_neutral=tk_box.astype(jnp.float32),
+        J_21_LW=jnp.zeros_like(dens),
+    )
+    return box, box
+
 
 def compute_spin_temperature(
-    redshift,
-    inputs,
-    perturbed_field,
-    prev_state=None,
-    prev_redshift=None,
+    redshift: float,
+    inputs: InputParameters,
+    perturbed_field: PerturbedField,
+    prev_state: TsBox | None = None,
+    prev_redshift: float | None = None,
     initial_conditions=None,
+    source_box: XraySourceBox | None = None,
 ):
-    raise NotImplementedError(
-        "USE_TS_FLUCT: spin-temperature box lands in the next milestone"
+    """Compute the TsBox at `redshift`, evolving from the previous snapshot.
+
+    Returns (ts_box, state); `state` is passed back as `prev_state`."""
+    so = inputs.simulation_options
+    ao = inputs.astro_options
+    ap = inputs.astro_params
+    cosmo = inputs.cosmology
+    shape = so.lowres_shape
+    box_lens = so.box_lens
+
+    if prev_state is None or redshift >= so.Z_HEAT_MAX:
+        return _init_first_ts(redshift, inputs, perturbed_field)
+
+    if prev_redshift is None:
+        prev_redshift = (1 + redshift) * so.ZPRIME_STEP_FACTOR - 1
+
+    # ---------------- host-side setup ----------------
+    ladder = setup_z_edges(redshift, inputs)
+    n_r = len(ladder.R)
+    sigma_table = _get_sigma_table(inputs)
+    sc_zp = hmf.set_scaling_constants(redshift, inputs)
+    sc_sfrd = sc_zp.without_esc()
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+
+    starlya_pref, cont_pref, inj_pref = spectral_prefactors(redshift, ladder, inputs)
+
+    # global Nion(z) for the tau_X filling factor + mean SFRD per shell
+    z_grid = np.linspace(redshift * 0.999, ladder.zpp[-1] * 1.001, 128)
+    ln_mmin_zp = np.log(hmf.minimum_source_mass(redshift, inputs, xray=True))
+    ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
+    nion_vals = np.array(
+        [
+            hmf.nion_general(sigma_table, cosmo, hmf_int, z, ln_mmin_zp, ln_mmax,
+                             sc_zp.mturn_a_nofb, sc_zp)
+            for z in z_grid
+        ]
     )
+
+    def nion_of_z(z):
+        return np.interp(z, z_grid, nion_vals)
+
+    mean_sfrd = np.array(
+        [
+            hmf.nion_general(
+                sigma_table, cosmo, hmf_int, ladder.zpp[i],
+                float(np.log(ladder.m_min[i])), ln_mmax,
+                sc_sfrd.mturn_a_nofb, sc_sfrd,
+            )
+            for i in range(n_r)
+        ]
+    )
+
+    x_e_ave = float(jnp.mean(prev_state.xray_ionised_fraction))
+    ion_eff = sc_zp.pop2_ion * sc_zp.fstar_10 * sc_zp.fesc_10
+
+    # tau_X = 1 horizons and frequency-integral tables
+    nu_th = ap.NU_X_THRESH * physconst.eV_to_Hz
+    lower_limits = np.array(
+        [
+            max(
+                heating.nu_tau_one(
+                    redshift, ladder.zpp[i], x_e_ave, nion_of_z, ion_eff,
+                    cosmo.N_b0, cosmo.dtdz, cosmo.Y_He,
+                ),
+                nu_th,
+            )
+            for i in range(n_r)
+        ]
+    )
+    tbl_heat, tbl_ion, tbl_lya = heating.freq_integrals(
+        redshift, heating.X_INT_XHII, lower_limits, ap, cosmo.Y_He
+    )
+
+    # conditional SFRD tables
+    d_lo, d_hi, sfrd_tables, sfrd_caps = _build_sfrd_tables(
+        inputs, ladder, sigma_table, sc_zp
+    )
+
+    # z-edge factors (ts_main:1566-1572, E-INTEGRAL branch)
+    z_edge_factor = np.abs(ladder.dzpp * ladder.dtdz) * np.asarray(
+        cosmo.hubble(ladder.zpp)
+    ) / ap.t_STAR
+    xray_r_factor = (1 + ladder.zpp) ** (-ap.X_RAY_SPEC_INDEX)
+
+    # ---------------- per-snapshot constants (set_zp_consts:1098-1183) -------
+    zp = redshift
+    dzp = zp - prev_redshift
+    growth_zp = float(cosmo.dicke(zp))
+    inv_growth_pf = 1.0 / float(cosmo.dicke(float(perturbed_field.redshift)))
+    hubble_zp = float(cosmo.hubble(zp))
+    trad = physconst.T_cmb * (1 + zp)
+
+    if abs(ap.X_RAY_SPEC_INDEX - 1.0) < 1e-6:
+        lum_conv = 1.0 / (nu_th * np.log(ap.NU_X_BAND_MAX / ap.NU_X_THRESH))
+    else:
+        lum_conv = (ap.NU_X_BAND_MAX * physconst.eV_to_Hz) ** (1 - ap.X_RAY_SPEC_INDEX) - (
+            nu_th
+        ) ** (1 - ap.X_RAY_SPEC_INDEX)
+        lum_conv = (1.0 / lum_conv) * nu_th ** (-ap.X_RAY_SPEC_INDEX) * (
+            1 - ap.X_RAY_SPEC_INDEX
+        )
+    lum_conv /= physconst.h_p
+    xray_prefactor = (
+        lum_conv / nu_th * physconst.c_cms * (1 + zp) ** (ap.X_RAY_SPEC_INDEX + 3)
+    )
+
+    no_total = cosmo.rho_crit_cgs * cosmo.OMb * (1 - cosmo.Y_He) / physconst.m_p
+    nb0_total = cosmo.N_b0
+    nb_zp = nb0_total * (1 + zp) ** 3
+    n_zp = no_total * (1 + zp) ** 3
+    lya_star_prefactor = (
+        physconst.c_cms / (4 * np.pi) * physconst.Msun / physconst.m_p
+        * (1 - 0.75 * cosmo.Y_He)
+    )
+    volunit_inv = cosmo.OMb * cosmo.rho_crit / physconst.cm_per_Mpc**3
+
+    ts_prefactor = (1e-7 * (1.342881e-7 / hubble_zp) * no_total * (1 + zp) ** 3) ** (1 / 3)
+    gamma_alpha = physconst.f_alpha * (
+        physconst.nu_Ly_alpha * physconst.e_charge / (physconst.c_cms / 10.0)
+    ) ** 2
+    gamma_alpha /= (
+        6.0 * (physconst.m_e / 1000.0) * (physconst.c_cms / 100.0) ** 3 * physconst.vac_perm
+    )
+    xa_tilde_prefactor = (
+        8.0 * np.pi * (physconst.lambda_Ly_alpha * 1e-8) ** 2 * gamma_alpha * physconst.T_21
+    ) / (9.0 * physconst.A10 * trad)
+    xc_inverse = (1 + zp) ** 3 * physconst.T_21 / (trad * physconst.A10)
+    dcomp_prefactor = (
+        -1.51e-4 / (hubble_zp / (cosmo.hlittle * 3.2407e-18)) / cosmo.hlittle
+        * trad**4 / (1 + zp)
+    )
+    fH = heating.h_frac(cosmo.Y_He)
+    fHe = heating.he_frac(cosmo.Y_He)
+    dgrowth_dzp = float(cosmo.ddicke_dz(zp))
+    dt_dzp = float(cosmo.dtdz(zp))
+
+    # Fold unit conversions into the tables (f64 on host) so all device-side
+    # scalars are float32-safe: the raw prefactors span ~1e-64..1e66.
+    xray_norm = xray_prefactor * volunit_inv
+    lya_norm = lya_star_prefactor * volunit_inv
+    lx_lin = ap.l_x * physconst.s_per_yr  # L_X * s/yr
+    tbl_heat = tbl_heat * (xray_norm * lx_lin)
+    tbl_ion = tbl_ion * (xray_norm * lx_lin)
+    tbl_lya = tbl_lya * (xray_norm * lx_lin * nb_zp)  # (1+delta) applied on device
+    starlya_pref = starlya_pref * lya_norm
+
+    consts = tuple(
+        jnp.float32(v)
+        for v in (
+            zp, dzp, growth_zp, inv_growth_pf, dgrowth_dzp, dt_dzp, hubble_zp, trad,
+            nb_zp, n_zp, xc_inverse, xa_tilde_prefactor, ts_prefactor,
+            dcomp_prefactor, ap.CLUMPING_FACTOR, fH, fHe, no_total, nb0_total,
+        )
+    )
+
+    kt = heating.kappa_tables()
+    kappa_knots = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (kt["HH"][0], kt["HH"][1], kt["eH"][0], kt["eH"][1], kt["pH"][0], kt["pH"][1])
+    )
+
+    cell_R = physconst.l_factor * so.box_len / so.HII_DIM
+    do_filter = ladder.R > cell_R
+
+    ts, tk, x_e, j_lya = _ts_kernel(
+        perturbed_field.density,
+        prev_state.spin_temperature,
+        prev_state.kinetic_temp_neutral,
+        prev_state.xray_ionised_fraction,
+        jnp.asarray(ladder.R, jnp.float32),
+        jnp.asarray(do_filter),
+        jnp.asarray(ladder.growth, jnp.float32),
+        jnp.asarray(z_edge_factor, jnp.float32),
+        jnp.asarray(xray_r_factor, jnp.float32),
+        jnp.asarray(d_lo, jnp.float32),
+        jnp.asarray(d_hi, jnp.float32),
+        jnp.asarray(sfrd_tables, jnp.float32),
+        jnp.asarray(sfrd_caps, jnp.float32),
+        jnp.asarray(mean_sfrd, jnp.float32),
+        jnp.asarray(tbl_heat, jnp.float32),
+        jnp.asarray(tbl_ion, jnp.float32),
+        jnp.asarray(tbl_lya, jnp.float32),
+        jnp.asarray(starlya_pref, jnp.float32),
+        jnp.float32(inv_growth_pf),
+        jnp.float32(sc_zp.fstar_10),
+        consts,
+        kappa_knots,
+        shape=shape,
+        box_lens=box_lens,
+        heat_filter=ao.heat_filter_int,
+        use_xray_heat=ao.USE_X_RAY_HEATING,
+        use_cmb_heat=ao.USE_CMB_HEATING,
+    )
+
+    box = TsBox(
+        redshift=jnp.float32(redshift),
+        spin_temperature=ts,
+        xray_ionised_fraction=x_e,
+        kinetic_temp_neutral=tk,
+        J_21_LW=jnp.zeros(shape, jnp.float32),
+        J_Lya=j_lya,
+    )
+    return box, box
+
+
+_sigma_table_cache = {}
+
+
+def _get_sigma_table(inputs: InputParameters):
+    key = inputs.matter_cosmo_hash
+    if key not in _sigma_table_cache:
+        _sigma_table_cache[key] = inputs.cosmology.build_sigma_table(m_min=1e2, m_max=1e20)
+    return _sigma_table_cache[key]

@@ -100,12 +100,15 @@ def test_za_displacement_divergence_matches_density(inputs, ics):
     assert np.median(np.abs(ratio - 1)) < 0.2
 
 
-def test_2lpt_field_is_second_order(ics):
-    """2LPT displacement rms should be much smaller than ZA rms (sigma8-suppressed)."""
-    za_rms = float(np.std(np.asarray(ics.vx)))
-    lpt2_rms = float(np.std(np.asarray(ics.vx_2LPT)))
-    assert lpt2_rms < 0.5 * za_rms
-    assert lpt2_rms > 0.0
+def test_2lpt_displacement_is_second_order(inputs, ics):
+    """The *effective* 2LPT displacement (with its -3/7 D^2 growth scaling)
+    must be subdominant to the ZA displacement at any simulated redshift.
+    The raw stored fields carry no growth factors, so compare at z=8."""
+    cosmo = inputs.cosmology
+    D = float(cosmo.dicke(8.0))
+    za = float(np.std(np.asarray(ics.vx))) * D
+    lpt2 = float(np.std(np.asarray(ics.vx_2LPT))) * (3.0 / 7.0) * D**2
+    assert 0.0 < lpt2 < 0.2 * za
 
 
 def test_seed_reproducibility(inputs):
