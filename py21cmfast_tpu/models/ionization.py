@@ -126,6 +126,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "hii_filter",
         "mass_dep",
         "use_ts",
+        "use_recomb",
         "track_gamma",
         "last_filtered",
     ),
@@ -133,6 +134,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
 def _ionize_scan(
     delta,
     xe_box,
+    rec_box,
     r_values,
     sigma_r,
     table_dlo,
@@ -154,6 +156,7 @@ def _ionize_scan(
     hii_filter,
     mass_dep,
     use_ts,
+    use_recomb,
     track_gamma,
     last_filtered,
 ):
@@ -216,7 +219,14 @@ def _ionize_scan(
         if mass_dep:
             fcoll = jnp.maximum(fcoll, f_limit)
 
-        ionized = fcoll * ion_eff > (1.0 - xe_r)
+        # recombinations per baryon in the cell (CELL_RECOMB: previous snapshot's
+        # cumulative N_rec, unfiltered; IonisationBox.c:1084-1099)
+        if use_recomb:
+            rec = rec_box / (1.0 + delta_r)
+        else:
+            rec = 0.0
+
+        ionized = fcoll * ion_eff > (1.0 - xe_r) * (1.0 + rec)
         newly = ionized & (xh > FRACT_FLOAT_ERR)
         if track_gamma:
             gamma = jnp.where(newly, r * gamma_prefactor * fcoll, gamma)
@@ -368,11 +378,20 @@ def compute_ionization_field(
     if mass_dep:
         gamma_prefactor /= sc.t_h * sc.t_star
 
+    use_recomb = ao.uses_recombination
+    if use_recomb and previous_ionized_box is not None and (
+        previous_ionized_box.cumulative_recombinations is not None
+    ):
+        rec_box = previous_ionized_box.cumulative_recombinations
+    else:
+        rec_box = jnp.zeros(shape, jnp.float32)
+
     # descending order for the scan (largest R first)
     order = np.argsort(ladder.R)[::-1]
     xh, gamma, mfp, z_reion, _ = _ionize_scan(
         perturbed_field.density,
         spin_temp.xray_ionised_fraction if spin_temp is not None else jnp.zeros(shape, jnp.float32),
+        rec_box,
         jnp.asarray(ladder.R[order], jnp.float32),
         jnp.asarray(ladder.sigma_max[order], jnp.float32),
         jnp.asarray(d_lo[order], jnp.float32),
@@ -393,9 +412,45 @@ def compute_ionization_field(
         hii_filter=ao.hii_filter_int,
         mass_dep=mass_dep,
         use_ts=spin_temp is not None,
+        use_recomb=use_recomb,
         track_gamma=True,
         last_filtered=False,
     )
+
+    # --- cumulative recombination update (set_recombination_rates:1258-1342) ---
+    cumulative_rec = None
+    if use_recomb:
+        from . import recomb as recomb_module
+
+        rt = recomb_module.get_recomb_tables(cosmo)
+        if prev_redshift is None or prev_redshift < 1:
+            dz = (1.0 + redshift) * (so.ZPRIME_STEP_FACTOR - 1.0)
+        else:
+            dz = prev_redshift - redshift
+        fabs_dtdz = abs(float(cosmo.dtdz(redshift))) / 1e15
+        if ao.RECOMB_MODEL == "INHOMOGENEOUS":
+            cumulative_rec = _recomb_update(
+                rec_box,
+                perturbed_field.density,
+                gamma,
+                xh,
+                jnp.asarray(rt.table, jnp.float32),
+                jnp.float32(rt.ln_gamma[0]),
+                jnp.float32(recomb_module.RR_DEL_LNGAMMA),
+                jnp.float32(recomb_module.RR_DEL_Z),
+                jnp.float32(redshift),
+                jnp.float32(fabs_dtdz * dz),
+            )
+        else:  # homogeneous: single global rate broadcast
+            global_xh = float(jnp.mean(xh))
+            global_gamma = float(jnp.mean(gamma))
+            d_nrec = (
+                rt.evaluate(redshift, max(global_gamma, 1e-30))[0]
+                * fabs_dtdz
+                * dz
+                * (1.0 - global_xh)
+            )
+            cumulative_rec = rec_box + jnp.float32(d_nrec)
 
     return IonizedBox(
         redshift=jnp.float32(redshift),
@@ -407,7 +462,26 @@ def compute_ionization_field(
         log10_Mturnover_ave=jnp.float32(log10_mturn_ave),
         log10_Mturnover_MINI_ave=jnp.float32(0.0),
         mean_free_path=mfp,
+        cumulative_recombinations=cumulative_rec,
     )
+
+
+@jax.jit
+def _recomb_update(
+    rec_prev, density, gamma12, xh, rr_table, ln_g_min, dln_g, dz_tab, redshift, dtdz_dz
+):
+    """dN_rec = RR(z_eff, Gamma12) |dt/dz| dz (1 - xH), z_eff from the local
+    density via (1+z_eff) = (1+z)(1+delta)^(1/3) (IonisationBox.c:1277-1335)."""
+    z_eff = (1.0 + redshift) * jnp.cbrt(1.0 + density) - 1.0
+    n_z, n_g = rr_table.shape
+    z_idx = jnp.clip(jnp.round(z_eff / dz_tab).astype(jnp.int32), 0, n_z - 1)
+    ln_g = jnp.log(jnp.maximum(gamma12, 1e-35))
+    t = jnp.clip((ln_g - ln_g_min) / dln_g, 0.0, n_g - 1.001)
+    i0 = t.astype(jnp.int32)
+    frac = t - i0
+    rr = rr_table[z_idx, i0] * (1 - frac) + rr_table[z_idx, i0 + 1] * frac
+    rr = jnp.where(ln_g < ln_g_min, 0.0, rr)
+    return rec_prev + rr * dtdz_dz * (1.0 - xh)
 
 
 _sigma_table_cache = {}
