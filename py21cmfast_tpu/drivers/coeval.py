@@ -71,6 +71,7 @@ def generate_coeval(
     from ..models import spintemp as spintemp_module
 
     ao = inputs.astro_options
+    mo = inputs.matter_options
     out_redshifts = [float(z) for z in np.atleast_1d(np.asarray(out_redshifts))]
     all_z = _required_redshifts(inputs, out_redshifts)
     if not all_z:
@@ -81,6 +82,20 @@ def generate_coeval(
     if initial_conditions is None:
         initial_conditions = compute_initial_conditions(inputs)
 
+    # --- halo evolution chain (reference evolve_halos, coeval.py:435):
+    # discrete catalogs are sampled ascending in z — DexM + grid CHMF at the
+    # lowest node, then progenitors of each catalog at the next-higher node.
+    catalogs = {}
+    if mo.source_model_uses_halo_sampler:
+        from ..models import halos as halos_module
+
+        cat = None
+        for z in sorted(all_z):
+            cat = halos_module.determine_halo_catalog(
+                z, inputs, initial_conditions, previous_catalog=cat
+            )
+            catalogs[z] = cat
+
     prev_ion: IonizedBox | None = None
     prev_ts = None
     prev_z = None
@@ -89,8 +104,30 @@ def generate_coeval(
     for z in all_z:
         pf = perturb_field(z, inputs, initial_conditions)
 
+        halobox = None
+        if mo.source_model_uses_halo_sampler:
+            from ..models import halobox as halobox_module
+            from ..models import halos as halos_module
+
+            pt_halos = halos_module.perturb_halo_catalog(
+                z, inputs, initial_conditions, catalogs[z]
+            )
+            halobox = halobox_module.compute_halo_grid(
+                z, inputs, pt_halos,
+                previous_spin_temp=prev_ts, previous_ionized_box=prev_ion,
+            )
+        elif mo.SOURCE_MODEL == "L-INTEGRAL":
+            from ..models import halobox as halobox_module
+
+            halobox = halobox_module.compute_fixed_halo_grid(
+                z, inputs, initial_conditions.lowres_density
+            )
+
         ts = None
         if ao.USE_TS_FLUCT:
+            # NOTE: with Lagrangian source models the reference feeds filtered
+            # halo-SFR shells (XraySourceBox) into Ts; this round approximates
+            # the Ts source with the conditional-SFRD-from-density path.
             ts, ts_state = spintemp_module.compute_spin_temperature(
                 z,
                 inputs,
@@ -106,6 +143,7 @@ def generate_coeval(
             pf,
             previous_ionized_box=prev_ion,
             spin_temp=ts,
+            halobox=halobox,
             prev_redshift=prev_z,
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
@@ -117,6 +155,7 @@ def generate_coeval(
             ionized_box=ion,
             brightness_temperature=tb,
             spin_temp=ts,
+            halobox=halobox,
         )
         if (not out_redshifts) or any(abs(z - oz) < 1e-8 for oz in out_redshifts):
             yield coeval

@@ -1,0 +1,514 @@
+"""Discrete halo catalogs: DexM excursion-set finder + stochastic CHMF sampler.
+
+TPU-native equivalent of reference HaloCatalog.c:38-625 + Stochasticity.c.
+Design differences from the C implementation (SURVEY.md §7 "hard parts"):
+
+ * DexM exclusion is a *mask*, not per-halo sphere checks: at each filter
+   radius (descending), cells above the barrier and not yet inside a halo
+   become halos; the exclusion mask is then grown by painting spheres in
+   k-space (one FFT pair per radius) instead of `check_halo` loops.
+ * The conditional-MF sampler uses fixed-capacity padded buffers + masked
+   draws: each cell draws K_MAX masses from the inverse-CMF table and keeps
+   them while the running sum is below the cell's collapsed-mass target
+   (the reference's MASS-LIMITED method, Stochasticity.c:260-720), then a
+   prefix-sum compaction packs survivors into the global catalog — replacing
+   the thread-partitioned buffers + condense_sparse_halolist.
+ * RNG is counter-based (threefry): deterministic and splittable; per-halo
+   property RNG is correlated across snapshots via CORR_* AR(1) mixing
+   (Stochasticity.c set_prop_rng:210-232).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmology.constants import physconst
+from ..inputs import InputParameters
+from ..ops import fft, filters, grids
+from ..outputs import HaloCatalog, InitialConditions, PerturbedHaloCatalog
+from . import hmf
+
+__all__ = ["determine_halo_catalog", "perturb_halo_catalog", "sample_halo_grid"]
+
+MAX_HALO_CELL = 100000  # reference Stochasticity.c:25
+
+
+# ---------------------------------------------------------------------------
+# DexM: excursion-set halo finder on the hires grid
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "n_r"))
+def _dexm_scan(d_k, barriers, radii, masses, *, hi_shape, box_lens, n_r):
+    """Descending-R excursion set with FFT sphere-painted exclusion.
+
+    Returns (halo_mass_grid, in_halo mask): halo_mass_grid holds the halo mass
+    at each halo-centre cell (0 elsewhere)."""
+    kmag = grids.kmag_grid(hi_shape, box_lens)
+    cell_vol = (box_lens[0] / hi_shape[0]) ** 3
+
+    def step(carry, xs):
+        halo_grid, in_halo = carry
+        r, barrier, mass = xs
+        delta_r = fft.irfft3(filters.filter_kbox(d_k, kmag, filters.TOPHAT, r), hi_shape)
+        new_centres = (delta_r > barrier) & (~in_halo)
+        halo_grid = jnp.where(new_centres, mass, halo_grid)
+        # paint exclusion spheres: convolve centres with a normalized tophat of
+        # radius r; anything with weight above threshold lies inside some halo
+        flags_k = fft.rfft3(new_centres.astype(jnp.float32))
+        sphere_vol = 4.0 / 3.0 * np.pi * r**3
+        painted = fft.irfft3(
+            filters.filter_kbox(flags_k, kmag, filters.TOPHAT, r), hi_shape
+        )
+        # `painted` ~ (count inside sphere) * cell/sphere volume ratio
+        in_halo = in_halo | (painted * sphere_vol > 0.5 * cell_vol)
+        return (halo_grid, in_halo), None
+
+    halo_grid0 = jnp.zeros(hi_shape, jnp.float32)
+    in_halo0 = jnp.zeros(hi_shape, bool)
+    (halo_grid, in_halo), _ = jax.lax.scan(
+        step, (halo_grid0, in_halo0), (radii, barriers, masses)
+    )
+    return halo_grid, in_halo
+
+
+def dexm_halo_grid(redshift: float, inputs: InputParameters, ics: InitialConditions):
+    """Run the DexM finder; returns (halo_mass_grid[hires], in_halo[hires])."""
+    so = inputs.simulation_options
+    cosmo = inputs.cosmology
+    sigma_table = _sigma_table(inputs)
+    growth = float(cosmo.dicke(redshift))
+
+    cell_hi = so.box_len / so.dim
+    r_min = physconst.l_factor * cell_hi
+    r_max = physconst.l_factor * so.box_len / 4  # halos can't exceed ~ box/4
+    n_r = int(np.log(r_max / r_min) / np.log(so.DELTA_R_FACTOR)) + 1
+    radii = r_min * so.DELTA_R_FACTOR ** np.arange(n_r)
+    radii = radii[radii <= r_max][::-1]  # descending
+    masses = np.asarray(cosmo.RtoM(radii))
+    sigmas = sigma_table.sigma_of_lnm(np.log(masses))
+    # DexM barrier (hmf.c:143-146) in z=0-linear units to compare with delta0
+    barriers = (
+        hmf.sheth_delc_dexm(physconst.delta_c_sph / growth, sigmas)
+    )
+
+    d_k = jax.jit(fft.rfft3)(ics.hires_density)
+    return _dexm_scan(
+        d_k,
+        jnp.asarray(barriers, jnp.float32),
+        jnp.asarray(radii, jnp.float32),
+        jnp.asarray(masses, jnp.float32),
+        hi_shape=so.hires_shape,
+        box_lens=so.box_lens,
+        n_r=len(radii),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic CHMF sampler (grid conditions)
+
+
+def _sigma_table(inputs):
+    from .ionization import _get_sigma_table
+
+    return _get_sigma_table(inputs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape"),
+)
+def _sample_cells_kernel(
+    key,
+    delta_cells,  # (n_cells,) Lagrangian delta at z (already * growth)
+    exclude,  # (n_cells,) bool: cells claimed by DexM halos
+    inv_table,  # (n_cond, n_prob) ln M
+    nhalo_cells,  # (n_cells,) expected counts (for info only)
+    mtarget_cells,  # (n_cells,) target collapsed mass [Msun]
+    d_lo,
+    d_hi,
+    lnp_min,
+    m_min,
+    cell_len,
+    *,
+    k_max,
+    capacity,
+    n_chunks,
+    lo_shape,
+):
+    """Mass-limited sampling of all cells, compacted into a fixed buffer."""
+    n_cells = delta_cells.shape[0]
+    chunk = n_cells // n_chunks
+    n_cond, n_prob = inv_table.shape
+
+    def draw_chunk(carry, c):
+        key_c = jax.random.fold_in(key, c)
+        offset, masses_buf, pos_buf, count_total = carry
+        sl = c * chunk
+        d = jax.lax.dynamic_slice_in_dim(delta_cells, sl, chunk)
+        excl = jax.lax.dynamic_slice_in_dim(exclude, sl, chunk)
+        m_tgt = jax.lax.dynamic_slice_in_dim(mtarget_cells, sl, chunk)
+        m_tgt = jnp.where(excl, 0.0, m_tgt)
+
+        u = jax.random.uniform(key_c, (chunk, k_max), minval=1e-12, maxval=1.0)
+        # bilinear gather from the inverse CMF table
+        tc = jnp.clip((d - d_lo) / (d_hi - d_lo) * (n_cond - 1), 0.0, n_cond - 1.001)
+        ic0 = tc.astype(jnp.int32)
+        fc = (tc - ic0)[:, None]
+        lnp = jnp.clip(jnp.log(u), lnp_min, 0.0)
+        tp = jnp.clip((lnp - lnp_min) / (0.0 - lnp_min) * (n_prob - 1), 0.0, n_prob - 1.001)
+        ip0 = tp.astype(jnp.int32)
+        fp = tp - ip0
+        t00 = inv_table[ic0[:, None], ip0]
+        t01 = inv_table[ic0[:, None], ip0 + 1]
+        t10 = inv_table[ic0[:, None] + 1, ip0]
+        t11 = inv_table[ic0[:, None] + 1, ip0 + 1]
+        ln_m = (t00 * (1 - fp) + t01 * fp) * (1 - fc) + (t10 * (1 - fp) + t11 * fp) * fc
+        m = jnp.exp(ln_m)
+
+        # mass-limited: keep while the exclusive running sum is below target
+        csum_excl = jnp.cumsum(m, axis=1) - m
+        keep = (csum_excl < m_tgt[:, None]) & (m >= m_min)
+
+        # compact into the global buffer
+        keep_flat = keep.reshape(-1)
+        m_flat = jnp.where(keep_flat, m.reshape(-1), 0.0)
+        idx = offset + jnp.cumsum(keep_flat) - 1
+        idx = jnp.where(keep_flat, jnp.clip(idx, 0, capacity - 1), capacity - 1)
+        masses_buf = masses_buf.at[idx].add(jnp.where(keep_flat, m_flat, 0.0))
+
+        # positions: cell centre + uniform jitter inside the cell
+        cell_ids = sl + jnp.arange(chunk)
+        iz = cell_ids % lo_shape[2]
+        iy = (cell_ids // lo_shape[2]) % lo_shape[1]
+        ix = cell_ids // (lo_shape[1] * lo_shape[2])
+        base = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)  # (chunk, 3)
+        jit_key = jax.random.fold_in(key_c, 1)
+        jitter = jax.random.uniform(jit_key, (chunk, k_max, 3))
+        pos = (base[:, None, :] + jitter) * cell_len  # Mpc
+        pos_flat = pos.reshape(-1, 3)
+        pos_buf = pos_buf.at[idx].add(
+            jnp.where(keep_flat[:, None], pos_flat, 0.0)
+        )
+
+        n_kept = jnp.sum(keep_flat)
+        return (offset + n_kept, masses_buf, pos_buf, count_total + n_kept), None
+
+    masses_buf = jnp.zeros(capacity, jnp.float32)
+    pos_buf = jnp.zeros((capacity, 3), jnp.float32)
+    (total, masses_buf, pos_buf, _), _ = jax.lax.scan(
+        draw_chunk, (jnp.int32(0), masses_buf, pos_buf, jnp.int32(0)), jnp.arange(n_chunks)
+    )
+    return masses_buf, pos_buf, total
+
+
+def sample_halo_grid(
+    redshift: float,
+    inputs: InputParameters,
+    lagrangian_delta,  # lowres IC density (z=0 normalization), jnp (HII,)*3
+    exclude_mask=None,
+    key=None,
+):
+    """Sample the conditional MF in every lowres cell between SAMPLER_MIN_MASS
+    and the cell mass (reference sample_halo_grids, Stochasticity.c:761-941)."""
+    so = inputs.simulation_options
+    cosmo = inputs.cosmology
+    sigma_table = _sigma_table(inputs)
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+
+    cell_len = so.box_len / so.HII_DIM
+    m_cell = cosmo.rho_mean * cell_len**3
+    m_min = so.SAMPLER_MIN_MASS
+    ln_mmin, ln_mcell = np.log(m_min), np.log(m_cell)
+    sigma_cell = float(sigma_table.sigma_of_lnm(ln_mcell))
+
+    # condition tables over delta (at z): the reference uses N_COND_INTERP points
+    dcrit = float(
+        hmf.get_delta_crit(
+            hmf_int if hmf_int in (0, 1, 4) else 0, sigma_cell, growth
+        )
+    )
+    d_lo, d_hi = -1.0 + 1e-6, dcrit * hmf.MAX_DELTAC_FRAC
+    deltas = np.linspace(d_lo, d_hi, so.N_COND_INTERP)
+    nhalo_tab = hmf.nhalo_conditional(
+        sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas
+    ) * m_cell
+    mcoll_tab = hmf.mcoll_conditional(
+        sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas
+    ) * m_cell
+    lnp_axis, inv_tab = hmf.build_inverse_cmf_table(
+        sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas,
+        n_prob=so.N_PROB_INTERP, min_logprob=so.MIN_LOGPROB,
+    )
+
+    # per-cell targets (host: lowres grids are small)
+    delta_z = np.asarray(lagrangian_delta, dtype=np.float64) * growth
+    delta_z = np.clip(delta_z, d_lo, d_hi)
+    n_exp = np.interp(delta_z, deltas, nhalo_tab).reshape(-1)
+    m_tgt = np.interp(delta_z, deltas, mcoll_tab).reshape(-1) * so.HALOMASS_CORRECTION
+    if exclude_mask is not None:
+        excl = np.asarray(exclude_mask).reshape(-1)
+        n_exp = np.where(excl, 0.0, n_exp)
+        m_tgt = np.where(excl, 0.0, m_tgt)
+
+    n_cells = delta_z.size
+    capacity = int(so.SAMPLER_BUFFER_FACTOR * np.sum(n_exp) + 1024)
+    k_max = int(np.clip(3 * n_exp.max() + 8, 16, 4096))
+    # chunk so the (chunk, k_max) draws stay ~ 2^22
+    n_chunks = max(1, int(n_cells * k_max / 2**22))
+    while n_cells % n_chunks:
+        n_chunks += 1
+
+    if key is None:
+        key = jax.random.PRNGKey(inputs.random_seed + 17)
+
+    masses, pos, total = _sample_cells_kernel(
+        key,
+        jnp.asarray(delta_z.reshape(-1), jnp.float32),
+        jnp.asarray(
+            exclude_mask.reshape(-1)
+            if exclude_mask is not None
+            else np.zeros(n_cells, bool)
+        ),
+        jnp.asarray(inv_tab, jnp.float32),
+        jnp.asarray(n_exp.reshape(-1), jnp.float32),
+        jnp.asarray(m_tgt.reshape(-1), jnp.float32),
+        jnp.float32(d_lo),
+        jnp.float32(d_hi),
+        jnp.float32(so.MIN_LOGPROB),
+        jnp.float32(m_min),
+        jnp.float32(cell_len),
+        k_max=k_max,
+        capacity=capacity,
+        n_chunks=n_chunks,
+        lo_shape=so.lowres_shape,
+    )
+    return masses, pos, total
+
+
+# ---------------------------------------------------------------------------
+# Catalog assembly
+
+
+def _property_rng(key, n):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (n,), jnp.float32) for k in ks)
+
+
+def determine_halo_catalog(
+    redshift: float,
+    inputs: InputParameters,
+    ics: InitialConditions,
+    previous_catalog: HaloCatalog | None = None,
+    key=None,
+) -> HaloCatalog:
+    """Build the halo catalog at `redshift` (reference determine_halo_catalog,
+    single_field.py:161): first snapshot = DexM + grid CHMF sampling; later
+    snapshots = progenitor sampling from the previous catalog."""
+    so = inputs.simulation_options
+    cosmo = inputs.cosmology
+    if key is None:
+        key = jax.random.fold_in(jax.random.PRNGKey(inputs.random_seed), int(redshift * 100))
+
+    if previous_catalog is not None:
+        return _sample_progenitors(redshift, inputs, previous_catalog, key)
+
+    # --- DexM for halos above the lowres cell mass ---
+    halo_grid, in_halo = dexm_halo_grid(redshift, inputs, ics)
+    hi_shape = so.hires_shape
+    cell_hi = so.box_len / so.dim
+
+    # extract DexM halos on host (hires grids can be large but extraction is rare)
+    hg = np.asarray(halo_grid)
+    idx = np.nonzero(hg)
+    dexm_masses = hg[idx]
+    rng = np.random.default_rng(inputs.random_seed + 3)
+    dexm_pos = (
+        np.stack(idx, axis=-1).astype(np.float64) + rng.uniform(size=(len(dexm_masses), 3))
+    ) * cell_hi
+
+    # --- stochastic sampling below the cell mass ---
+    # exclusion: lowres cells inside DexM halos sample no additional mass
+    ratio = so.dim // so.HII_DIM if so.dim % so.HII_DIM == 0 else None
+    if ratio:
+        excl = np.asarray(in_halo).reshape(
+            so.HII_DIM, ratio, so.HII_DIM, ratio, so.hii_d_para, ratio
+        ).mean(axis=(1, 3, 5)) > 0.5
+    else:
+        excl = np.zeros(so.lowres_shape, bool)
+
+    masses, pos, total = sample_halo_grid(
+        redshift, inputs, ics.lowres_density, exclude_mask=excl, key=key
+    )
+    masses = np.asarray(masses)
+    pos = np.asarray(pos)
+    valid = masses > 0
+    all_masses = np.concatenate([dexm_masses, masses[valid]]).astype(np.float32)
+    all_pos = np.concatenate([dexm_pos, pos[valid]]).astype(np.float32)
+    n = len(all_masses)
+
+    star_rng, sfr_rng, xray_rng = _property_rng(jax.random.fold_in(key, 99), n)
+    return HaloCatalog(
+        redshift=jnp.float32(redshift),
+        halo_masses=jnp.asarray(all_masses),
+        halo_coords=jnp.asarray(all_pos),
+        star_rng=star_rng,
+        sfr_rng=sfr_rng,
+        xray_rng=xray_rng,
+        n_halos=jnp.int32(n),
+    )
+
+
+def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCatalog:
+    """Sample progenitors of each halo from z_prev down to z
+    (reference sample_halo_progenitors, Stochasticity.c:943-1114)."""
+    so = inputs.simulation_options
+    cosmo = inputs.cosmology
+    sigma_table = _sigma_table(inputs)
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    z_prev = float(prev_cat.redshift)
+    growth = float(cosmo.dicke(redshift))
+    growth_prev = float(cosmo.dicke(z_prev))
+
+    masses_d = np.asarray(prev_cat.halo_masses)
+    n_desc = int(prev_cat.n_halos)
+    masses_d = masses_d[:n_desc]
+    m_min = so.SAMPLER_MIN_MASS
+
+    # condition axis: descendant mass bins
+    m_max = max(masses_d.max(initial=m_min * 2), m_min * 2)
+    n_cond = so.N_COND_INTERP
+    ln_mbins = np.linspace(np.log(m_min), np.log(m_max) + 1e-3, n_cond)
+    sig_bins = sigma_table.sigma_of_lnm(ln_mbins)
+    # descendant formed at its collapse barrier at z_prev, rescaled to z
+    delta_bins = (
+        hmf.get_delta_crit(hmf_int if hmf_int in (0, 1, 4) else 0, sig_bins, growth_prev)
+        * growth
+        / growth_prev
+    )
+    lnp_axis, inv_tab = hmf.build_inverse_cmf_table(
+        sigma_table, hmf_int, growth, np.log(m_min), ln_mbins, sig_bins, delta_bins,
+        n_prob=so.N_PROB_INTERP, min_logprob=so.MIN_LOGPROB,
+    )
+    mcoll_bins = hmf.mcoll_conditional(
+        sigma_table, hmf_int, growth, np.log(m_min), ln_mbins, sig_bins, delta_bins
+    ) * np.exp(ln_mbins)
+
+    # per-descendant targets
+    ln_md = np.log(np.maximum(masses_d, m_min))
+    m_tgt = np.interp(ln_md, ln_mbins, mcoll_bins) * so.HALOMASS_CORRECTION
+    cond_t = np.interp(ln_md, ln_mbins, np.arange(n_cond).astype(float))
+
+    k_max = 64  # progenitor multiplicity per step is small (dz ~ 2%)
+    n = len(masses_d)
+    pad = (-n) % 256
+    cond_t = np.pad(cond_t, (0, pad))
+    m_tgt = np.pad(m_tgt, (0, pad))
+
+    u = jax.random.uniform(key, (n + pad, k_max), minval=1e-12, maxval=1.0)
+    masses_p, keep = _progenitor_draws(
+        jnp.asarray(cond_t, jnp.float32),
+        jnp.asarray(m_tgt, jnp.float32),
+        u,
+        jnp.asarray(inv_tab, jnp.float32),
+        jnp.float32(so.MIN_LOGPROB),
+        jnp.float32(m_min),
+    )
+    masses_p = np.asarray(masses_p)[:n]
+    keep = np.asarray(keep)[:n]
+
+    # compact on host; inherit position and correlated rng from descendant
+    desc_idx, prog_slot = np.nonzero(keep)
+    new_masses = masses_p[desc_idx, prog_slot].astype(np.float32)
+    pos = np.asarray(prev_cat.halo_coords)[:n_desc][desc_idx]
+    corr = (so.CORR_STAR, so.CORR_SFR, so.CORR_LX)
+    old_rng = (
+        np.asarray(prev_cat.star_rng)[:n_desc][desc_idx],
+        np.asarray(prev_cat.sfr_rng)[:n_desc][desc_idx],
+        np.asarray(prev_cat.xray_rng)[:n_desc][desc_idx],
+    )
+    fresh = _property_rng(jax.random.fold_in(key, 7), len(new_masses))
+    new_rng = [
+        (c * o + np.sqrt(1 - c * c) * np.asarray(f)).astype(np.float32)
+        for c, o, f in zip(corr, old_rng, fresh)
+    ]
+    return HaloCatalog(
+        redshift=jnp.float32(redshift),
+        halo_masses=jnp.asarray(new_masses),
+        halo_coords=jnp.asarray(pos.astype(np.float32)),
+        star_rng=jnp.asarray(new_rng[0]),
+        sfr_rng=jnp.asarray(new_rng[1]),
+        xray_rng=jnp.asarray(new_rng[2]),
+        n_halos=jnp.int32(len(new_masses)),
+    )
+
+
+@jax.jit
+def _progenitor_draws(cond_t, m_tgt, u, inv_table, lnp_min, m_min):
+    n_cond, n_prob = inv_table.shape
+    ic0 = jnp.clip(cond_t.astype(jnp.int32), 0, n_cond - 2)
+    fc = (cond_t - ic0)[:, None]
+    lnp = jnp.clip(jnp.log(u), lnp_min, 0.0)
+    tp = jnp.clip((lnp - lnp_min) / (0.0 - lnp_min) * (n_prob - 1), 0.0, n_prob - 1.001)
+    ip0 = tp.astype(jnp.int32)
+    fp = tp - ip0
+    t00 = inv_table[ic0[:, None], ip0]
+    t01 = inv_table[ic0[:, None], ip0 + 1]
+    t10 = inv_table[ic0[:, None] + 1, ip0]
+    t11 = inv_table[ic0[:, None] + 1, ip0 + 1]
+    ln_m = (t00 * (1 - fp) + t01 * fp) * (1 - fc) + (t10 * (1 - fp) + t11 * fp) * fc
+    m = jnp.exp(ln_m)
+    csum_excl = jnp.cumsum(m, axis=1) - m
+    keep = (csum_excl < m_tgt[:, None]) & (m >= m_min)
+    return m, keep
+
+
+def perturb_halo_catalog(
+    redshift: float,
+    inputs: InputParameters,
+    ics: InitialConditions,
+    catalog: HaloCatalog,
+) -> PerturbedHaloCatalog:
+    """Move halos from Lagrangian to Eulerian positions using the IC
+    displacement fields (reference PerturbedHaloCatalog.c:25-149)."""
+    from ..ops import cic
+    from .perturb import _displacement_factors
+
+    so = inputs.simulation_options
+    mo = inputs.matter_options
+    _, _, fac_za, fac_2lpt = _displacement_factors(inputs, redshift)
+    pt_shape = so.hires_shape if mo.PERTURB_ON_HIGH_RES else so.lowres_shape
+    cell = so.box_len / pt_shape[0]
+
+    pos = catalog.halo_coords  # Mpc
+    px = pos[:, 0] / cell
+    py = pos[:, 1] / cell
+    pz = pos[:, 2] / cell * (pt_shape[2] / pt_shape[0] * pt_shape[0] / pt_shape[2])
+
+    def read(v):
+        return cic.cic_read(v, px, py, pz)
+
+    disp = jnp.stack(
+        [read(ics.vx), read(ics.vy), read(ics.vz)], axis=-1
+    ) * jnp.float32(fac_za)
+    if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None:
+        disp = disp - jnp.stack(
+            [read(ics.vx_2LPT), read(ics.vy_2LPT), read(ics.vz_2LPT)], axis=-1
+        ) * jnp.float32(fac_2lpt)
+
+    box = jnp.asarray(so.box_lens, jnp.float32)
+    new_pos = (pos + disp) % box
+
+    return PerturbedHaloCatalog(
+        redshift=jnp.float32(redshift),
+        halo_masses=catalog.halo_masses,
+        halo_coords=new_pos,
+        star_rng=catalog.star_rng,
+        sfr_rng=catalog.sfr_rng,
+        xray_rng=catalog.xray_rng,
+        n_halos=catalog.n_halos,
+    )

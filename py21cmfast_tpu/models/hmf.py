@@ -551,3 +551,69 @@ def minimum_source_mass(z: float, inputs, xray: bool = False) -> float:
         mu = 1.22 if t_vir < 9.99999e3 else 0.6
         m_min = float(inputs.cosmology.TtoM(z, t_vir, mu))
     return m_min / min_factor
+
+
+# ---------------------------------------------------------------------------
+# Halo-sampler tables (reference interp_tables.c:580-800)
+
+
+def nhalo_conditional(table, hmf_int, growthf, ln_mmin, ln_mcond, sigma_cond, delta):
+    """Expected number of halos per condition-mass (integral of the CMF),
+    vectorized over the condition arrays."""
+    if hmf_int not in (HMF_PS, HMF_ST, HMF_DELOS):
+        hmf_int = HMF_PS
+    out = integrate_cmf(table, hmf_int, growthf, ln_mmin, ln_mcond, delta, sigma_cond)
+    delta_crit = get_delta_crit(hmf_int, sigma_cond, growthf)
+    out = np.where(np.asarray(delta) > MAX_DELTAC_FRAC * delta_crit,
+                   np.exp(-np.asarray(ln_mcond)), out)
+    return np.maximum(out, 0.0)
+
+
+def mcoll_conditional(table, hmf_int, growthf, ln_mmin, ln_mcond, sigma_cond, delta):
+    """Collapsed mass fraction in [M_min, M_cond] per condition, vectorized."""
+    if hmf_int not in (HMF_PS, HMF_ST, HMF_DELOS):
+        hmf_int = HMF_PS
+    out = integrate_cmf(
+        table, hmf_int, growthf, ln_mmin, ln_mcond, delta, sigma_cond, weight_fn=np.exp
+    )
+    delta_crit = get_delta_crit(hmf_int, sigma_cond, growthf)
+    out = np.where(np.asarray(delta) > MAX_DELTAC_FRAC * delta_crit, 1.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def build_inverse_cmf_table(
+    table, hmf_int, growthf, ln_mmin, ln_mcond, sigma_cond, deltas,
+    n_prob=400, min_logprob=-12.0, n_mass=512,
+):
+    """ln M(delta, ln p) inverse cumulative conditional MF
+    (reference initialise_dNdM_inverse_table, interp_tables.c:667-800).
+
+    p = N(>M | condition) / N_total; rows are condition deltas; the ln p axis
+    is uniform on [min_logprob, 0].  `ln_mcond`/`sigma_cond` may be scalars
+    (grid cells) or arrays matched to `deltas` (progenitor conditions)."""
+    if hmf_int not in (HMF_PS, HMF_ST, HMF_DELOS):
+        hmf_int = HMF_PS
+    deltas = np.atleast_1d(np.asarray(deltas, dtype=np.float64))
+    n_cond = len(deltas)
+    ln_mcond = np.broadcast_to(np.asarray(ln_mcond, dtype=np.float64), (n_cond,))
+    sigma_cond = np.broadcast_to(np.asarray(sigma_cond, dtype=np.float64), (n_cond,))
+    ln_p_axis = np.linspace(min_logprob, 0.0, n_prob)
+
+    out = np.empty((n_cond, n_prob))
+    for i in range(n_cond):
+        lm = np.linspace(ln_mmin, ln_mcond[i], n_mass)
+        f = conditional_mf(table, hmf_int, growthf, lm, deltas[i], sigma_cond[i])
+        f = np.maximum(f, 0.0)
+        # cumulative from the TOP (N(>M)), trapezoid
+        dF = 0.5 * (f[1:] + f[:-1]) * np.diff(lm)
+        n_above = np.concatenate([np.cumsum(dF[::-1])[::-1], [0.0]])
+        total = n_above[0]
+        if total <= 0:
+            out[i] = ln_mmin
+            continue
+        p = n_above / total
+        # invert: ln M(ln p); p decreasing in M, clip away zeros for log
+        lp = np.log(np.maximum(p, 1e-300))
+        # make lp strictly decreasing for interp (reverse to increasing)
+        out[i] = np.interp(ln_p_axis, lp[::-1], lm[::-1])
+    return ln_p_axis, out

@@ -129,12 +129,17 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "use_recomb",
         "track_gamma",
         "last_filtered",
+        "lagrangian",
+        "use_exp_filter",
     ),
 )
 def _ionize_scan(
     delta,
     xe_box,
     rec_box,
+    stars_box,
+    wsfr_box,
+    mfp_meandens,
     r_values,
     sigma_r,
     table_dlo,
@@ -159,13 +164,22 @@ def _ionize_scan(
     use_recomb,
     track_gamma,
     last_filtered,
+    lagrangian,
+    use_exp_filter,
 ):
     """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
-    ordered largest R first (index 0 == largest)."""
+    ordered largest R first (index 0 == largest).
+
+    `lagrangian` selects the halo-model source path: fcoll comes from the
+    filtered n_ion grid (pre-normalized by 1/(rho_crit OMb)) with the
+    exponential-MFP filter (IonisationBox.c:615-621, 1054-1067)."""
     kmag = grids.kmag_grid(shape, box_lens)
     delta_adj = delta * photoncons_factor
     d_k = fft.rfft3(delta_adj)
     xe_k = fft.rfft3(xe_box) if use_ts else None
+    stars_k = fft.rfft3(stars_box) if lagrangian else None
+    wsfr_k = fft.rfft3(wsfr_box) if (lagrangian and track_gamma) else None
+    source_filter = filters.EXP_MFP if use_exp_filter else hii_filter
     n_r = r_values.shape[0]
 
     def step(carry, xs):
@@ -196,7 +210,23 @@ def _ionize_scan(
         else:
             xe_r = 0.0
 
-        if mass_dep:
+        if lagrangian:
+            # halo model: filtered ionizing-photon grid -> photons per baryon
+            # (no mean-fix: the sampled halos already realize the HMF)
+            stars_r = fft.irfft3(
+                filters.filter_kbox(stars_k, kmag, source_filter, r, mfp_meandens),
+                shape,
+            )
+            stars_r = jnp.maximum(stars_r, 0.0)
+            fcoll = stars_r / (1.0 + delta_r)
+            grid_mean = jnp.mean(fcoll)
+            if track_gamma:
+                sfr_r = fft.irfft3(
+                    filters.filter_kbox(wsfr_k, kmag, source_filter, r, mfp_meandens),
+                    shape,
+                )
+                sfr_r = jnp.maximum(sfr_r, 0.0)
+        elif mass_dep:
             # gather from the per-R Nion(delta) table; cap above the barrier
             t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
             t = jnp.clip(t, 0.0, N_DELTA_TABLE - 1.001)
@@ -213,11 +243,12 @@ def _ionize_scan(
             arg = (physconst.delta_c_sph - delta_r) / growth / (jnp.sqrt(2.0) * sigdiff)
             fcoll = jax.scipy.special.erfc(arg)
 
-        # mean fix: normalize the grid mean to the global unconditional value
-        grid_mean = jnp.maximum(jnp.mean(fcoll), f_limit)
-        fcoll = fcoll * (mean_fcoll_global / grid_mean)
-        if mass_dep:
-            fcoll = jnp.maximum(fcoll, f_limit)
+        if not lagrangian:
+            # mean fix: normalize the grid mean to the global unconditional value
+            grid_mean = jnp.maximum(jnp.mean(fcoll), f_limit)
+            fcoll = fcoll * (mean_fcoll_global / grid_mean)
+            if mass_dep:
+                fcoll = jnp.maximum(fcoll, f_limit)
 
         # recombinations per baryon in the cell (CELL_RECOMB: previous snapshot's
         # cumulative N_rec, unfiltered; IonisationBox.c:1084-1099)
@@ -229,7 +260,12 @@ def _ionize_scan(
         ionized = fcoll * ion_eff > (1.0 - xe_r) * (1.0 + rec)
         newly = ionized & (xh > FRACT_FLOAT_ERR)
         if track_gamma:
-            gamma = jnp.where(newly, r * gamma_prefactor * fcoll, gamma)
+            if lagrangian:
+                gamma = jnp.where(
+                    newly, r * gamma_prefactor / (1.0 + delta_r) * sfr_r, gamma
+                )
+            else:
+                gamma = jnp.where(newly, r * gamma_prefactor * fcoll, gamma)
             mfp = jnp.where(newly, r, mfp)
 
         xh = jnp.where(ionized, 0.0, xh)
@@ -298,12 +334,14 @@ def compute_ionization_field(
     hmf_int = hmf.HMF_NAMES[mo.HMF]
 
     mass_dep = mo.source_model_is_mass_dependent
-    lagrangian = mo.source_model_uses_lagrangian_grids
+    lagrangian = mo.source_model_uses_lagrangian_grids and halobox is not None
 
     if mass_dep:
-        ion_eff = sc.pop2_ion * sc.fstar_10 * sc.fesc_10
+        ion_eff_gl = sc.pop2_ion * sc.fstar_10 * sc.fesc_10
     else:
-        ion_eff = ap.HII_EFF_FACTOR
+        ion_eff_gl = ap.HII_EFF_FACTOR
+    # halo grids already carry fesc/pop factors per halo (set_ionbox_constants:172-178)
+    ion_eff = 1.0 if lagrangian else ion_eff_gl
 
     # --- global normalization (set_mean_fcoll, IonisationBox.c:468-529) -----
     if mass_dep:
@@ -334,7 +372,7 @@ def compute_ionization_field(
     )
 
     # --- early exit: nothing ionizes (IonisationBox.c:1472-1475) ------------
-    if mean_fcoll * ion_eff < HII_ROUND_ERR:
+    if mean_fcoll * ion_eff_gl < HII_ROUND_ERR:
         rec_hist = RecombinationHistory(cosmo)
         if spin_temp is not None:
             xh = 1.0 - spin_temp.xray_ionised_fraction
@@ -375,8 +413,23 @@ def compute_ionization_field(
         * ion_eff
         / 1.0e-12
     )
-    if mass_dep:
+    if not lagrangian and mass_dep:
         gamma_prefactor /= sc.t_h * sc.t_star
+    # Lagrangian: the 1/(rho_crit OMb) absorber factor is pre-applied to the
+    # grids below, so gamma_prefactor stays as-is (IonisationBox.c:215-218)
+
+    rho_b = cosmo.rho_mean * cosmo.OMb / cosmo.OMm  # Msun/Mpc^3
+    if lagrangian:
+        stars_box = halobox.n_ion / jnp.float32(rho_b)
+        wsfr_box = (
+            halobox.whalo_sfr / jnp.float32(rho_b)
+            if halobox.whalo_sfr is not None
+            else jnp.zeros(shape, jnp.float32)
+        )
+    else:
+        stars_box = jnp.zeros(shape, jnp.float32)
+        wsfr_box = jnp.zeros(shape, jnp.float32)
+    mfp_meandens = 25.483241248322766 / cosmo.hlittle  # Songaila+10 fit (const)
 
     use_recomb = ao.uses_recombination
     if use_recomb and previous_ionized_box is not None and (
@@ -392,6 +445,9 @@ def compute_ionization_field(
         perturbed_field.density,
         spin_temp.xray_ionised_fraction if spin_temp is not None else jnp.zeros(shape, jnp.float32),
         rec_box,
+        stars_box,
+        wsfr_box,
+        jnp.float32(mfp_meandens),
         jnp.asarray(ladder.R[order], jnp.float32),
         jnp.asarray(ladder.sigma_max[order], jnp.float32),
         jnp.asarray(d_lo[order], jnp.float32),
@@ -415,6 +471,8 @@ def compute_ionization_field(
         use_recomb=use_recomb,
         track_gamma=True,
         last_filtered=False,
+        lagrangian=lagrangian,
+        use_exp_filter=lagrangian and ao.USE_EXP_FILTER,
     )
 
     # --- cumulative recombination update (set_recombination_rates:1258-1342) ---
