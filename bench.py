@@ -43,8 +43,13 @@ def run_once(hii_dim: int, dim: int, z: float, seed: int) -> float:
 
 
 def main():
+    import gc
+    import traceback
+
     z = 8.0
-    for hii_dim, dim, base_s in ((256, 768, 2323.0), (192, 576, 1130.0), (128, 384, 440.0)):
+    # baselines: reference ICs time scales as DIM^3 from 80 min at DIM=1000,
+    # + ~150 s per snapshot at HII_DIM~250 (BASELINE.md)
+    for hii_dim, dim, base_s in ((256, 512, 780.0), (192, 384, 415.0), (128, 384, 440.0)):
         try:
             # warmup: trigger all compiles at the bench shape with another seed
             run_once(hii_dim, dim, z, seed=1)
@@ -61,7 +66,15 @@ def main():
             )
             return
         except Exception as e:  # noqa: BLE001 — OOM fallback to smaller box
-            print(f"bench at HII_DIM={hii_dim} failed: {e!r}", file=sys.stderr)
+            print(f"bench at HII_DIM={hii_dim} failed: {type(e).__name__}", file=sys.stderr)
+            # drop device buffers pinned by the exception's traceback frames
+            traceback.clear_frames(e.__traceback__)
+            del e
+            gc.collect()
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
     print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "s", "vs_baseline": 0}))
 
 

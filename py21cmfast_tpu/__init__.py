@@ -6,13 +6,19 @@ input structs, output boxes, single-field functions and the run_* drivers.
 
 __version__ = "0.1.0"
 
+from ._cfg import config
+from ._templates import create_params_from_template, list_templates
 from .drivers.coeval import Coeval, generate_coeval, run_coeval
+from .drivers.global_evolution import GlobalEvolution, run_global_evolution
+from .drivers.lightcone import LightCone, generate_lightcone, run_lightcone
 from .drivers.single_field import (
     brightness_temperature,
     compute_initial_conditions,
     compute_ionization_field,
     perturb_field,
 )
+from .io.caching import CacheConfig, OutputCache, RunCache
+from .lightconers import Lightconer, RectilinearLightconer
 from .inputs import (
     AstroOptions,
     AstroParams,
@@ -61,4 +67,18 @@ __all__ = [
     "run_coeval",
     "generate_coeval",
     "Coeval",
+    "run_lightcone",
+    "generate_lightcone",
+    "LightCone",
+    "run_global_evolution",
+    "GlobalEvolution",
+    # lightconers / io / config
+    "Lightconer",
+    "RectilinearLightconer",
+    "OutputCache",
+    "RunCache",
+    "CacheConfig",
+    "config",
+    "create_params_from_template",
+    "list_templates",
 ]

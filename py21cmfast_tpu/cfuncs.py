@@ -1,0 +1,170 @@
+"""Low-level evaluation API — the parity-test surface.
+
+Equivalent of reference wrapper/cfuncs.py:157-1259: direct access to the
+sigma/HMF/conditional-integral/sampler machinery without running full boxes.
+The reference uses these for its tier-2 tests (SURVEY.md §4); the same calls
+here hit the host-side table generators the jitted kernels consume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cosmology.constants import physconst
+from .inputs import InputParameters
+from .models import hmf
+from .models.ionization import _get_sigma_table
+
+__all__ = [
+    "evaluate_sigma",
+    "evaluate_condition_integrals",
+    "evaluate_SFRD_cond",
+    "evaluate_Nion_cond",
+    "evaluate_inverse_table",
+    "return_uhmf_value",
+    "return_chmf_value",
+    "compute_tau",
+    "sample_halos_from_conditions",
+]
+
+
+def evaluate_sigma(inputs: InputParameters, masses):
+    """sigma(M) and dsigma^2/dM at z=0 (reference evaluate_sigma:443)."""
+    t = _get_sigma_table(inputs)
+    ln_m = np.log(np.asarray(masses, dtype=np.float64))
+    return t.sigma_of_lnm(ln_m), t.dsigmasq_of_lnm(ln_m)
+
+
+def return_uhmf_value(inputs: InputParameters, redshift, masses):
+    """Unconditional dn/dlnM [Mpc^-3] (reference return_uhmf_value:1203)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    ln_m = np.log(np.asarray(masses, dtype=np.float64))
+    return hmf.unconditional_mf(t, cosmo, hmf_int, redshift, growth, ln_m) * cosmo.rho_mean
+
+
+def return_chmf_value(inputs: InputParameters, redshift, masses, cond_mass, delta):
+    """Conditional MF per condition mass (reference return_chmf_value:1227)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST, hmf.HMF_DELOS):
+        hmf_int = hmf.HMF_PS
+    ln_m = np.log(np.asarray(masses, dtype=np.float64))
+    sigma_cond = t.sigma_of_lnm(np.log(cond_mass))
+    return hmf.conditional_mf(t, hmf_int, growth, ln_m, delta, sigma_cond)
+
+
+def evaluate_condition_integrals(inputs: InputParameters, redshift, cond_masses, deltas):
+    """(N_halo, M_coll) per condition (reference evaluate_condition_integrals:512)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    m_min = inputs.simulation_options.SAMPLER_MIN_MASS
+    ln_mc = np.log(np.asarray(cond_masses, dtype=np.float64))
+    sig = t.sigma_of_lnm(ln_mc)
+    n = hmf.nhalo_conditional(t, hmf_int, growth, np.log(m_min), ln_mc, sig, deltas)
+    m = hmf.mcoll_conditional(t, hmf_int, growth, np.log(m_min), ln_mc, sig, deltas)
+    return n * np.exp(ln_mc), m * np.exp(ln_mc)
+
+
+def evaluate_SFRD_cond(inputs: InputParameters, redshift, cond_mass, deltas):
+    """Conditional SFRD integrand values (reference evaluate_SFRD_cond:782)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    sc = hmf.set_scaling_constants(redshift, inputs).without_esc()
+    m_min = hmf.minimum_source_mass(redshift, inputs, xray=True)
+    sig = float(t.sigma_of_lnm(np.log(cond_mass)))
+    return hmf.nion_conditional(
+        t, hmf_int, growth, np.log(m_min), float(np.log(cond_mass)), sig,
+        np.asarray(deltas), sc.mturn_a_nofb, sc,
+    )
+
+
+def evaluate_Nion_cond(inputs: InputParameters, redshift, cond_mass, deltas):
+    """Conditional Nion values (reference evaluate_Nion_cond:873)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    sc = hmf.set_scaling_constants(redshift, inputs)
+    m_min = hmf.minimum_source_mass(redshift, inputs)
+    sig = float(t.sigma_of_lnm(np.log(cond_mass)))
+    return hmf.nion_conditional(
+        t, hmf_int, growth, np.log(m_min), float(np.log(cond_mass)), sig,
+        np.asarray(deltas), sc.mturn_a_nofb, sc,
+    )
+
+
+def evaluate_inverse_table(inputs: InputParameters, redshift, cond_mass, deltas, probabilities):
+    """M(delta, p) from the inverse CMF table (reference evaluate_inverse_table:574)."""
+    t = _get_sigma_table(inputs)
+    growth = float(inputs.cosmology.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    so = inputs.simulation_options
+    sig = float(t.sigma_of_lnm(np.log(cond_mass)))
+    lnp_axis, inv = hmf.build_inverse_cmf_table(
+        t, hmf_int, growth, np.log(so.SAMPLER_MIN_MASS), float(np.log(cond_mass)),
+        sig, np.asarray(deltas), n_prob=so.N_PROB_INTERP, min_logprob=so.MIN_LOGPROB,
+    )
+    probs = np.clip(np.log(np.asarray(probabilities)), so.MIN_LOGPROB, 0.0)
+    out = np.array([np.interp(probs, lnp_axis, row) for row in inv])
+    return np.exp(out)
+
+
+def sample_halos_from_conditions(inputs: InputParameters, redshift, deltas, seed=1234):
+    """Draw halo samples for given cell overdensities; returns dict with masses
+    per condition (reference sample_halos_from_conditions:1053 /
+    single_test_sample, Stochasticity.c:1168)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.halos import sample_halo_grid
+
+    deltas = np.asarray(deltas, dtype=np.float64)
+    so = inputs.simulation_options
+    growth = float(inputs.cosmology.dicke(redshift))
+    # build a fake "grid" holding the conditions (lagrangian delta at z=0 norm)
+    n = len(deltas)
+    side = int(np.ceil(n ** (1 / 3)))
+    grid = np.zeros(side**3)
+    grid[:n] = deltas / growth
+    inputs_grid = inputs.evolve_input_structs(
+        HII_DIM=side, DIM=2 * side,
+        BOX_LEN=side * inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM,
+    )
+    masses, pos, total = sample_halo_grid(
+        redshift, inputs_grid, jnp.asarray(grid.reshape(side, side, side), jnp.float32),
+        key=jax.random.PRNGKey(seed),
+    )
+    m = np.asarray(masses)
+    return {"halo_masses": m[m > 0], "n_halos": int(total)}
+
+
+def compute_tau(inputs: InputParameters, redshifts, global_xHI, z_re_HeII: float = 3.0):
+    """Thomson scattering optical depth tau_e given a reionization history
+    (reference compute_tau:157): integrates n_e sigma_T along the LoS with
+    singly-ionized He tracking H and HeII reionization at z_re_HeII."""
+    cosmo = inputs.cosmology
+    redshifts = np.asarray(redshifts, dtype=np.float64)
+    global_xHI = np.asarray(global_xHI, dtype=np.float64)
+    order = np.argsort(redshifts)
+    redshifts, global_xHI = redshifts[order], global_xHI[order]
+
+    z_grid = np.linspace(0.0, max(redshifts.max(), z_re_HeII + 1), 3000)
+    xhi = np.interp(z_grid, redshifts, global_xHI, left=global_xHI[0], right=1.0)
+    xhi = np.where(z_grid > redshifts.max(), 1.0, xhi)
+    x_e = 1.0 - xhi
+
+    no = cosmo.rho_crit_cgs * cosmo.OMb * (1 - cosmo.Y_He) / physconst.m_p
+    fhe = (cosmo.Y_He / 4) / (1 - cosmo.Y_He)
+    # tau = int n_e(proper) sigma_T c |dt/dz| dz
+    n_e = no * (1 + z_grid) ** 3 * x_e * (1 + fhe * (1 + (z_grid < z_re_HeII)))
+    dldz = np.abs(physconst.c_cms * cosmo.dtdz(z_grid))  # proper path per dz
+    return float(np.trapezoid(n_e * physconst.sigma_T * dldz, z_grid))

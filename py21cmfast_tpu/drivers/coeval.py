@@ -82,6 +82,13 @@ def generate_coeval(
     if initial_conditions is None:
         initial_conditions = compute_initial_conditions(inputs)
 
+    # photon non-conservation setup (reference _setup_ics_and_pfs_for_scrolling)
+    photoncons_state = None
+    if ao.PHOTON_CONS_TYPE == "Z-PHOTONCONS":
+        from ..models.photoncons import setup_photon_cons
+
+        photoncons_state = setup_photon_cons(inputs)
+
     # --- halo evolution chain (reference evolve_halos, coeval.py:435):
     # discrete catalogs are sampled ascending in z — DexM + grid CHMF at the
     # lowest node, then progenitors of each catalog at the next-higher node.
@@ -145,6 +152,7 @@ def generate_coeval(
             spin_temp=ts,
             halobox=halobox,
             prev_redshift=prev_z,
+            photoncons_state=photoncons_state,
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
 

@@ -316,6 +316,7 @@ def compute_ionization_field(
     halobox: HaloBox | None = None,
     previous_perturbed_field: PerturbedField | None = None,
     prev_redshift: float | None = None,
+    photoncons_state=None,
 ) -> IonizedBox:
     so = inputs.simulation_options
     mo = inputs.matter_options
@@ -324,6 +325,16 @@ def compute_ionization_field(
     cosmo = inputs.cosmology
     shape = so.lowres_shape
     box_lens = so.box_lens
+
+    # photon non-conservation: shift the effective redshift and rescale the
+    # density field by the growth ratio (IonisationBox.c:1389-1407)
+    stored_redshift = redshift
+    photoncons_factor = 1.0
+    if photoncons_state is not None:
+        redshift = photoncons_state.adjusted_redshift(redshift)
+        photoncons_factor = float(
+            cosmo.dicke(redshift) / cosmo.dicke(stored_redshift)
+        )
 
     growth = float(cosmo.dicke(redshift))
     sc = hmf.set_scaling_constants(redshift, inputs)
@@ -379,7 +390,7 @@ def compute_ionization_field(
         else:
             xh = jnp.full(shape, 1.0 - float(rec_hist.x_e(redshift)), jnp.float32)
         return IonizedBox(
-            redshift=jnp.float32(redshift),
+            redshift=jnp.float32(stored_redshift),
             neutral_fraction=xh,
             z_reion=prev_z_reion,
             ionisation_rate_G12=jnp.zeros(shape, jnp.float32),
@@ -462,7 +473,7 @@ def compute_ionization_field(
         jnp.float32(growth),
         prev_z_reion,
         jnp.float32(redshift),
-        jnp.float32(1.0),
+        jnp.float32(photoncons_factor),
         shape=shape,
         box_lens=box_lens,
         hii_filter=ao.hii_filter_int,
@@ -511,7 +522,7 @@ def compute_ionization_field(
             cumulative_rec = rec_box + jnp.float32(d_nrec)
 
     return IonizedBox(
-        redshift=jnp.float32(redshift),
+        redshift=jnp.float32(stored_redshift),
         neutral_fraction=xh,
         z_reion=z_reion,
         ionisation_rate_G12=gamma,

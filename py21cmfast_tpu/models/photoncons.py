@@ -1,0 +1,154 @@
+"""Photon non-conservation correction.
+
+Equivalent of reference photoncons.c:75-822 + wrapper/photoncons.py:205-641.
+The excursion-set method destroys photons (overlapping bubbles); the z-variant
+correction measures the offset between the *analytic* filling factor Q(z)
+(photon-conserving ODE) and the excursion-set *calibration* run, and shifts the
+redshift fed to the ionization box by deltaz(xH) to compensate.
+
+Flow (PHOTON_CONS_TYPE='Z-PHOTONCONS'):
+  1. `analytic_Q_history`: dQ/dt = zeta dfcoll/dt - Q/t_rec   (InitialisePhotonCons)
+  2. `calibrate_photon_cons`: a constant-zeta excursion-set run records the
+     calibration xH(z) curve (calibrate_photon_cons, wrapper/photoncons.py:270)
+  3. `PhotonConsState.deltaz(xH)`: smoothed z_cal(xH) - z_analytic(xH)
+  4. the ionization driver asks `adjusted_redshift(z)` and scales densities by
+     D(z_adj)/D(z)  (adjust_redshifts_for_photoncons, photoncons.c:668-822)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..cosmology.constants import physconst
+from ..inputs import InputParameters
+from . import hmf
+
+__all__ = ["PhotonConsState", "setup_photon_cons", "analytic_Q_history"]
+
+_state_cache: dict = {}
+
+
+@dataclasses.dataclass
+class PhotonConsState:
+    z_analytic: np.ndarray  # descending z grid
+    Q_analytic: np.ndarray  # ionized filling factor
+    z_cal: np.ndarray
+    xh_cal: np.ndarray
+    deltaz_xh: np.ndarray  # xH grid for the deltaz spline
+    deltaz_vals: np.ndarray
+
+    def adjusted_redshift(self, z: float) -> float:
+        """z shifted by deltaz evaluated at the analytic xH(z)
+        (photoncons.c adjust_redshifts_for_photoncons)."""
+        xh_ana = 1.0 - np.interp(z, self.z_analytic[::-1], self.Q_analytic[::-1])
+        dz = np.interp(xh_ana, self.deltaz_xh, self.deltaz_vals)
+        return float(max(z - dz, 2.0))
+
+
+def analytic_Q_history(inputs: InputParameters, z_min=4.0, z_max=None, n=512):
+    """Photon-conserving global Q(z): dQ/dt = zeta dfcoll/dt - Q C alpha_B n_H
+    (InitialisePhotonCons, photoncons.c:75-293)."""
+    from .ionization import _get_sigma_table
+
+    cosmo = inputs.cosmology
+    ap = inputs.astro_params
+    sigma_table = _get_sigma_table(inputs)
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    z_max = z_max or inputs.simulation_options.Z_HEAT_MAX
+
+    zs = np.linspace(z_max, z_min, n)  # descending
+    ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
+
+    # effective <nion>(z): use the model's own source prescription
+    nion = np.empty(n)
+    for i, z in enumerate(zs):
+        sc = hmf.set_scaling_constants(float(z), inputs)
+        m_min = hmf.minimum_source_mass(float(z), inputs)
+        if inputs.matter_options.source_model_is_mass_dependent:
+            nion[i] = hmf.nion_general(
+                sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax,
+                sc.mturn_a_nofb, sc,
+            ) * sc.pop2_ion * sc.fstar_10 * sc.fesc_10
+        else:
+            nion[i] = (
+                hmf.fcoll_general(sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax)
+                * ap.HII_EFF_FACTOR
+            )
+
+    no_h = cosmo.rho_crit_cgs * cosmo.OMb * (1 - cosmo.Y_He) / physconst.m_p
+    alpha_b = physconst.alpha_B_10k  # 1e4 K case-B
+    Q = np.zeros(n)
+    for i in range(1, n):
+        z0, z1 = zs[i - 1], zs[i]
+        dz = z0 - z1  # positive
+        dt = abs(float(cosmo.dtdz(0.5 * (z0 + z1)))) * dz
+        dnion_dt = (nion[i] - nion[i - 1]) / dt
+        n_h = no_h * (1 + 0.5 * (z0 + z1)) ** 3
+        t_rec_inv = ap.CLUMPING_FACTOR * alpha_b * n_h
+        Q[i] = Q[i - 1] + dt * (max(dnion_dt, 0.0) - Q[i - 1] * t_rec_inv)
+        Q[i] = np.clip(Q[i], 0.0, 1.0)
+    return zs, Q
+
+
+def calibrate_photon_cons(inputs: InputParameters, hii_dim_cal: int = 32):
+    """Run the constant-zeta calibration simulation and record global xH(z)
+    (wrapper/photoncons.py calibrate_photon_cons:270).  The calibration box can
+    be smaller than the run box (global xH converges quickly with volume)."""
+    from ..drivers.coeval import generate_coeval
+
+    so = inputs.simulation_options
+    cal_inputs = inputs.evolve_input_structs(
+        SOURCE_MODEL="CONST-ION-EFF",
+        PHOTON_CONS_TYPE="NO-PHOTONCONS",
+        USE_TS_FLUCT=False,
+        RECOMB_MODEL="NONE",
+        M_MIN_in_Mass=True,
+        HII_DIM=min(hii_dim_cal, so.HII_DIM),
+        DIM=3 * min(hii_dim_cal, so.HII_DIM),
+        BOX_LEN=so.box_len * min(hii_dim_cal, so.HII_DIM) / so.HII_DIM,
+    )
+    if not cal_inputs.node_redshifts:
+        cal_inputs = cal_inputs.with_logspaced_redshifts(4.5)
+
+    zs, xh = [], []
+    for cv in generate_coeval(cal_inputs, out_redshifts=cal_inputs.node_redshifts):
+        zs.append(cv.redshift)
+        xh.append(float(np.mean(np.asarray(cv.neutral_fraction))))
+    return np.array(zs), np.array(xh)
+
+
+def setup_photon_cons(inputs: InputParameters) -> PhotonConsState | None:
+    """Build (and cache) the photon-conservation state for these inputs."""
+    if inputs.astro_options.PHOTON_CONS_TYPE != "Z-PHOTONCONS":
+        return None
+    key = inputs.full_hash
+    if key in _state_cache:
+        return _state_cache[key]
+
+    z_ana, q_ana = analytic_Q_history(inputs)
+    z_cal, xh_cal = calibrate_photon_cons(inputs)
+
+    # deltaz(xH): z where the calibration reaches xH minus z where the analytic does
+    xh_grid = np.linspace(0.02, 0.98, 49)
+    xh_ana = 1.0 - q_ana
+    # both curves: xh decreasing with decreasing z; build monotone interpolants
+    z_of_xh_ana = np.interp(xh_grid, xh_ana[::-1], z_ana[::-1])
+    order = np.argsort(xh_cal)
+    z_of_xh_cal = np.interp(xh_grid, xh_cal[order], z_cal[order])
+    deltaz = z_of_xh_cal - z_of_xh_ana
+    # smooth with a short moving average (reference smooths the curve too)
+    kernel = np.ones(7) / 7
+    deltaz_s = np.convolve(np.pad(deltaz, 3, mode="edge"), kernel, mode="valid")
+
+    state = PhotonConsState(
+        z_analytic=z_ana,
+        Q_analytic=q_ana,
+        z_cal=z_cal,
+        xh_cal=xh_cal,
+        deltaz_xh=xh_grid,
+        deltaz_vals=deltaz_s,
+    )
+    _state_cache[key] = state
+    return state

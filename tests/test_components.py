@@ -1,0 +1,160 @@
+"""Component tests: halo sampler statistics, recombinations, cfuncs surface,
+templates, luminosity function, management (the tier-2/3 coverage of
+SURVEY.md §4 for the newer subsystems)."""
+
+import numpy as np
+import pytest
+
+import py21cmfast_tpu as p21
+from py21cmfast_tpu import cfuncs
+from py21cmfast_tpu.models import hmf, recomb
+from py21cmfast_tpu.models.luminosity import compute_luminosity_function
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    return p21.InputParameters(random_seed=15).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=24.0
+    )
+
+
+# -------------------- hmf / cfuncs --------------------
+
+
+def test_uhmf_positive_and_declining(inputs):
+    m = np.logspace(8, 14, 10)
+    dn = cfuncs.return_uhmf_value(inputs, 8.0, m)
+    assert np.all(dn > 0)
+    assert np.all(np.diff(dn) < 0)
+
+
+def test_chmf_cutoff_at_condition(inputs):
+    """Conditional MF vanishes for M >= M_condition."""
+    out = cfuncs.return_chmf_value(inputs, 8.0, [1e9, 1e11, 1e12], 1e11, 0.5)
+    assert out[0] > 0
+    assert out[1] == 0.0  # sigma(M) == sigma_cond
+    assert out[2] == 0.0
+
+
+def test_condition_integrals_monotonic_in_delta(inputs):
+    deltas = np.array([-0.5, 0.0, 0.5, 1.0])
+    n, m = cfuncs.evaluate_condition_integrals(inputs, 8.0, [1e12] * 4, deltas)
+    assert np.all(np.diff(n) > 0)
+    assert np.all(np.diff(m) > 0)
+
+
+def test_inverse_table_roundtrip(inputs):
+    """M(p) must be the inverse of the cumulative N(>M)/N."""
+    out = cfuncs.evaluate_inverse_table(inputs, 8.0, 1e12, [0.0], [1.0, 1e-3])
+    m_at_p1 = out[0, 0]
+    m_rare = out[0, 1]
+    assert np.isclose(m_at_p1, inputs.simulation_options.SAMPLER_MIN_MASS, rtol=0.05)
+    assert m_rare > 10 * m_at_p1
+
+
+def test_sampled_mass_function_statistics(inputs):
+    """Sampled halos in overdense conditions follow the conditional MF shape
+    (role of reference test_halo_sampler.py)."""
+    res = cfuncs.sample_halos_from_conditions(
+        inputs.evolve_input_structs(SAMPLER_MIN_MASS=1e9, HII_DIM=8, DIM=16, BOX_LEN=24.0),
+        8.0,
+        np.full(256, 0.5),
+        seed=3,
+    )
+    m = res["halo_masses"]
+    assert len(m) > 100
+    assert m.min() >= 1e9 * 0.9
+    # number in adjacent octave bins should decline
+    n1 = np.sum((m > 1e9) & (m < 2e9))
+    n2 = np.sum((m > 4e9) & (m < 8e9))
+    assert n1 > n2
+
+
+def test_tau_e_planck_ballpark(inputs):
+    zs = np.linspace(5, 12, 30)
+    xhi = np.clip((zs - 6.5) / 2.0, 0, 1)
+    tau = cfuncs.compute_tau(inputs, zs, xhi)
+    assert 0.03 < tau < 0.08
+
+
+# -------------------- recombinations --------------------
+
+
+def test_recomb_rate_monotonic_in_gamma(inputs):
+    rt = recomb.get_recomb_tables(inputs.cosmology)
+    r1 = rt.evaluate(7.0, 0.1)[0]
+    r2 = rt.evaluate(7.0, 1.0)[0]
+    assert 0 < r1 < r2
+
+
+def test_gamma_ss_suppression():
+    """Self-shielding suppresses Gamma in dense gas."""
+    g_thin = recomb.gamma_ss(1.0, 0.1, 1.0, 7.0)
+    g_dense = recomb.gamma_ss(1.0, 100.0, 1.0, 7.0)
+    assert g_dense < g_thin
+
+
+def test_mhr_pdf_normalized():
+    z = 6.0
+    A = recomb.A_MHR(z)
+    ln_d = np.linspace(np.log(1e-8), np.log(1e8), 4000)
+    d = np.exp(ln_d)
+    integral = np.trapezoid(A * recomb._pdf_unnorm(d, z) * d, ln_d)
+    assert np.isclose(integral, 1.0, rtol=1e-3)
+
+
+# -------------------- templates / config / management --------------------
+
+
+def test_templates_resolve():
+    for entry in p21.list_templates():
+        inp = p21.create_params_from_template(entry["name"], random_seed=1)
+        assert inp.random_seed == 1
+
+
+def test_template_aliases_and_combination():
+    inp = p21.create_params_from_template("simple+size-tiny", random_seed=2)
+    assert inp.matter_options.SOURCE_MODEL == "E-INTEGRAL"
+    assert inp.simulation_options.HII_DIM == 32
+    inp2 = p21.create_params_from_template("munoz21", random_seed=2)
+    assert inp2.astro_options.USE_MINI_HALOS
+
+
+def test_management_sizes(inputs):
+    from py21cmfast_tpu import management
+
+    sizes = management.get_expected_sizes(inputs)
+    assert sizes["InitialConditions"] > sizes["PerturbedField"]
+    total = management.get_total_storage_size(inputs, n_redshifts=10)
+    assert total > 10 * sizes["PerturbedField"]
+
+
+# -------------------- luminosity function --------------------
+
+
+def test_luminosity_function_shape(inputs):
+    muv, mh, lf = compute_luminosity_function([6.0, 8.0], inputs, nbins=40)
+    assert muv.shape == (2, 40)
+    sel = (muv[0] > -24) & (muv[0] < -16)
+    # LF declines toward brighter magnitudes (more negative Muv)
+    bright = lf[0][muv[0] < -21]
+    faint = lf[0][(muv[0] > -18) & (muv[0] < -16)]
+    if len(bright) and len(faint):
+        assert np.nanmax(bright) < np.nanmax(faint)
+    # number densities in a plausible range at Muv ~ -20
+    at20 = lf[0][np.argmin(np.abs(muv[0] + 20))]
+    assert -8 < at20 < -1
+
+
+# -------------------- photon conservation --------------------
+
+
+def test_analytic_q_monotonic(inputs):
+    from py21cmfast_tpu.models.photoncons import analytic_Q_history
+
+    zs, q = analytic_Q_history(
+        inputs.evolve_input_structs(SOURCE_MODEL="E-INTEGRAL"), z_min=5.0
+    )
+    assert np.all(np.diff(q) >= -1e-10)  # Q grows towards low z
+    assert q[0] < 0.01
+    assert q[-1] > 0.5
