@@ -107,6 +107,7 @@ def generate_coeval(
     prev_ts = None
     prev_z = None
     ts_state = None
+    halobox_nodes = []  # (z, HaloBox) history for the XraySourceBox shells
 
     for z in all_z:
         pf = perturb_field(z, inputs, initial_conditions)
@@ -132,9 +133,14 @@ def generate_coeval(
 
         ts = None
         if ao.USE_TS_FLUCT:
-            # NOTE: with Lagrangian source models the reference feeds filtered
-            # halo-SFR shells (XraySourceBox) into Ts; this round approximates
-            # the Ts source with the conditional-SFRD-from-density path.
+            source_box = None
+            if halobox is not None:
+                from ..models.xray_source import compute_xray_source_field
+
+                halobox_nodes.append((z, halobox))
+                ts_started = ts_state is not None and z < inputs.simulation_options.Z_HEAT_MAX
+                if ts_started:
+                    source_box = compute_xray_source_field(z, inputs, halobox_nodes)
             ts, ts_state = spintemp_module.compute_spin_temperature(
                 z,
                 inputs,
@@ -142,6 +148,7 @@ def generate_coeval(
                 prev_state=ts_state,
                 prev_redshift=prev_z,
                 initial_conditions=initial_conditions,
+                source_box=source_box,
             )
 
         ion = compute_ionization_field(

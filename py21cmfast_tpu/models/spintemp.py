@@ -203,13 +203,17 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
 
 @partial(
     jax.jit,
-    static_argnames=("shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat"),
+    static_argnames=(
+        "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
+    ),
 )
 def _ts_kernel(
     density_pf,
     prev_ts,
     prev_tk,
     prev_xe,
+    sfr_shells,
+    xray_shells,
     # per-R stacked arrays (largest index = largest R; loop order irrelevant for sums)
     r_values,
     do_filter,
@@ -237,6 +241,7 @@ def _ts_kernel(
     heat_filter,
     use_xray_heat,
     use_cmb_heat,
+    lagrangian,
 ):
     kmag = grids.kmag_grid(shape, box_lens)
     d_k = fft.rfft3(density_pf * inv_growth_pf)
@@ -251,30 +256,36 @@ def _ts_kernel(
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
-         th, ti, tl, p_star) = xs
+         th, ti, tl, p_star, sfr_sh, xray_sh) = xs
 
-        delta0 = jax.lax.cond(
-            do_f,
-            lambda: fft.irfft3(filters.filter_kbox(d_k, kmag, heat_filter, r), shape),
-            lambda: fft.irfft3(d_k, shape),
-        )
-        delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
-        delta_zpp = delta0 * growth
+        if lagrangian:
+            # halo-model shells already filtered (XraySourceBox); units folded
+            # on host: sfr_term dimensionless, xray_sfr in table units
+            sfr_term = sfr_sh * zfac
+            xray_sfr = xray_sh * (zfac * xr_fac)
+        else:
+            delta0 = jax.lax.cond(
+                do_f,
+                lambda: fft.irfft3(filters.filter_kbox(d_k, kmag, heat_filter, r), shape),
+                lambda: fft.irfft3(d_k, shape),
+            )
+            delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
+            delta_zpp = delta0 * growth
 
-        # conditional SFRD via table gather
-        t = (delta_zpp - dlo) / (dhi - dlo) * (N_DELTA_SFRD - 1)
-        t = jnp.clip(t, 0.0, N_DELTA_SFRD - 1.001)
-        i0 = t.astype(jnp.int32)
-        frac = t - i0
-        fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
-        fcoll = jnp.where(delta_zpp >= dhi, cap, fcoll)
-        fcoll = jnp.maximum(fcoll, 1e-40)
+            # conditional SFRD via table gather
+            t = (delta_zpp - dlo) / (dhi - dlo) * (N_DELTA_SFRD - 1)
+            t = jnp.clip(t, 0.0, N_DELTA_SFRD - 1.001)
+            i0 = t.astype(jnp.int32)
+            frac = t - i0
+            fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
+            fcoll = jnp.where(delta_zpp >= dhi, cap, fcoll)
+            fcoll = jnp.maximum(fcoll, 1e-40)
 
-        ave_fcoll = jnp.maximum(jnp.mean(fcoll), 1e-40)
-        avg_fix = msfrd / ave_fcoll
-        sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
-        # L_X * s/yr and the unit conversions are folded into the tables (host)
-        xray_sfr = sfr_term * xr_fac
+            ave_fcoll = jnp.maximum(jnp.mean(fcoll), 1e-40)
+            avg_fix = msfrd / ave_fcoll
+            sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
+            # L_X * s/yr and the unit conversions are folded into the tables (host)
+            xray_sfr = sfr_term * xr_fac
 
         # frequency-integral gathers: th/ti/tl are (14,) vectors for this shell
         f_heat = th[xidx] + ival * (th[xidx + 1] - th[xidx])
@@ -296,6 +307,7 @@ def _ts_kernel(
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
             sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya,
+            sfr_shells, xray_shells,
         ),
     )
 
@@ -526,6 +538,8 @@ def compute_spin_temperature(
     if prev_redshift is None:
         prev_redshift = (1 + redshift) * so.ZPRIME_STEP_FACTOR - 1
 
+    lagrangian = source_box is not None
+
     # ---------------- host-side setup ----------------
     ladder = setup_z_edges(redshift, inputs)
     n_r = len(ladder.R)
@@ -583,15 +597,23 @@ def compute_spin_temperature(
         redshift, heating.X_INT_XHII, lower_limits, ap, cosmo.Y_He
     )
 
-    # conditional SFRD tables
-    d_lo, d_hi, sfrd_tables, sfrd_caps = _build_sfrd_tables(
-        inputs, ladder, sigma_table, sc_zp
-    )
-
-    # z-edge factors (ts_main:1566-1572, E-INTEGRAL branch)
-    z_edge_factor = np.abs(ladder.dzpp * ladder.dtdz) * np.asarray(
-        cosmo.hubble(ladder.zpp)
-    ) / ap.t_STAR
+    # conditional SFRD tables (density path only)
+    if lagrangian:
+        d_lo = np.zeros(n_r)
+        d_hi = np.ones(n_r)
+        sfrd_tables = np.zeros((n_r, N_DELTA_SFRD))
+        sfrd_caps = np.zeros(n_r)
+        mean_sfrd = np.zeros(n_r)
+        # Lagrangian shells carry SFR density directly (ts_main:1570-1572)
+        z_edge_factor = np.abs(ladder.dzpp * ladder.dtdz)
+    else:
+        d_lo, d_hi, sfrd_tables, sfrd_caps = _build_sfrd_tables(
+            inputs, ladder, sigma_table, sc_zp
+        )
+        # z-edge factors (ts_main:1566-1572, E-INTEGRAL branch)
+        z_edge_factor = np.abs(ladder.dzpp * ladder.dtdz) * np.asarray(
+            cosmo.hubble(ladder.zpp)
+        ) / ap.t_STAR
     xray_r_factor = (1 + ladder.zpp) ** (-ap.X_RAY_SPEC_INDEX)
 
     # ---------------- per-snapshot constants (set_zp_consts:1098-1183) -------
@@ -648,13 +670,25 @@ def compute_spin_temperature(
 
     # Fold unit conversions into the tables (f64 on host) so all device-side
     # scalars are float32-safe: the raw prefactors span ~1e-64..1e66.
-    xray_norm = xray_prefactor * volunit_inv
-    lya_norm = lya_star_prefactor * volunit_inv
-    lx_lin = ap.l_x * physconst.s_per_yr  # L_X * s/yr
-    tbl_heat = tbl_heat * (xray_norm * lx_lin)
-    tbl_ion = tbl_ion * (xray_norm * lx_lin)
-    tbl_lya = tbl_lya * (xray_norm * lx_lin * nb_zp)  # (1+delta) applied on device
-    starlya_pref = starlya_pref * lya_norm
+    if lagrangian:
+        # halo grids are Msun/s/Mpc^3 (SFR) and 1e38 erg/s/Mpc^3 (X-ray);
+        # the emissivity-to-per-baryon conversion is 1/cm_per_Mpc^3
+        # (set_zp_consts:1171-1175)
+        volunit_inv = physconst.cm_per_Mpc**-3
+        xray_norm = xray_prefactor * volunit_inv * 1e38
+        lya_norm = lya_star_prefactor * volunit_inv
+        tbl_heat = tbl_heat * xray_norm
+        tbl_ion = tbl_ion * xray_norm
+        tbl_lya = tbl_lya * (xray_norm * nb_zp)
+        starlya_pref = starlya_pref * lya_norm
+    else:
+        xray_norm = xray_prefactor * volunit_inv
+        lya_norm = lya_star_prefactor * volunit_inv
+        lx_lin = ap.l_x * physconst.s_per_yr  # L_X * s/yr
+        tbl_heat = tbl_heat * (xray_norm * lx_lin)
+        tbl_ion = tbl_ion * (xray_norm * lx_lin)
+        tbl_lya = tbl_lya * (xray_norm * lx_lin * nb_zp)  # (1+delta) applied on device
+        starlya_pref = starlya_pref * lya_norm
 
     consts = tuple(
         jnp.float32(v)
@@ -674,11 +708,20 @@ def compute_spin_temperature(
     cell_R = physconst.l_factor * so.box_len / so.HII_DIM
     do_filter = ladder.R > cell_R
 
+    if lagrangian:
+        sfr_shells = source_box.filtered_sfr
+        xray_shells = source_box.filtered_xray
+    else:
+        sfr_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+        xray_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+
     ts, tk, x_e, j_lya = _ts_kernel(
         perturbed_field.density,
         prev_state.spin_temperature,
         prev_state.kinetic_temp_neutral,
         prev_state.xray_ionised_fraction,
+        sfr_shells,
+        xray_shells,
         jnp.asarray(ladder.R, jnp.float32),
         jnp.asarray(do_filter),
         jnp.asarray(ladder.growth, jnp.float32),
@@ -702,6 +745,7 @@ def compute_spin_temperature(
         heat_filter=ao.heat_filter_int,
         use_xray_heat=ao.USE_X_RAY_HEATING,
         use_cmb_heat=ao.USE_CMB_HEATING,
+        lagrangian=lagrangian,
     )
 
     box = TsBox(
