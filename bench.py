@@ -22,6 +22,15 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run_once(hii_dim: int, dim: int, z: float, seed: int) -> float:
     import jax
 
@@ -46,6 +55,7 @@ def main():
     import gc
     import traceback
 
+    _enable_compile_cache()
     z = 8.0
     # baselines: reference ICs time scales as DIM^3 from 80 min at DIM=1000,
     # + ~150 s per snapshot at HII_DIM~250 (BASELINE.md)

@@ -83,14 +83,28 @@ def _filtered_sample(d_k, *, hi_shape, box_lens, out_shape, do_filter):
     return x
 
 
-@partial(
-    jax.jit, static_argnames=("hi_shape", "box_lens", "axis", "out_shape", "do_filter")
-)
-def _gradient_field(d_k, *, hi_shape, box_lens, axis, out_shape, do_filter):
-    """psi_axis = irfftn(d_k i k/k^2), optionally filtered+subsampled."""
+def _kvec_grid(axis_idx, hi_shape, box_lens):
+    """Full k_i grid selected by a *traced* axis index — keeps one compiled
+    program for all axes (XLA-TPU FFT programs are expensive to compile)."""
     kx, ky, kz = grids.k_axes(hi_shape, box_lens)
+    zero = jnp.zeros(
+        (hi_shape[0], hi_shape[1], hi_shape[2] // 2 + 1), jnp.float32
+    )
+    return jax.lax.switch(
+        axis_idx,
+        (
+            lambda: zero + kx[:, None, None],
+            lambda: zero + ky[None, :, None],
+            lambda: zero + kz[None, None, :],
+        ),
+    )
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "out_shape", "do_filter"))
+def _gradient_field_idx(d_k, axis_idx, *, hi_shape, box_lens, out_shape, do_filter):
+    """psi_axis = irfftn(d_k i k/k^2), optionally filtered+subsampled."""
     ksq = grids.ksq_grid(hi_shape, box_lens)
-    kvec = (kx[:, None, None], ky[None, :, None], kz[None, None, :])[axis]
+    kvec = _kvec_grid(axis_idx, hi_shape, box_lens)
     ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
     g_k = jnp.where(ksq > 0, d_k * (1j * kvec / ksq_safe), 0.0)
     if do_filter:
@@ -103,15 +117,28 @@ def _gradient_field(d_k, *, hi_shape, box_lens, axis, out_shape, do_filter):
     return x
 
 
-@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "ax_i", "ax_j"))
-def _phi_ij(d_k, *, hi_shape, box_lens, ax_i, ax_j):
+def _gradient_field(d_k, *, hi_shape, box_lens, axis, out_shape, do_filter):
+    return _gradient_field_idx(
+        d_k, jnp.int32(axis), hi_shape=hi_shape, box_lens=box_lens,
+        out_shape=out_shape, do_filter=do_filter,
+    )
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens"))
+def _phi_ij_idx(d_k, ax_i, ax_j, *, hi_shape, box_lens):
     """phi_ij = irfftn(-d_k k_i k_j / k^2) (2LPT potential second derivative)."""
-    kx, ky, kz = grids.k_axes(hi_shape, box_lens)
-    axes = (kx[:, None, None], ky[None, :, None], kz[None, None, :])
     ksq = grids.ksq_grid(hi_shape, box_lens)
+    kv_i = _kvec_grid(ax_i, hi_shape, box_lens)
+    kv_j = _kvec_grid(ax_j, hi_shape, box_lens)
     ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
-    g_k = jnp.where(ksq > 0, -d_k * (axes[ax_i] * axes[ax_j] / ksq_safe), 0.0)
+    g_k = jnp.where(ksq > 0, -d_k * (kv_i * kv_j / ksq_safe), 0.0)
     return fft.irfft3(g_k, hi_shape)
+
+
+def _phi_ij(d_k, *, hi_shape, box_lens, ax_i, ax_j):
+    return _phi_ij_idx(
+        d_k, jnp.int32(ax_i), jnp.int32(ax_j), hi_shape=hi_shape, box_lens=box_lens
+    )
 
 
 @jax.jit
