@@ -182,49 +182,51 @@ def _ionize_scan(
     source_filter = filters.EXP_MFP if use_exp_filter else hii_filter
     n_r = r_values.shape[0]
 
+    # The filtered fields are independent of the scan carry: precompute them as
+    # ONE batched inverse FFT per grid (much better TPU pipelining than a c2r
+    # per scan step).  Memory: n_r * N^3 * 4 B per grid — acceptable below
+    # HII_DIM ~ 384; revisit with a MINIMIZE_MEMORY scan variant beyond that.
+    def _batch_filtered(k_box, ftype, r_param=0.0):
+        def one(r):
+            return fft.irfft3(filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape)
+
+        return jax.vmap(one)(r_values)
+
+    delta_stack = _batch_filtered(d_k, hii_filter)
+    if not last_filtered:
+        delta_stack = delta_stack.at[n_r - 1].set(delta_adj)
+    xe_stack = _batch_filtered(xe_k, hii_filter) if use_ts else None
+    if use_ts and not last_filtered:
+        xe_stack = xe_stack.at[n_r - 1].set(xe_box)
+    stars_stack = (
+        _batch_filtered(stars_k, source_filter, mfp_meandens) if lagrangian else None
+    )
+    wsfr_stack = (
+        _batch_filtered(wsfr_k, source_filter, mfp_meandens)
+        if (lagrangian and track_gamma)
+        else None
+    )
+
     def step(carry, xs):
         xh, gamma, mfp = carry
-        (r, sig_r, d_lo, d_hi, table, cap, idx) = xs
+        if lagrangian and track_gamma:
+            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r, sfr_r) = xs
+        elif lagrangian:
+            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r) = xs
+        else:
+            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r) = xs
         is_last = idx == n_r - 1
 
-        if last_filtered:
-            delta_r = fft.irfft3(
-                filters.filter_kbox(d_k, kmag, hii_filter, r), shape
-            )
-        else:
-            # smallest R uses the unfiltered field (IonisationBox.c:1048-1052)
-            delta_r = jax.lax.cond(
-                is_last,
-                lambda: delta_adj,
-                lambda: fft.irfft3(filters.filter_kbox(d_k, kmag, hii_filter, r), shape),
-            )
         delta_r = jnp.maximum(delta_r, -1.0 + FRACT_FLOAT_ERR)
-
-        if use_ts:
-            xe_r = jax.lax.cond(
-                is_last & (not last_filtered),
-                lambda: xe_box,
-                lambda: fft.irfft3(filters.filter_kbox(xe_k, kmag, hii_filter, r), shape),
-            )
-            xe_r = jnp.clip(xe_r, 0.0, 0.999)
-        else:
-            xe_r = 0.0
+        xe_r = jnp.clip(xe_r, 0.0, 0.999) if use_ts else 0.0
 
         if lagrangian:
             # halo model: filtered ionizing-photon grid -> photons per baryon
             # (no mean-fix: the sampled halos already realize the HMF)
-            stars_r = fft.irfft3(
-                filters.filter_kbox(stars_k, kmag, source_filter, r, mfp_meandens),
-                shape,
-            )
             stars_r = jnp.maximum(stars_r, 0.0)
             fcoll = stars_r / (1.0 + delta_r)
             grid_mean = jnp.mean(fcoll)
             if track_gamma:
-                sfr_r = fft.irfft3(
-                    filters.filter_kbox(wsfr_k, kmag, source_filter, r, mfp_meandens),
-                    shape,
-                )
                 sfr_r = jnp.maximum(sfr_r, 0.0)
         elif mass_dep:
             # gather from the per-R Nion(delta) table; cap above the barrier
@@ -284,19 +286,22 @@ def _ionize_scan(
     xh0 = jnp.ones_like(delta)
     gamma0 = jnp.zeros_like(delta)
     mfp0 = jnp.zeros_like(delta)
-    (xh, gamma, mfp), grid_means = jax.lax.scan(
-        step,
-        (xh0, gamma0, mfp0),
-        (
-            r_values,
-            sigma_r,
-            table_dlo,
-            table_dhi,
-            fcoll_tables,
-            fcoll_caps,
-            jnp.arange(n_r),
-        ),
-    )
+    xs = [
+        r_values,
+        sigma_r,
+        table_dlo,
+        table_dhi,
+        fcoll_tables,
+        fcoll_caps,
+        jnp.arange(n_r),
+        delta_stack,
+        xe_stack if use_ts else jnp.zeros((n_r, 1, 1, 1), jnp.float32),
+    ]
+    if lagrangian:
+        xs.append(stars_stack)
+        if track_gamma:
+            xs.append(wsfr_stack)
+    (xh, gamma, mfp), grid_means = jax.lax.scan(step, (xh0, gamma0, mfp0), tuple(xs))
 
     ionized_final = xh < TINY
     z_reion = jnp.where(
