@@ -253,10 +253,25 @@ def _ts_kernel(
     xidx = jnp.clip(jnp.searchsorted(xhii_grid, xe_call) - 1, 0, 12)
     ival = (xe_call - xhii_grid[xidx]) / (xhii_grid[xidx + 1] - xhii_grid[xidx])
 
+    # hoist the carry-independent filtered-density shells out of the scan as
+    # one batched inverse FFT (same trick as the ionization scan)
+    if not lagrangian:
+        def _one_shell(r, do_f):
+            filt = jax.lax.cond(
+                do_f,
+                lambda: filters.filter_kbox(d_k, kmag, heat_filter, r),
+                lambda: d_k,
+            )
+            return fft.irfft3(filt, shape)
+
+        delta_shells = jax.vmap(_one_shell)(r_values, do_filter)
+    else:
+        delta_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
+
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
-         th, ti, tl, p_star, sfr_sh, xray_sh) = xs
+         th, ti, tl, p_star, sfr_sh, xray_sh, delta0) = xs
 
         if lagrangian:
             # halo-model shells already filtered (XraySourceBox); units folded
@@ -264,11 +279,6 @@ def _ts_kernel(
             sfr_term = sfr_sh * zfac
             xray_sfr = xray_sh * (zfac * xr_fac)
         else:
-            delta0 = jax.lax.cond(
-                do_f,
-                lambda: fft.irfft3(filters.filter_kbox(d_k, kmag, heat_filter, r), shape),
-                lambda: fft.irfft3(d_k, shape),
-            )
             delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
             delta_zpp = delta0 * growth
 
@@ -307,7 +317,7 @@ def _ts_kernel(
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
             sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya,
-            sfr_shells, xray_shells,
+            sfr_shells, xray_shells, delta_shells,
         ),
     )
 
