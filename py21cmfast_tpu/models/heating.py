@@ -349,7 +349,9 @@ class StellarSpectra:
         (used for the LW band, flag=2 branch)."""
         N0 = self.N0_2 if population == 2 else self.N0_3
         alpha = self.alpha2 if population == 2 else self.alpha3
-        i = n_interval - 1  # interval index for [nu_n, nu_n+1]
+        i = n_interval - 2  # table rows start at n=2; interval is [nu_n, nu_{n+1}]
+        if i < 0 or i >= len(self.nu_edges) - 1:
+            return 1e-40
         res = N0[i] / (alpha[i] + 1) * (
             self.nu_edges[i + 1] ** (alpha[i] + 1) - nu_lo ** (alpha[i] + 1)
         )

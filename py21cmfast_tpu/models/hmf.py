@@ -163,7 +163,11 @@ def set_scaling_constants(z: float, inputs, flag_options_esc=True) -> ScalingCon
         acg_thresh=acg_thresh,
         mturn_a_nofb=mturn_a,
         mturn_m_nofb=mturn_m,
-        vcb_const=0.0,
+        vcb_const=(
+            inputs.astro_params.V_CB_AVG_DEBUG
+            if inputs.matter_options.V_CB_MODEL in ("AVG-DEBUG", "AVG-AUTO")
+            else 0.0
+        ),
         Mlim_Fstar=mass_limit_where_scaling_hits_unity(ap.ALPHA_STAR, ap.fstar_10),
         Mlim_Fesc=mass_limit_where_scaling_hits_unity(ap.ALPHA_ESC, ap.fesc_10),
         Mlim_Fstar_mini=mass_limit_where_scaling_hits_unity(
@@ -617,3 +621,19 @@ def build_inverse_cmf_table(
         # make lp strictly decreasing for interp (reverse to increasing)
         out[i] = np.interp(ln_p_axis, lp[::-1], lm[::-1])
     return ln_p_axis, out
+
+
+def build_nion_mturn_tables(
+    table, hmf_int, growthf, ln_mmin, ln_mcond, sigma_cond, deltas, log10_mturns,
+    sc: ScalingConstants, mini: bool = False,
+):
+    """2D conditional-Nion table over (log10 Mturn, delta) for one condition
+    mass (reference initialise_Nion_Conditional_spline with minihalos,
+    interp_tables.c:291-579).  Returns array (n_mturn, n_delta)."""
+    out = np.empty((len(log10_mturns), len(deltas)))
+    for i, l10m in enumerate(log10_mturns):
+        out[i] = nion_conditional(
+            table, hmf_int, growthf, ln_mmin, ln_mcond, sigma_cond, deltas,
+            10.0**l10m, sc, mini=mini,
+        )
+    return out

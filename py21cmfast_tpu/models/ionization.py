@@ -33,6 +33,7 @@ __all__ = ["compute_ionization_field", "setup_radii"]
 
 HII_ROUND_ERR = 1e-5
 N_DELTA_TABLE = 400
+N_MTURN_TABLE = 24
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +132,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "last_filtered",
         "lagrangian",
         "use_exp_filter",
+        "use_minihalos",
     ),
 )
 def _ionize_scan(
@@ -140,6 +142,15 @@ def _ionize_scan(
     stars_box,
     wsfr_box,
     mfp_meandens,
+    mturn_a_box,
+    mturn_m_box,
+    fcoll_tables_mini,
+    fcoll_caps_mini,
+    mt_bounds,
+    mean_fcoll_mini,
+    f_limit_mini,
+    ion_eff_mini,
+    gamma_prefactor_mini,
     r_values,
     sigma_r,
     table_dlo,
@@ -166,6 +177,7 @@ def _ionize_scan(
     last_filtered,
     lagrangian,
     use_exp_filter,
+    use_minihalos,
 ):
     """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
     ordered largest R first (index 0 == largest).
@@ -198,6 +210,14 @@ def _ionize_scan(
     xe_stack = _batch_filtered(xe_k, hii_filter) if use_ts else None
     if use_ts and not last_filtered:
         xe_stack = xe_stack.at[n_r - 1].set(xe_box)
+    if use_minihalos:
+        mta_k = fft.rfft3(mturn_a_box)
+        mtm_k = fft.rfft3(mturn_m_box)
+        mta_stack = _batch_filtered(mta_k, hii_filter)
+        mtm_stack = _batch_filtered(mtm_k, hii_filter)
+        if not last_filtered:
+            mta_stack = mta_stack.at[n_r - 1].set(mturn_a_box)
+            mtm_stack = mtm_stack.at[n_r - 1].set(mturn_m_box)
     stars_stack = (
         _batch_filtered(stars_k, source_filter, mfp_meandens) if lagrangian else None
     )
@@ -213,6 +233,9 @@ def _ionize_scan(
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r, sfr_r) = xs
         elif lagrangian:
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r) = xs
+        elif use_minihalos:
+            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
+             table_mini, cap_mini, mta_r, mtm_r) = xs
         else:
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r) = xs
         is_last = idx == n_r - 1
@@ -228,6 +251,33 @@ def _ionize_scan(
             grid_mean = jnp.mean(fcoll)
             if track_gamma:
                 sfr_r = jnp.maximum(sfr_r, 0.0)
+        elif use_minihalos:
+            # 2D (log10 Mturn, delta) bilinear gathers for ACG and MCG
+            mt_lo, mt_hi = mt_bounds[0], mt_bounds[1]
+            t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
+            t = jnp.clip(t, 0.0, N_DELTA_TABLE - 1.001)
+            i0 = t.astype(jnp.int32)
+            fd = t - i0
+
+            def gather2d(tab, mt_r):
+                tm = (jnp.clip(mt_r, mt_lo, mt_hi) - mt_lo) / (mt_hi - mt_lo)
+                tm = jnp.clip(tm * (N_MTURN_TABLE - 1), 0.0, N_MTURN_TABLE - 1.001)
+                j0 = tm.astype(jnp.int32)
+                fm = tm - j0
+                v00 = tab[j0, i0]
+                v01 = tab[j0, i0 + 1]
+                v10 = tab[j0 + 1, i0]
+                v11 = tab[j0 + 1, i0 + 1]
+                return (v00 * (1 - fd) + v01 * fd) * (1 - fm) + (
+                    v10 * (1 - fd) + v11 * fd
+                ) * fm
+
+            fcoll = gather2d(table, mta_r)
+            fcoll = jnp.where(delta_r >= d_hi, cap, fcoll)
+            fcoll = jnp.clip(fcoll, 1e-40, 1.0)
+            fcoll_mini = gather2d(table_mini, mtm_r)
+            fcoll_mini = jnp.where(delta_r >= d_hi, cap_mini, fcoll_mini)
+            fcoll_mini = jnp.clip(fcoll_mini, 1e-40, 1.0)
         elif mass_dep:
             # gather from the per-R Nion(delta) table; cap above the barrier
             t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
@@ -251,6 +301,13 @@ def _ionize_scan(
             fcoll = fcoll * (mean_fcoll_global / grid_mean)
             if mass_dep:
                 fcoll = jnp.maximum(fcoll, f_limit)
+        if use_minihalos:
+            grid_mean_mini = jnp.maximum(jnp.mean(fcoll_mini), f_limit_mini)
+            fcoll_mini = jnp.maximum(
+                fcoll_mini * (mean_fcoll_mini / grid_mean_mini), f_limit_mini
+            )
+        else:
+            fcoll_mini = 0.0
 
         # recombinations per baryon in the cell (CELL_RECOMB: previous snapshot's
         # cumulative N_rec, unfiltered; IonisationBox.c:1084-1099)
@@ -259,7 +316,9 @@ def _ionize_scan(
         else:
             rec = 0.0
 
-        ionized = fcoll * ion_eff > (1.0 - xe_r) * (1.0 + rec)
+        ionized = fcoll * ion_eff + fcoll_mini * ion_eff_mini > (1.0 - xe_r) * (
+            1.0 + rec
+        )
         newly = ionized & (xh > FRACT_FLOAT_ERR)
         if track_gamma:
             if lagrangian:
@@ -267,14 +326,18 @@ def _ionize_scan(
                     newly, r * gamma_prefactor / (1.0 + delta_r) * sfr_r, gamma
                 )
             else:
-                gamma = jnp.where(newly, r * gamma_prefactor * fcoll, gamma)
+                gamma = jnp.where(
+                    newly,
+                    r * (gamma_prefactor * fcoll + gamma_prefactor_mini * fcoll_mini),
+                    gamma,
+                )
             mfp = jnp.where(newly, r, mfp)
 
         xh = jnp.where(ionized, 0.0, xh)
 
         # partial ionization on the last (smallest) step (IonisationBox.c:1161-1196)
         def partial_ion(xh):
-            res = 1.0 - fcoll * ion_eff - xe_r
+            res = 1.0 - fcoll * ion_eff - fcoll_mini * ion_eff_mini - xe_r
             res = jnp.clip(res, 0.0, 1.0)
             return jnp.where((~ionized) & (xh > TINY), res, xh)
 
@@ -301,6 +364,8 @@ def _ionize_scan(
         xs.append(stars_stack)
         if track_gamma:
             xs.append(wsfr_stack)
+    elif use_minihalos:
+        xs.extend([fcoll_tables_mini, fcoll_caps_mini, mta_stack, mtm_stack])
     (xh, gamma, mfp), grid_means = jax.lax.scan(step, (xh0, gamma0, mfp0), tuple(xs))
 
     ionized_final = xh < TINY
@@ -405,11 +470,70 @@ def compute_ionization_field(
             log10_Mturnover_MINI_ave=jnp.float32(0.0),
         )
 
+    # --- minihalo turnover-mass grids + 2D tables (calculate_mcrit_boxes:403) ---
+    use_minihalos = ao.USE_MINI_HALOS and mass_dep and not lagrangian
+    mturn_a_box = jnp.zeros(shape, jnp.float32)
+    mturn_m_box = jnp.zeros(shape, jnp.float32)
+    tables_mini = np.zeros((1, 1, 1))
+    caps_mini = np.zeros(1)
+    mt_bounds = np.array([0.0, 1.0])
+    mean_fcoll_mini = 0.0
+    f_limit_mini = 0.0
+    ion_eff_mini = sc.pop3_ion * sc.fstar_7 * sc.fesc_7
+    if use_minihalos:
+        j21 = (
+            spin_temp.J_21_LW
+            if (spin_temp is not None and spin_temp.J_21_LW is not None)
+            else jnp.zeros(shape, jnp.float32)
+        )
+        prev_g12 = (
+            previous_ionized_box.ionisation_rate_G12
+            if previous_ionized_box is not None
+            else jnp.zeros(shape, jnp.float32)
+        )
+        prev_zre = prev_z_reion
+        mturn_a_box, mturn_m_box = _mcrit_kernel(
+            prev_g12, prev_zre, j21,
+            jnp.float32(redshift),
+            jnp.float32(sc.mturn_a_nofb),
+            jnp.float32(sc.mturn_m_nofb),
+            jnp.float32(sc.vcb_const),
+            jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
+            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
+        )
+        log10_mturn_ave = float(jnp.mean(mturn_a_box))
+        log10_mturn_m_ave = float(jnp.mean(mturn_m_box))
+        mt_bounds = np.array([5.0, 10.0])  # LOG10_MTURN range (IonisationBox.c:34)
+
+        # re-derive global normalizations at the average turnovers
+        mean_fcoll = float(
+            hmf.nion_general(sigma_table, cosmo, hmf_int, redshift, ln_m_min, ln_m_max,
+                             10.0 ** log10_mturn_ave, sc)
+        )
+        f_limit = float(
+            hmf.nion_general(sigma_table, cosmo, hmf_int, so.Z_HEAT_MAX, ln_m_min,
+                             ln_m_max, 10.0 ** log10_mturn_ave, sc)
+        )
+        mean_fcoll_mini = float(
+            hmf.nion_general_mini(sigma_table, cosmo, hmf_int, redshift, ln_m_min,
+                                  ln_m_max, 10.0 ** log10_mturn_m_ave, sc)
+        )
+        f_limit_mini = float(
+            hmf.nion_general_mini(sigma_table, cosmo, hmf_int, so.Z_HEAT_MAX, ln_m_min,
+                                  ln_m_max, 10.0 ** log10_mturn_m_ave, sc)
+        )
+
+
     ladder = setup_radii(inputs, m_min)
     n_r = ladder.n
 
     # --- per-R tables (mass-dep only) ---------------------------------------
-    if mass_dep and not lagrangian:
+    if use_minihalos:
+        d_lo, d_hi, tables, caps, tables_mini, caps_mini = _build_nion_tables_mini(
+            inputs, ladder, sigma_table, growth, m_min, sc,
+            np.linspace(mt_bounds[0], mt_bounds[1], N_MTURN_TABLE),
+        )
+    elif mass_dep and not lagrangian:
         d_lo, d_hi, tables, caps = _build_nion_tables(
             inputs, ladder, sigma_table, growth, m_min, sc
         )
@@ -433,6 +557,7 @@ def compute_ionization_field(
         gamma_prefactor /= sc.t_h * sc.t_star
     # Lagrangian: the 1/(rho_crit OMb) absorber factor is pre-applied to the
     # grids below, so gamma_prefactor stays as-is (IonisationBox.c:215-218)
+    gamma_prefactor_mini = gamma_prefactor * (ion_eff_mini / max(ion_eff_gl, 1e-30))
 
     rho_b = cosmo.rho_mean * cosmo.OMb / cosmo.OMm  # Msun/Mpc^3
     if lagrangian:
@@ -464,6 +589,15 @@ def compute_ionization_field(
         stars_box,
         wsfr_box,
         jnp.float32(mfp_meandens),
+        mturn_a_box,
+        mturn_m_box,
+        jnp.asarray(tables_mini[order] if use_minihalos else np.zeros((n_r, 2, 2)), jnp.float32),
+        jnp.asarray(caps_mini[order] if use_minihalos else np.zeros(n_r), jnp.float32),
+        jnp.asarray(mt_bounds, jnp.float32),
+        jnp.float32(mean_fcoll_mini),
+        jnp.float32(f_limit_mini),
+        jnp.float32(ion_eff_mini),
+        jnp.float32(gamma_prefactor_mini),
         jnp.asarray(ladder.R[order], jnp.float32),
         jnp.asarray(ladder.sigma_max[order], jnp.float32),
         jnp.asarray(d_lo[order], jnp.float32),
@@ -489,6 +623,7 @@ def compute_ionization_field(
         last_filtered=False,
         lagrangian=lagrangian,
         use_exp_filter=lagrangian and ao.USE_EXP_FILTER,
+        use_minihalos=use_minihalos,
     )
 
     # --- cumulative recombination update (set_recombination_rates:1258-1342) ---
@@ -568,3 +703,62 @@ def _get_sigma_table(inputs: InputParameters):
             m_min=1e2, m_max=1e20, n=600
         )
     return _sigma_table_cache[key]
+
+
+@jax.jit
+def _mcrit_kernel(prev_g12, prev_zre, j21, redshift, mturn_a_nofb, mturn_m_nofb,
+                  vcb_const, a_lw, beta_lw, a_vcb, beta_vcb):
+    """Per-cell feedback turnover masses (calculate_mcrit_boxes:403-460 +
+    thermochem.c reionization_feedback / lyman_werner_threshold)."""
+    # Sobacchi & Mesinger 2013 reionization feedback
+    zfrac = jnp.clip(1.0 - ((1.0 + redshift) / (1.0 + prev_zre)) ** 2.0, 0.0, None)
+    mcrit_re = 3e9 * (2.0 * jnp.maximum(prev_g12, 1e-20)) ** 0.17 * (
+        (1.0 + redshift) / 10.0
+    ) ** -2.1 * zfrac ** 2.5
+    mcrit_re = jnp.where(prev_zre <= 1e-19, 1e-40, mcrit_re)
+
+    # Lyman-Werner + streaming-velocity feedback (Visbal+15 / Schauer+20 form)
+    mcrit_nolw = 3.314e7 * (1.0 + redshift) ** -1.5
+    f_lw = 1.0 + a_lw * jnp.maximum(j21, 0.0) ** beta_lw
+    sigmavcb = 25.86 * jnp.sqrt(3.0 * jnp.pi / 8.0)
+    f_vcb = (1.0 + a_vcb * vcb_const / sigmavcb) ** beta_vcb
+    mcrit_lw = mcrit_nolw * f_lw * f_vcb
+
+    mt_a = jnp.log10(jnp.maximum(mcrit_re, mturn_a_nofb))
+    mt_m = jnp.log10(jnp.maximum(mcrit_re, jnp.maximum(mcrit_lw, mturn_m_nofb)))
+    return mt_a, mt_m
+
+
+def _build_nion_tables_mini(inputs, ladder, sigma_table, growth, m_min, sc, l10_mturns):
+    """3D (R, Mturn, delta) conditional Nion tables for ACG + MCG."""
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    ln_m_min = np.log(m_min)
+    n_r = ladder.n
+    n_mt = len(l10_mturns)
+    d_lo = np.full(n_r, -1.0 + 1e-6)
+    d_hi = np.empty(n_r)
+    tables = np.empty((n_r, n_mt, N_DELTA_TABLE))
+    tables_mini = np.empty((n_r, n_mt, N_DELTA_TABLE))
+    eff_hmf = hmf_int if hmf_int in (hmf.HMF_PS, hmf.HMF_ST, hmf.HMF_DELOS) else hmf.HMF_PS
+    for i in range(n_r):
+        sig = ladder.sigma_max[i]
+        dcrit = float(hmf.get_delta_crit(eff_hmf, sig, growth))
+        d_hi[i] = dcrit * hmf.MAX_DELTAC_FRAC
+        deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_TABLE)
+        ln_mc = float(np.log(ladder.M_max[i]))
+        tables[i] = hmf.build_nion_mturn_tables(
+            sigma_table, hmf_int, growth, ln_m_min, ln_mc, sig, deltas, l10_mturns, sc
+        )
+        tables_mini[i] = hmf.build_nion_mturn_tables(
+            sigma_table, hmf_int, growth, ln_m_min, ln_mc, sig, deltas, l10_mturns,
+            sc, mini=True,
+        )
+    caps = np.array(
+        [hmf.nion_weight(np.array([np.log(m)]), sc, sc.mturn_a_nofb)[0] / m
+         for m in ladder.M_max]
+    )
+    caps_mini = np.array(
+        [hmf.nion_weight_mini(np.array([np.log(m)]), sc, sc.mturn_m_nofb)[0] / m
+         for m in ladder.M_max]
+    )
+    return d_lo, d_hi, tables, caps, tables_mini, caps_mini

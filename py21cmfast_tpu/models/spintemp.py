@@ -107,13 +107,19 @@ def setup_z_edges(zp: float, inputs: InputParameters) -> ShellLadder:
 def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
     """Lyman-n recycling sums per shell (calculate_spectral_factors:364-499).
 
-    Returns (starlya, cont, inj) prefactor arrays of shape (n_R,)."""
+    Returns a dict with per-shell prefactor arrays: starlya/cont/inj (Pop II),
+    starlya_mini (Pop III), lw and lw_mini (Lyman-Werner bands)."""
     ap = inputs.astro_params
+    ao = inputs.astro_options
     spectra = heating.StellarSpectra(ap.POP2_ION, ap.POP3_ION)
     n_r = len(ladder.R)
     starlya = np.zeros(n_r)
     cont = np.zeros(n_r)
     inj = np.zeros(n_r)
+    starlya_mini = np.zeros(n_r)
+    lw = np.zeros(n_r)
+    lw_mini = np.zeros(n_r)
+    nu_lw_norm = 2.70331197e15 / 3.288465e15  # nu_LW_thresh / nu_ion_HI
 
     sum_prev = ly2_prev = lynto2_prev = 0.0
     first_radii, first_zero = True, True
@@ -121,16 +127,29 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
     for i in range(n_r):
         zpp = ladder.zpp[i]
         sum_ly2 = sum_lynto2 = 0.0
+        sum_mini = sum_lw = sum_lw_mini = 0.0
         # n=2 (continuum photons that redshift into Lya)
         if zpp < heating.zmax_lyn(zp, 2):
             nuprime = heating.nu_n(2) * (1 + zpp) / (1 + zp)
             sum_ly2 = heating.frecycle(2) * spectra.emissivity(nuprime, 2)
+            if ao.USE_MINI_HALOS:
+                sum_mini += heating.frecycle(2) * spectra.emissivity(nuprime, 3)
+                nu_lw = max(nuprime, nu_lw_norm)
+                if nu_lw < heating.nu_n(3):
+                    sum_lw += (1 - ap.F_H2_SHIELD) * spectra.emissivity_band_integral(nu_lw, 2, 2)
+                    sum_lw_mini += (1 - ap.F_H2_SHIELD) * spectra.emissivity_band_integral(nu_lw, 2, 3)
         # n>=3 (injected at line centre after cascade)
         for n in range(heating.NSPEC_MAX, 2, -1):
             if zpp > heating.zmax_lyn(zp, n):
                 continue
             nuprime = heating.nu_n(n) * (1 + zpp) / (1 + zp)
             sum_lynto2 += heating.frecycle(n) * spectra.emissivity(nuprime, 2)
+            if ao.USE_MINI_HALOS:
+                sum_mini += heating.frecycle(n) * spectra.emissivity(nuprime, 3)
+                nu_lw = max(nuprime, nu_lw_norm)
+                if nu_lw < heating.nu_n(n + 1):
+                    sum_lw += (1 - ap.F_H2_SHIELD) * spectra.emissivity_band_integral(nu_lw, n, 2)
+                    sum_lw_mini += (1 - ap.F_H2_SHIELD) * spectra.emissivity_band_integral(nu_lw, n, 3)
         sum_lyn = sum_ly2 + sum_lynto2
 
         # partial-shell edge correction (reference :439-463)
@@ -155,10 +174,14 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
         starlya[i] = zpp_integrand * sum_lyn
         cont[i] = zpp_integrand * sum_ly2
         inj[i] = zpp_integrand * sum_lynto2
+        starlya_mini[i] = zpp_integrand * sum_mini
+        lw[i] = zpp_integrand * sum_lw
+        lw_mini[i] = zpp_integrand * sum_lw_mini
 
         sum_prev, ly2_prev, lynto2_prev = sum_lyn, sum_ly2, sum_lynto2
         prev_zpp = zpp
-    return starlya, cont, inj
+    return {"starlya": starlya, "cont": cont, "inj": inj,
+            "starlya_mini": starlya_mini, "lw": lw, "lw_mini": lw_mini}
 
 
 def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
@@ -205,6 +228,7 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
     jax.jit,
     static_argnames=(
         "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
+        "use_minihalos",
     ),
 )
 def _ts_kernel(
@@ -229,9 +253,16 @@ def _ts_kernel(
     tbl_ion,
     tbl_lya,
     pref_starlya,
+    sfrd_tables_mini,
+    mean_sfrd_mini,
+    pref_starlya_mini,
+    pref_lw,
+    pref_lw_mini,
     # scalars
     inv_growth_pf,
     fstar10,
+    fstar7,
+    lx_ratio,
     # cell-ODE constants
     consts,
     kappa_knots,
@@ -242,6 +273,7 @@ def _ts_kernel(
     use_xray_heat,
     use_cmb_heat,
     lagrangian,
+    use_minihalos,
 ):
     kmag = grids.kmag_grid(shape, box_lens)
     d_k = fft.rfft3(density_pf * inv_growth_pf)
@@ -269,9 +301,10 @@ def _ts_kernel(
         delta_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
 
     def shell_step(carry, xs):
-        dxheat, dxion, dxlya, dstarlya = carry
+        dxheat, dxion, dxlya, dstarlya, dstarlw = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
-         th, ti, tl, p_star, sfr_sh, xray_sh, delta0) = xs
+         th, ti, tl, p_star, sfr_sh, xray_sh, delta0,
+         table_mini, msfrd_mini, p_star_mini, p_lw, p_lw_mini) = xs
 
         if lagrangian:
             # halo-model shells already filtered (XraySourceBox); units folded
@@ -295,7 +328,18 @@ def _ts_kernel(
             avg_fix = msfrd / ave_fcoll
             sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
             # L_X * s/yr and the unit conversions are folded into the tables (host)
-            xray_sfr = sfr_term * xr_fac
+            if use_minihalos:
+                fcoll_mini = table_mini[i0] * (1 - frac) + table_mini[i0 + 1] * frac
+                fcoll_mini = jnp.maximum(fcoll_mini, 1e-40)
+                ave_mini = jnp.maximum(jnp.mean(fcoll_mini), 1e-40)
+                sfr_term_mini = (
+                    (1.0 + delta_zpp) * fcoll_mini
+                    * (zfac * (msfrd_mini / ave_mini) * fstar7)
+                )
+                xray_sfr = (sfr_term + sfr_term_mini * lx_ratio) * xr_fac
+            else:
+                sfr_term_mini = 0.0
+                xray_sfr = sfr_term * xr_fac
 
         # frequency-integral gathers: th/ti/tl are (14,) vectors for this shell
         f_heat = th[xidx] + ival * (th[xidx + 1] - th[xidx])
@@ -307,17 +351,21 @@ def _ts_kernel(
         dxion = dxion + xray_sfr * f_ion
         dxlya = dxlya + xray_sfr * f_lya
         dstarlya = dstarlya + sfr_term * p_star
-        return (dxheat, dxion, dxlya, dstarlya), None
+        if use_minihalos:
+            dstarlya = dstarlya + sfr_term_mini * p_star_mini
+            dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
+        return (dxheat, dxion, dxlya, dstarlya, dstarlw), None
 
     zero = jnp.zeros(shape, jnp.float32)
-    (dxheat, dxion, dxlya, dstarlya), _ = jax.lax.scan(
+    (dxheat, dxion, dxlya, dstarlya, dstarlw), _ = jax.lax.scan(
         shell_step,
-        (zero, zero, zero, zero),
+        (zero, zero, zero, zero, zero),
         (
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
             sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya,
             sfr_shells, xray_shells, delta_shells,
+            sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini, pref_lw, pref_lw_mini,
         ),
     )
 
@@ -467,7 +515,7 @@ def _ts_kernel(
     ts = jnp.where(j_alpha > 1e-20, ts_wf, ts_coll)
     ts = jnp.abs(ts)
 
-    return ts, tk, x_e, j_alpha
+    return ts, tk, x_e, j_alpha, dstarlw
 
 
 # ---------------------------------------------------------------------------
@@ -558,7 +606,11 @@ def compute_spin_temperature(
     sc_sfrd = sc_zp.without_esc()
     hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
 
-    starlya_pref, cont_pref, inj_pref = spectral_prefactors(redshift, ladder, inputs)
+    spec = spectral_prefactors(redshift, ladder, inputs)
+    starlya_pref = spec["starlya"]
+    starlya_mini_pref = spec["starlya_mini"]
+    lw_pref = spec["lw"]
+    lw_mini_pref = spec["lw_mini"]
 
     # global Nion(z) for the tau_X filling factor + mean SFRD per shell
     z_grid = np.linspace(redshift * 0.999, ladder.zpp[-1] * 1.001, 128)
@@ -625,6 +677,35 @@ def compute_spin_temperature(
             cosmo.hubble(ladder.zpp)
         ) / ap.t_STAR
     xray_r_factor = (1 + ladder.zpp) ** (-ap.X_RAY_SPEC_INDEX)
+
+    # minihalo (MCG) SFRD: shell-average LW turnover approximation — the
+    # filtered-Mturn-grid version (reference fill_Rbox_table of log10 Mcrit)
+    # lands with the full 2D tables next round
+    use_minihalos = ao.USE_MINI_HALOS and not lagrangian
+    sfrd_tables_mini = np.zeros((n_r, N_DELTA_SFRD))
+    mean_sfrd_mini = np.zeros(n_r)
+    if use_minihalos:
+        j21_avg = float(jnp.mean(prev_state.J_21_LW)) if prev_state.J_21_LW is not None else 0.0
+        for i in range(n_r):
+            zpp = float(ladder.zpp[i])
+            sc_pp = hmf.set_scaling_constants(zpp, inputs).without_esc()
+            mturn_m = float(
+                hmf.lyman_werner_threshold(zpp, j21_avg, sc_pp.vcb_const, ap)
+            )
+            mturn_m = max(mturn_m, sc_pp.mturn_m_nofb)
+            sigma_cond = float(sigma_table.sigma_of_lnm(np.log(ladder.m_max[i])))
+            deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_SFRD)
+            sfrd_tables_mini[i] = hmf.nion_conditional(
+                sigma_table, hmf.HMF_NAMES[inputs.matter_options.HMF],
+                ladder.growth[i], float(np.log(ladder.m_min[i])),
+                float(np.log(ladder.m_max[i])), sigma_cond, deltas,
+                mturn_m, sc_pp, mini=True,
+            )
+            mean_sfrd_mini[i] = hmf.nion_general_mini(
+                sigma_table, cosmo, hmf.HMF_NAMES[inputs.matter_options.HMF],
+                zpp, float(np.log(ladder.m_min[i])), np.log(hmf.M_MAX_INTEGRAL),
+                mturn_m, sc_pp,
+            )
 
     # ---------------- per-snapshot constants (set_zp_consts:1098-1183) -------
     zp = redshift
@@ -725,7 +806,7 @@ def compute_spin_temperature(
         sfr_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
         xray_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
 
-    ts, tk, x_e, j_lya = _ts_kernel(
+    ts, tk, x_e, j_lya, j_lw = _ts_kernel(
         perturbed_field.density,
         prev_state.spin_temperature,
         prev_state.kinetic_temp_neutral,
@@ -746,8 +827,15 @@ def compute_spin_temperature(
         jnp.asarray(tbl_ion, jnp.float32),
         jnp.asarray(tbl_lya, jnp.float32),
         jnp.asarray(starlya_pref, jnp.float32),
+        jnp.asarray(sfrd_tables_mini, jnp.float32),
+        jnp.asarray(mean_sfrd_mini, jnp.float32),
+        jnp.asarray(starlya_mini_pref * lya_norm, jnp.float32),
+        jnp.asarray(lw_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
+        jnp.asarray(lw_mini_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
         jnp.float32(inv_growth_pf),
         jnp.float32(sc_zp.fstar_10),
+        jnp.float32(sc_zp.fstar_7),
+        jnp.float32(ap.l_x_mini / max(ap.l_x, 1e-30)),
         consts,
         kappa_knots,
         shape=shape,
@@ -756,6 +844,7 @@ def compute_spin_temperature(
         use_xray_heat=ao.USE_X_RAY_HEATING,
         use_cmb_heat=ao.USE_CMB_HEATING,
         lagrangian=lagrangian,
+        use_minihalos=use_minihalos,
     )
 
     box = TsBox(
@@ -763,7 +852,7 @@ def compute_spin_temperature(
         spin_temperature=ts,
         xray_ionised_fraction=x_e,
         kinetic_temp_neutral=tk,
-        J_21_LW=jnp.zeros(shape, jnp.float32),
+        J_21_LW=j_lw,  # LW prefactors folded on host; zeros without minihalos
         J_Lya=j_lya,
     )
     return box, box
