@@ -667,9 +667,11 @@ def compute_ionization_field(
         z_reion=z_reion,
         ionisation_rate_G12=gamma,
         mean_f_coll=jnp.float32(mean_fcoll),
-        mean_f_coll_MINI=jnp.float32(0.0),
+        mean_f_coll_MINI=jnp.float32(mean_fcoll_mini),
         log10_Mturnover_ave=jnp.float32(log10_mturn_ave),
-        log10_Mturnover_MINI_ave=jnp.float32(0.0),
+        log10_Mturnover_MINI_ave=jnp.float32(
+            log10_mturn_m_ave if use_minihalos else 0.0
+        ),
         mean_free_path=mfp,
         cumulative_recombinations=cumulative_rec,
     )

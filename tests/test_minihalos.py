@@ -1,0 +1,75 @@
+"""Minihalo (MCG) path locks + global evolution driver."""
+
+import numpy as np
+import pytest
+
+import py21cmfast_tpu as p21
+from py21cmfast_tpu.models import hmf
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    return p21.create_params_from_template("minihalos", random_seed=3).evolve_input_structs(
+        HII_DIM=10, DIM=20, BOX_LEN=15.0, ZPRIME_STEP_FACTOR=1.35, Z_HEAT_MAX=20.0,
+        N_STEP_TS=15,
+    ).with_logspaced_redshifts(8.5, 20.0)
+
+
+def test_minihalo_coeval_chain(inputs):
+    """Full minihalo chain: Mturn grids, MCG Nion, LW output."""
+    outs = list(inputs.node_redshifts[::4])
+    if inputs.node_redshifts[-1] not in outs:
+        outs.append(inputs.node_redshifts[-1])
+    coevals = list(p21.generate_coeval(inputs, out_redshifts=outs))
+    xh = [float(np.asarray(c.neutral_fraction).mean()) for c in coevals]
+    assert xh[-1] < xh[0]  # reionization proceeds
+    last = coevals[-1]
+    # minihalos lower the effective turnover below the default M_TURN=1e8.7:
+    # the ACG average equals the atomic-cooling threshold here (M_TURN=1e5)
+    mt = float(last.ionized_box.log10_Mturnover_ave)
+    sc = hmf.set_scaling_constants(last.redshift, inputs)
+    assert abs(mt - np.log10(sc.acg_thresh)) < 0.5
+    # J_21_LW populated and nonnegative
+    jlw = np.asarray(last.spin_temp.J_21_LW)
+    assert np.all(jlw >= 0)
+    assert jlw.max() > 0
+
+
+def test_lyman_werner_threshold_scalings(inputs):
+    ap = inputs.astro_params
+    m0 = hmf.lyman_werner_threshold(15.0, 0.0, 0.0, ap)
+    m_lw = hmf.lyman_werner_threshold(15.0, 10.0, 0.0, ap)
+    m_v = hmf.lyman_werner_threshold(15.0, 0.0, 30.0, ap)
+    assert m_lw > m0  # LW background raises the threshold
+    assert m_v > m0  # streaming velocities raise the threshold
+    # z scaling ~ (1+z)^-1.5
+    assert np.isclose(
+        hmf.lyman_werner_threshold(7.0, 0, 0, ap) / m0, (8.0 / 16.0) ** -1.5, rtol=1e-6
+    )
+
+
+def test_nion_mini_suppressed_above_acg(inputs):
+    """MCG Nion integral must be strongly suppressed vs ACG (upper exp cutoff)."""
+    from py21cmfast_tpu.models.ionization import _get_sigma_table
+
+    st = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    sc = hmf.set_scaling_constants(10.0, inputs)
+    n_acg = hmf.nion_general(st, cosmo, 1, 10.0, np.log(1e5), np.log(1e16),
+                             sc.mturn_a_nofb, sc)
+    n_mcg = hmf.nion_general_mini(st, cosmo, 1, 10.0, np.log(1e5), np.log(1e16),
+                                  sc.mturn_m_nofb, sc)
+    assert n_mcg > 0
+    assert n_mcg < n_acg * 10  # same order or below at these parameters
+
+
+def test_global_evolution_driver():
+    inputs = p21.InputParameters(random_seed=12).evolve_input_structs(
+        SOURCE_MODEL="E-INTEGRAL", ZPRIME_STEP_FACTOR=1.4, Z_HEAT_MAX=20.0,
+    ).with_logspaced_redshifts(7.0, 20.0)
+    ge = p21.run_global_evolution(inputs)
+    assert np.all(np.diff(ge.neutral_fraction[::-1]) >= -1e-6) or (
+        ge.neutral_fraction[-1] <= ge.neutral_fraction[0]
+    )
+    assert ge.neutral_fraction[-1] < ge.neutral_fraction[0]
+    assert np.all(np.isfinite(ge.brightness_temp))
