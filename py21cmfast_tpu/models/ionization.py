@@ -202,7 +202,9 @@ def _ionize_scan(
         def one(r):
             return fft.irfft3(filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape)
 
-        return jax.vmap(one)(r_values)
+        # lax.map (sequential) rather than vmap: a single batched 3D FFT
+        # program compiles pathologically slowly on TPU; runtime is equal.
+        return jax.lax.map(one, r_values)
 
     delta_stack = _batch_filtered(d_k, hii_filter)
     if not last_filtered:

@@ -296,7 +296,7 @@ def _ts_kernel(
             )
             return fft.irfft3(filt, shape)
 
-        delta_shells = jax.vmap(_one_shell)(r_values, do_filter)
+        delta_shells = jax.lax.map(lambda rd: _one_shell(*rd), (r_values, do_filter))
     else:
         delta_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
 
