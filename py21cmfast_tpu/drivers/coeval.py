@@ -123,6 +123,7 @@ def generate_coeval(
             halobox = halobox_module.compute_halo_grid(
                 z, inputs, pt_halos,
                 previous_spin_temp=prev_ts, previous_ionized_box=prev_ion,
+                lagrangian_delta=initial_conditions.lowres_density,
             )
         elif mo.SOURCE_MODEL == "L-INTEGRAL":
             from ..models import halobox as halobox_module

@@ -8,8 +8,9 @@ X-rays).
 
 Round-1 scope notes:
  * The sub-resolution source contribution (set_fixed_grids:297-436, halos
-   below SAMPLER_MIN_MASS) is omitted: with default parameters the exp(-Mturn/M)
-   cutoff at M < 1e8 Msun makes it negligible; minihalo runs will need it.
+   below SAMPLER_MIN_MASS) is included via `compute_fixed_halo_grid(...,
+   m_max=SAMPLER_MIN_MASS)` but conditioned at Lagrangian cell positions
+   (not velocity-displaced as in move_grid_galprops).
  * Mean-fixing to the global HMF (mean_fix_grids:207-244) applies only to
    HMFs without a conditional form (Watson/Reed/Yung) — not yet wired.
 """
@@ -106,8 +107,18 @@ def compute_halo_grid(
     pt_halos: PerturbedHaloCatalog,
     previous_spin_temp=None,
     previous_ionized_box=None,
+    lagrangian_delta=None,
 ) -> HaloBox:
-    """Grid the halo catalog into source fields (reference ComputeHaloBox:563)."""
+    """Grid the halo catalog into source fields (reference ComputeHaloBox:563).
+
+    When `lagrangian_delta` (the lowres IC density) is given, the expectation
+    of sources below SAMPLER_MIN_MASS is added from the deterministic
+    conditional integrals (reference HaloBox.c:626-640 sub-resolution
+    component) — without it, high-z SFR/X-ray output is truncated at the
+    sampler's mass floor.  Round-1 approximation: the sub-grid component is
+    conditioned on (and placed at) the Lagrangian cell, not displaced with the
+    velocity field (reference move_grid_galprops); this preserves means and
+    large-scale power but softens small-scale source-density cross power."""
     so = inputs.simulation_options
     sc = hmf.set_scaling_constants(redshift, inputs)
     ao = inputs.astro_options
@@ -144,7 +155,7 @@ def compute_halo_grid(
         shape=shape,
     )
     inv_vol = jnp.float32(1.0 / cell_vol)
-    return HaloBox(
+    box = HaloBox(
         redshift=jnp.float32(redshift),
         n_ion=n_ion_g * inv_vol,
         halo_sfr=sfr_g * inv_vol,
@@ -155,6 +166,22 @@ def compute_halo_grid(
         log10_Mcrit_ACG_ave=jnp.float32(np.log10(sc.mturn_a_nofb)),
         log10_Mcrit_MCG_ave=jnp.float32(0.0),
     )
+    if lagrangian_delta is not None:
+        sub = compute_fixed_halo_grid(
+            redshift, inputs, lagrangian_delta, m_max=so.SAMPLER_MIN_MASS
+        )
+        if sub is not None:
+            import dataclasses
+
+            box = dataclasses.replace(
+                box,
+                n_ion=box.n_ion + sub.n_ion,
+                halo_sfr=box.halo_sfr + sub.halo_sfr,
+                whalo_sfr=box.whalo_sfr + sub.whalo_sfr,
+                halo_xray=box.halo_xray + sub.halo_xray,
+                halo_stars=box.halo_stars + sub.halo_stars,
+            )
+    return box
 
 
 def halo_properties(redshift, inputs, catalog):
@@ -182,10 +209,19 @@ def compute_fixed_halo_grid(
     redshift: float,
     inputs: InputParameters,
     lagrangian_delta,  # lowres IC density (z=0 normalization)
-) -> HaloBox:
-    """Deterministic (expectation-value) source grids for SOURCE_MODEL='L-INTEGRAL'
-    (reference set_fixed_grids:297-436 over the full mass range): per-cell
-    conditional Nion/SFR integrals evaluated via a delta-table gather."""
+    m_max: float | None = None,
+) -> HaloBox | None:
+    """Deterministic (expectation-value) source grids
+    (reference set_fixed_grids:297-436): per-cell conditional Nion/SFR
+    integrals evaluated via a delta-table gather.
+
+    Used two ways, as in the reference (HaloBox.c:624-640):
+     * SOURCE_MODEL='L-INTEGRAL': full mass range (m_max=None).
+     * sub-resolution component of the halo-sampler source model:
+       m_max=SAMPLER_MIN_MASS restricts the integral to halos too small for
+       the stochastic sampler; the result is *added* to the sampled deposit.
+
+    Returns None when the mass range is empty (m_max <= minimum source mass)."""
     import jax
 
     so = inputs.simulation_options
@@ -202,6 +238,9 @@ def compute_fixed_halo_grid(
     m_cell = cosmo.rho_mean * cell_len**3
     m_min = hmf.minimum_source_mass(redshift, inputs)
     ln_mmin, ln_mcell = np.log(m_min), np.log(m_cell)
+    ln_hi = ln_mcell if m_max is None else min(np.log(m_max), ln_mcell)
+    if ln_mmin >= ln_hi:
+        return None
     sigma_cell = float(sigma_table.sigma_of_lnm(ln_mcell))
     eff_hmf = hmf_int if hmf_int in (0, 1, 4) else 0
     dcrit = float(hmf.get_delta_crit(eff_hmf, sigma_cell, growth))
@@ -210,11 +249,11 @@ def compute_fixed_halo_grid(
 
     nion_tab = hmf.nion_conditional(
         sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas,
-        sc.mturn_a_nofb, sc,
+        sc.mturn_a_nofb, sc, ln_hi=ln_hi,
     )
     sfrd_tab = hmf.nion_conditional(
         sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas,
-        sc_sfrd.mturn_a_nofb, sc_sfrd,
+        sc_sfrd.mturn_a_nofb, sc_sfrd, ln_hi=ln_hi,
     )
 
     prefactor_nion = cosmo.rho_crit * cosmo.OMb * sc.fstar_10 * sc.fesc_10 * sc.pop2_ion

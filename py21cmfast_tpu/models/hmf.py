@@ -16,7 +16,7 @@ import dataclasses
 
 import numpy as np
 
-from ..cosmology.constants import physconst
+from ..cosmology.constants import FRACT_FLOAT_ERR, physconst
 from ..cosmology.power import Cosmology, SigmaTable
 
 # Sheth-Tormen parameters (Jenkins+01 variant used by the reference, hmf.c:46-60)
@@ -507,23 +507,35 @@ def integrate_cmf(table, hmf, growthf, ln_lo, ln_hi, delta, sigma_cond, weight_f
 
 def nion_conditional(
     table, hmf, growthf, ln_lo, ln_m_cond, sigma_cond, delta, mturn_acg,
-    sc: ScalingConstants, mini=False,
+    sc: ScalingConstants, mini=False, ln_hi=None,
 ):
     """Conditional Nion per condition (reference Nion_ConditionalM, hmf.c:1106-1140),
     vectorized over `delta`.  Handles the delta > 0.99*delta_crit cap by returning
-    the single-halo-at-condition-mass value."""
+    the single-halo-at-condition-mass value.
+
+    `ln_hi` optionally restricts the integral's upper bound below the condition
+    mass (the sub-resolution source-grid range of HaloBox.c:set_fixed_grids,
+    [minimum_source_mass, SAMPLER_MIN_MASS] conditioned on the cell mass);
+    collapsed cells (delta above the cap) then contribute 0, since the single
+    halo at the condition mass lies outside the integral range (hmf.c:1126-1134)."""
     if hmf not in (HMF_PS, HMF_ST, HMF_DELOS):
         hmf = HMF_PS
+    if ln_hi is None:
+        ln_hi = ln_m_cond
     weight = (lambda x: nion_weight_mini(x, sc, mturn_acg)) if mini else (
         lambda x: nion_weight(x, sc, mturn_acg)
     )
     out = integrate_cmf(
-        table, hmf, growthf, ln_lo, ln_m_cond, delta, sigma_cond, weight_fn=weight
+        table, hmf, growthf, ln_lo, ln_hi, delta, sigma_cond, weight_fn=weight
     )
     delta_crit = get_delta_crit(hmf, sigma_cond, growthf)
-    cap_value = weight(np.asarray([ln_m_cond]))[0] / np.exp(ln_m_cond)
+    cap_value = (
+        weight(np.asarray([ln_m_cond]))[0] / np.exp(ln_m_cond)
+        if ln_m_cond * (1.0 - FRACT_FLOAT_ERR) <= ln_hi
+        else 0.0
+    )
     out = np.where(np.asarray(delta) > MAX_DELTAC_FRAC * delta_crit, cap_value, out)
-    return np.where(ln_lo >= ln_m_cond, 0.0, out)
+    return np.where(ln_lo >= ln_hi, 0.0, out)
 
 
 def fcoll_conditional_eps(growthf, delta, sigma_min, sigma_cond):
