@@ -276,6 +276,27 @@ def compute_fixed_halo_grid(
         return nion * one_p, sfrd * one_p
 
     nion_rel, sfrd_rel = kernel(lagrangian_delta)
+
+    # Mean-fix (reference mean_fix_grids:207-244, gated by fix_mean in
+    # scaling_relations.c:40-43): HMFs with no conditional form fall back to
+    # the EPS CMF above, so rescale the box means to the chosen HMF's
+    # unconditional Nion/SFRD integrals over the same mass range.
+    if hmf_int in (hmf.HMF_WATSON, hmf.HMF_WATSON_Z, hmf.HMF_REED07, hmf.HMF_YUNG24):
+        nion_u = hmf.nion_general(
+            sigma_table, cosmo, hmf_int, redshift, ln_mmin, ln_hi,
+            sc.mturn_a_nofb, sc,
+        )
+        sfrd_u = hmf.nion_general(
+            sigma_table, cosmo, hmf_int, redshift, ln_mmin, ln_hi,
+            sc_sfrd.mturn_a_nofb, sc_sfrd,
+        )
+        nion_mean = float(jnp.mean(nion_rel))
+        sfrd_mean = float(jnp.mean(sfrd_rel))
+        if nion_mean > 0:
+            nion_rel = nion_rel * jnp.float32(nion_u / nion_mean)
+        if sfrd_mean > 0:
+            sfrd_rel = sfrd_rel * jnp.float32(sfrd_u / sfrd_mean)
+
     return HaloBox(
         redshift=jnp.float32(redshift),
         n_ion=nion_rel * jnp.float32(prefactor_nion),

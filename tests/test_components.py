@@ -158,3 +158,32 @@ def test_analytic_q_monotonic(inputs):
     assert np.all(np.diff(q) >= -1e-10)  # Q grows towards low z
     assert q[0] < 0.01
     assert q[-1] > 0.5
+
+
+def test_fixed_grid_mean_fix_watson(inputs):
+    """For an HMF without a conditional form (Watson), the fixed-grid box mean
+    must be rescaled to the unconditional Nion integral
+    (reference mean_fix_grids, HaloBox.c:207-244)."""
+    import jax.numpy as jnp
+
+    from py21cmfast_tpu.models import halobox
+    from py21cmfast_tpu.models.ionization import _get_sigma_table
+
+    z = 9.0
+    inp = inputs.evolve_input_structs(HMF="WATSON", HII_DIM=8, DIM=16, BOX_LEN=60.0)
+    rng = np.random.default_rng(0)
+    delta = jnp.asarray(rng.normal(0.0, 0.4, (8, 8, 8)), jnp.float32)
+    box = halobox.compute_fixed_halo_grid(z, inp, delta)
+    sc = hmf.set_scaling_constants(z, inp)
+    st = _get_sigma_table(inp)
+    cosmo = inp.cosmology
+    so = inp.simulation_options
+    m_cell = cosmo.rho_mean * (so.box_len / so.HII_DIM) ** 3
+    m_min = hmf.minimum_source_mass(z, inp)
+    nion_u = hmf.nion_general(
+        st, cosmo, hmf.HMF_WATSON, z, np.log(m_min), np.log(m_cell),
+        sc.mturn_a_nofb, sc,
+    )
+    expected = nion_u * cosmo.rho_crit * cosmo.OMb * sc.fstar_10 * sc.fesc_10 * sc.pop2_ion
+    got = float(np.asarray(box.n_ion).mean())
+    assert np.isclose(got, expected, rtol=1e-3)
