@@ -209,6 +209,70 @@ class Cosmology:
             p = self.sigma_norm * self.primordial_curvature_power(k) * T * T / k**3
         return np.where(k == 0.0, 0.0, p)
 
+    # ------------------------------------------------------- relative velocity
+    V_CB_AVG = 25.86  # mean |v_cb| at kinematic decoupling [km/s], Planck18
+
+    def set_vcb_power_table(self, k, p_vcb):
+        """Inject an externally computed P_vcb(k) table (e.g. from a CLASS run
+        with output velocity transfer, as the reference ingests via
+        classy_interface.py).  Overrides the built-in analytic shape; values
+        are |v_cb| power at kinematic decoupling in (km/s)^2 Mpc^3."""
+        self._vcb_table = (
+            np.asarray(k, dtype=np.float64),
+            np.asarray(p_vcb, dtype=np.float64),
+        )
+
+    def power_vcb(self, k):
+        """P_vcb(k): 3D power of the DM-baryon relative speed at kinematic
+        decoupling, in (km/s)^2 Mpc^3 (reference power_in_vcb, cosmology.c:310,
+        which requires a CLASS velocity-transfer table).
+
+        Without an injected table this uses an analytic stand-in built from the
+        Eisenstein & Hu (1998) drag-epoch scales: the relative velocity is a
+        compensated acoustic mode — zero outside the sound horizon (rising as
+        (k s)^2), oscillating with the velocity phase cos(k s), and Silk-damped
+        — normalized so the 3D rms speed is V_CB_AVG*sqrt(3pi/8) ~ 29.3 km/s
+        (Tseliakhovich & Hirata 2010).  Shape accuracy is ~tens of percent;
+        inject a CLASS table via `set_vcb_power_table` for precision work."""
+        k = np.asarray(k, dtype=np.float64)
+        tab = getattr(self, "_vcb_table", None)
+        if tab is not None:
+            kt, pt = tab
+            with np.errstate(divide="ignore"):
+                out = np.exp(
+                    np.interp(np.log(np.maximum(k, kt[0])), np.log(kt), np.log(np.maximum(pt, 1e-300)))
+                )
+            return np.where(k == 0.0, 0.0, out)
+        norm = self._vcb_norm()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = norm * self._vcb_shape(k) / k**3
+        return np.where(k == 0.0, 0.0, out)
+
+    def _vcb_silk_k(self):
+        obhh = self.OMb * self.hlittle**2
+        return 1.6 * obhh**0.52 * self._omhh**0.73 * (
+            1.0 + (10.4 * self._omhh) ** -0.95
+        )
+
+    def _vcb_shape(self, k):
+        """Dimensionless Delta^2-like shape of the v_cb spectrum (unnormalized)."""
+        k = np.asarray(k, dtype=np.float64)
+        s = self._sound_horizon
+        ksilk = self._vcb_silk_k()
+        rise = (k * s) ** 2 / (1.0 + (k * s) ** 2)
+        osc = np.cos(k * s) ** 2
+        damp = np.exp(-2.0 * (k / ksilk) ** 1.4)
+        return rise * osc * damp
+
+    def _vcb_norm(self):
+        cached = getattr(self, "_vcb_norm_cache", None)
+        if cached is None:
+            lnk = np.linspace(np.log(1e-4), np.log(1e2), 4096)
+            integral = np.trapezoid(self._vcb_shape(np.exp(lnk)), lnk)
+            sigma_sq = (self.V_CB_AVG * np.sqrt(3.0 * np.pi / 8.0)) ** 2
+            cached = self._vcb_norm_cache = 2.0 * np.pi**2 * sigma_sq / integral
+        return cached
+
     # ------------------------------------------------------------------ sigma
     def MtoR(self, M):
         """Mass -> filter radius [Mpc] (reference cosmology.c:593-603)."""

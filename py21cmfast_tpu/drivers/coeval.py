@@ -161,6 +161,7 @@ def generate_coeval(
             halobox=halobox,
             prev_redshift=prev_z,
             photoncons_state=photoncons_state,
+            vcb_box=initial_conditions.lowres_vcb,
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
 

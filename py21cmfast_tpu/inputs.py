@@ -149,8 +149,10 @@ class MatterOptions:
     SOURCE_MODEL: str = _choice(SOURCE_MODELS, "CHMF-SAMPLER")
 
     def __attrs_post_init__(self):
-        if self.V_CB_MODEL == "FLUCTS" and self.POWER_SPECTRUM != "CLASS":
-            raise ValueError("V_CB_MODEL='FLUCTS' requires POWER_SPECTRUM='CLASS'")
+        # NOTE: the reference requires POWER_SPECTRUM='CLASS' for
+        # V_CB_MODEL='FLUCTS' (inputs.py validators + cosmology.c:310); here an
+        # analytic acoustic P_vcb (Cosmology.power_vcb) serves as the default,
+        # and a CLASS table can be injected via Cosmology.set_vcb_power_table.
         if self.FILTER == "SHARP-K":
             raise ValueError("FILTER cannot be sharp-k (no M<->R conversion)")
 

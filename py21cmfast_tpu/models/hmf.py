@@ -166,7 +166,10 @@ def set_scaling_constants(z: float, inputs, flag_options_esc=True) -> ScalingCon
         vcb_const=(
             inputs.astro_params.V_CB_AVG_DEBUG
             if inputs.matter_options.V_CB_MODEL in ("AVG-DEBUG", "AVG-AUTO")
-            else 0.0
+            # FLUCTS: per-cell boxes are used where wired (ionization Mturn
+            # grids); scalar consumers (Ts shell averages) take the global
+            # mean speed at kinematic decoupling.
+            else (25.86 if inputs.matter_options.V_CB_MODEL == "FLUCTS" else 0.0)
         ),
         Mlim_Fstar=mass_limit_where_scaling_hits_unity(ap.ALPHA_STAR, ap.fstar_10),
         Mlim_Fesc=mass_limit_where_scaling_hits_unity(ap.ALPHA_ESC, ap.fesc_10),

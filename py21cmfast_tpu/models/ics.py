@@ -181,6 +181,65 @@ def _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel):
 # --------------------------------------------------------------- public API
 
 
+def vcb_ratio_table(inputs: InputParameters, n: int = 2048):
+    """Host-side: ln(k) -> sqrt(P_vcb(k)/P_m(k)) [km/s] for the relative-velocity
+    realization (reference compute_relative_velocities, InitialConditions.c:141)."""
+    so = inputs.simulation_options
+    cosmo = inputs.cosmology
+    k_min = 2 * np.pi / (so.box_len * max(so.NON_CUBIC_FACTOR, 1.0)) / 2
+    k_max = 2 * np.pi / so.box_len * so.dim * np.sqrt(3.0)
+    ln_k = np.linspace(np.log(k_min), np.log(k_max), n)
+    k = np.exp(ln_k)
+    ratio = np.sqrt(cosmo.power_vcb(k) / cosmo.power_in_k(k))
+    return jnp.asarray(ln_k, jnp.float32), jnp.asarray(ratio, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "out_shape", "do_filter"))
+def _vcb_component_idx(
+    d_k, axis_idx, ln_k_table, ratio_table, *, hi_shape, box_lens, out_shape, do_filter
+):
+    """One relative-velocity component: irfftn(d_k * i k_i/k * sqrt(P_vcb/P)),
+    filtered to the lowres cell scale and subsampled
+    (reference InitialConditions.c:177-233)."""
+    kmag = grids.kmag_grid(hi_shape, box_lens)
+    kvec = _kvec_grid(axis_idx, hi_shape, box_lens)
+    lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
+    amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k_table, ratio_table), 0.0)
+    kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
+    g_k = d_k * (1j * kvec / kmag_safe) * amp
+    if do_filter:
+        smooth_R = physconst.l_factor * box_lens[0] / out_shape[0]
+        g_k = filters.filter_kbox(g_k, kmag, filters.TOPHAT, smooth_R)
+    x = fft.irfft3(g_k, hi_shape)
+    if out_shape != hi_shape:
+        x = grids.subsample(x, out_shape)
+    return x
+
+
+@partial(jax.jit, static_argnames=())
+def _speed(vx, vy, vz):
+    return jnp.sqrt(vx * vx + vy * vy + vz * vz)
+
+
+def compute_vcb_box(inputs: InputParameters, d_k) -> jax.Array:
+    """Lowres |v_cb| box in km/s at kinematic decoupling, correlated with the
+    density realization exactly as the reference does (same white noise times
+    i k_i/k sqrt(P_vcb/P) per component, lowres-filtered, speed at each cell)."""
+    so = inputs.simulation_options
+    hi_shape = so.hires_shape
+    lo_shape = so.lowres_shape
+    ln_k, ratio = vcb_ratio_table(inputs)
+    comps = [
+        _vcb_component_idx(
+            d_k, jnp.int32(ax), ln_k, ratio,
+            hi_shape=hi_shape, box_lens=so.box_lens, out_shape=lo_shape,
+            do_filter=so.dim != so.HII_DIM,
+        )
+        for ax in range(3)
+    ]
+    return _speed(*comps)
+
+
 def compute_initial_conditions(
     inputs: InputParameters, *, initial_density: np.ndarray | None = None
 ) -> InitialConditions:
@@ -225,6 +284,10 @@ def compute_initial_conditions(
     if mo.PERTURB_ALGORITHM == "2LPT":
         vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
 
+    lowres_vcb = None
+    if mo.V_CB_MODEL == "FLUCTS":
+        lowres_vcb = compute_vcb_box(inputs, d_k)
+
     return InitialConditions(
         hires_density=hires_density,
         lowres_density=lowres_density,
@@ -234,4 +297,5 @@ def compute_initial_conditions(
         vx_2LPT=vel_2lpt[0],
         vy_2LPT=vel_2lpt[1],
         vz_2LPT=vel_2lpt[2],
+        lowres_vcb=lowres_vcb,
     )

@@ -389,6 +389,7 @@ def compute_ionization_field(
     previous_perturbed_field: PerturbedField | None = None,
     prev_redshift: float | None = None,
     photoncons_state=None,
+    vcb_box=None,
 ) -> IonizedBox:
     so = inputs.simulation_options
     mo = inputs.matter_options
@@ -499,7 +500,8 @@ def compute_ionization_field(
             jnp.float32(redshift),
             jnp.float32(sc.mturn_a_nofb),
             jnp.float32(sc.mturn_m_nofb),
-            jnp.float32(sc.vcb_const),
+            (jnp.asarray(vcb_box, jnp.float32) if vcb_box is not None
+             else jnp.float32(sc.vcb_const)),
             jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
             jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
         )

@@ -73,3 +73,39 @@ def test_global_evolution_driver():
     )
     assert ge.neutral_fraction[-1] < ge.neutral_fraction[0]
     assert np.all(np.isfinite(ge.brightness_temp))
+
+
+def test_vcb_flucts_box_statistics():
+    """FLUCTS relative-velocity box: Maxwell-Boltzmann-like speed field with
+    mean ~ V_CB_AVG (box-truncation deficit allowed) and positive everywhere."""
+    inp = p21.InputParameters(random_seed=5).evolve_input_structs(
+        HII_DIM=32, DIM=64, BOX_LEN=600.0, V_CB_MODEL="FLUCTS"
+    )
+    ics = p21.compute_initial_conditions(inp)
+    v = np.asarray(ics.lowres_vcb)
+    assert v.shape == (32, 32, 32)
+    assert np.all(v >= 0)
+    # mean |v_cb| ~ 25.86 km/s; finite box misses super-box power
+    assert 15.0 < v.mean() < 30.0
+    # rms/mean ratio of a 3D MB speed field ~ sqrt(3pi/8) ~ 1.085
+    ratio = np.sqrt((v**2).mean()) / v.mean()
+    assert 1.0 < ratio < 1.2
+
+
+def test_vcb_flucts_raises_minihalo_mturn(inputs):
+    """Per-cell vcb raises the MCG turnover vs the no-streaming case in the
+    ionization Mturn grids (through lyman_werner_threshold's f_vcb factor)."""
+    from py21cmfast_tpu.models.ionization import _mcrit_kernel
+    import jax.numpy as jnp
+
+    ap = inputs.astro_params
+    shape = (4, 4, 4)
+    zeros = jnp.zeros(shape, jnp.float32)
+    args = (zeros, zeros, zeros, jnp.float32(15.0),
+            jnp.float32(1e8), jnp.float32(1e5))
+    tail = (jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
+            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB))
+    _, mt_m_novcb = _mcrit_kernel(*args, jnp.float32(0.0), *tail)
+    vbox = jnp.full(shape, 30.0, jnp.float32)
+    _, mt_m_vcb = _mcrit_kernel(*args, vbox, *tail)
+    assert float(mt_m_vcb.mean()) > float(mt_m_novcb.mean())
