@@ -224,11 +224,35 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
 # device kernel
 
 
+def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
+    """Trilinear gather on a (nt, ns, ng) table with uniform axes given as
+    (min, max) bounds (reference interpolate_heating_efficiencies,
+    heating_helper_progs.c:1260-1331)."""
+    def _idx(v, lo, hi, n):
+        u = (jnp.clip(v, lo, hi) - lo) / (hi - lo) * (n - 1)
+        i0 = jnp.clip(u.astype(jnp.int32), 0, n - 2)
+        return i0, u - i0
+
+    nt, ns, ng = tbl.shape
+    it, ft = _idx(t, t_ax[0], t_ax[1], nt)
+    is_, fs = _idx(s, s_ax[0], s_ax[1], ns)
+    ig, fg = _idx(g, g_ax[0], g_ax[1], ng)
+    out = 0.0
+    for dt_ in (0, 1):
+        wt = jnp.where(dt_ == 0, 1.0 - ft, ft)
+        for ds_ in (0, 1):
+            ws = jnp.where(ds_ == 0, 1.0 - fs, fs)
+            for dg_ in (0, 1):
+                wg = jnp.where(dg_ == 0, 1.0 - fg, fg)
+                out = out + tbl[it + dt_, is_ + ds_, ig + dg_] * (wt * ws * wg)
+    return out
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
-        "use_minihalos",
+        "use_minihalos", "use_lya_heat",
     ),
 )
 def _ts_kernel(
@@ -253,6 +277,11 @@ def _ts_kernel(
     tbl_ion,
     tbl_lya,
     pref_starlya,
+    pref_lya_cont,
+    pref_lya_inj,
+    lya_tbl_cont,
+    lya_tbl_inj,
+    gp_norm,
     sfrd_tables_mini,
     mean_sfrd_mini,
     pref_starlya_mini,
@@ -274,6 +303,7 @@ def _ts_kernel(
     use_cmb_heat,
     lagrangian,
     use_minihalos,
+    use_lya_heat,
 ):
     kmag = grids.kmag_grid(shape, box_lens)
     d_k = fft.rfft3(density_pf * inv_growth_pf)
@@ -301,9 +331,9 @@ def _ts_kernel(
         delta_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
 
     def shell_step(carry, xs):
-        dxheat, dxion, dxlya, dstarlya, dstarlw = carry
+        dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
-         th, ti, tl, p_star, sfr_sh, xray_sh, delta0,
+         th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, delta0,
          table_mini, msfrd_mini, p_star_mini, p_lw, p_lw_mini) = xs
 
         if lagrangian:
@@ -351,19 +381,25 @@ def _ts_kernel(
         dxion = dxion + xray_sfr * f_ion
         dxlya = dxlya + xray_sfr * f_lya
         dstarlya = dstarlya + sfr_term * p_star
+        if use_lya_heat:
+            # continuum (n=2 band) / injected (n>=3 cascades) Ly-a split
+            # (reference SpinTemperatureBox.c:1730-1737; MCG flux enters the
+            # coupling but its cont/inj heating split is not yet tracked)
+            dlya_cont = dlya_cont + sfr_term * p_cont
+            dlya_inj = dlya_inj + sfr_term * p_inj
         if use_minihalos:
             dstarlya = dstarlya + sfr_term_mini * p_star_mini
             dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
-        return (dxheat, dxion, dxlya, dstarlya, dstarlw), None
+        return (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), None
 
     zero = jnp.zeros(shape, jnp.float32)
-    (dxheat, dxion, dxlya, dstarlya, dstarlw), _ = jax.lax.scan(
+    (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), _ = jax.lax.scan(
         shell_step,
-        (zero, zero, zero, zero, zero),
+        (zero, zero, zero, zero, zero, zero, zero),
         (
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
             sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, mean_sfrd,
-            tbl_heat, tbl_ion, tbl_lya, pref_starlya,
+            tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
             sfr_shells, xray_shells, delta_shells,
             sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini, pref_lw, pref_lw_mini,
         ),
@@ -436,7 +472,28 @@ def _ts_kernel(
             / (1.0 + zp)
         )
 
-    dtk_total = dxheat_dzp + dcomp + dspec + dadia + dcmb
+    dlya = 0.0
+    if use_lya_heat:
+        # Ly-a heating (reference SpinTemperatureBox.c:1270-1293): the energy
+        # transfer per photon crossing the resonance is gathered from the
+        # Fokker-Planck tables at (prev_Tk, prev_Ts, tau_GP); the tables come
+        # in pre-scaled by 4 pi nu_a/(c n_b (1+zp)) * 2/(3 k_B) so the device
+        # term is just flux * dE / ((1+delta)(1+x_e)).
+        from .lya_heating import LOG_GP_MAX, LOG_GP_MIN, LOG_T_MAX, LOG_T_MIN
+
+        taugp = gp_norm * (1.0 + delta) * (1.0 - prev_xe)
+        lt = jnp.log10(jnp.clip(prev_tk, 10.0**LOG_T_MIN, 10.0**LOG_T_MAX))
+        ls = jnp.log10(jnp.clip(prev_ts, 10.0**LOG_T_MIN, 10.0**LOG_T_MAX))
+        lg = jnp.log10(jnp.clip(taugp, 10.0**LOG_GP_MIN, 10.0**LOG_GP_MAX))
+        t_ax = (LOG_T_MIN, LOG_T_MAX)
+        g_ax = (LOG_GP_MIN, LOG_GP_MAX)
+        e_cont = _trilerp(lya_tbl_cont, lt, ls, lg, t_ax, t_ax, g_ax)
+        e_inj = _trilerp(lya_tbl_inj, lt, ls, lg, t_ax, t_ax, g_ax)
+        dlya = -(dlya_cont * e_cont + dlya_inj * e_inj) / (
+            (1.0 + delta) * (1.0 + prev_xe)
+        )
+
+    dtk_total = dxheat_dzp + dcomp + dspec + dadia + dcmb + dlya
     tk = jnp.where(prev_tk < MAX_TK, prev_tk + dtk_total * dzp, prev_tk)
     tk = jnp.where(tk < 0, trad, tk)
 
@@ -608,6 +665,8 @@ def compute_spin_temperature(
 
     spec = spectral_prefactors(redshift, ladder, inputs)
     starlya_pref = spec["starlya"]
+    lya_cont_pref = spec["cont"]
+    lya_inj_pref = spec["inj"]
     starlya_mini_pref = spec["starlya_mini"]
     lw_pref = spec["lw"]
     lw_mini_pref = spec["lw_mini"]
@@ -781,6 +840,31 @@ def compute_spin_temperature(
         tbl_lya = tbl_lya * (xray_norm * lx_lin * nb_zp)  # (1+delta) applied on device
         starlya_pref = starlya_pref * lya_norm
 
+    # --- Ly-a heating tables (Fokker-Planck, see models/lya_heating.py) ---
+    use_lya_heat = bool(ao.USE_LYA_HEATING)
+    if use_lya_heat:
+        from . import lya_heating
+
+        lht = lya_heating.get_lya_heat_tables()
+        # fold 4 pi nu_a / (c n_b (1+zp)) * 2/(3 k_B) into the dE tables
+        # (reference Ndot_alpha_* and eps_Lya_*, SpinTemperatureBox.c:1283-1293)
+        e_norm = (
+            4.0 * np.pi * physconst.nu_Ly_alpha
+            / (physconst.c_cms * nb_zp * (1.0 + zp))
+            * 2.0 / (3.0 * physconst.k_B)
+        )
+        lya_tbl_cont = jnp.asarray(lht.de_cont * e_norm, jnp.float32)
+        lya_tbl_inj = jnp.asarray(lht.de_inj * e_norm, jnp.float32)
+        gp_norm = lya_heating.gunn_peterson_coef() / hubble_zp * n_zp
+        lya_cont_pref = lya_cont_pref * lya_norm
+        lya_inj_pref = lya_inj_pref * lya_norm
+    else:
+        lya_tbl_cont = jnp.zeros((2, 2, 2), jnp.float32)
+        lya_tbl_inj = jnp.zeros((2, 2, 2), jnp.float32)
+        gp_norm = 0.0
+        lya_cont_pref = np.zeros_like(lya_cont_pref)
+        lya_inj_pref = np.zeros_like(lya_inj_pref)
+
     consts = tuple(
         jnp.float32(v)
         for v in (
@@ -827,6 +911,11 @@ def compute_spin_temperature(
         jnp.asarray(tbl_ion, jnp.float32),
         jnp.asarray(tbl_lya, jnp.float32),
         jnp.asarray(starlya_pref, jnp.float32),
+        jnp.asarray(lya_cont_pref, jnp.float32),
+        jnp.asarray(lya_inj_pref, jnp.float32),
+        lya_tbl_cont,
+        lya_tbl_inj,
+        jnp.float32(gp_norm),
         jnp.asarray(sfrd_tables_mini, jnp.float32),
         jnp.asarray(mean_sfrd_mini, jnp.float32),
         jnp.asarray(starlya_mini_pref * lya_norm, jnp.float32),
@@ -845,6 +934,7 @@ def compute_spin_temperature(
         use_cmb_heat=ao.USE_CMB_HEATING,
         lagrangian=lagrangian,
         use_minihalos=use_minihalos,
+        use_lya_heat=use_lya_heat,
     )
 
     box = TsBox(
