@@ -65,9 +65,16 @@ def generate_coeval(
     out_redshifts=(),
     initial_conditions: InitialConditions | None = None,
     cache=None,
+    cache_config=None,
+    regenerate: bool = False,
 ):
     """Yield Coeval objects at each requested redshift, evolving down the
-    node-redshift ladder (reference _redshift_loop_generator, coeval.py:749)."""
+    node-redshift ladder (reference _redshift_loop_generator, coeval.py:749).
+
+    With an `OutputCache` passed as `cache`, every computed box is written to
+    disk and the scroll resumes after the last fully-cached node on re-entry
+    (reference coeval.py:700-747 + io/caching.py RunCache.is_complete_at);
+    `regenerate=True` recomputes everything while still writing."""
     from ..models import spintemp as spintemp_module
 
     ao = inputs.astro_options
@@ -79,8 +86,34 @@ def generate_coeval(
 
     needs_evolution = ao.USE_TS_FLUCT or ao.uses_recombination or inputs.node_redshifts
 
+    if cache is not None and cache_config is None:
+        from ..io.caching import CacheConfig
+
+        cache_config = CacheConfig()
+
+    def _cache_write(box, z=None):
+        if cache is not None and cache_config.writes(type(box).__name__):
+            cache.write(box, inputs, z)
+
     if initial_conditions is None:
-        initial_conditions = compute_initial_conditions(inputs)
+        if cache is not None and not regenerate:
+            initial_conditions = cache.read(InitialConditions, inputs)
+        if initial_conditions is None:
+            initial_conditions = compute_initial_conditions(inputs)
+            _cache_write(initial_conditions)
+
+    # resume: index of the last node (in descending-z scroll order) for which
+    # every chain-coupling box is already cached
+    resume_i = -1
+    if cache is not None and not regenerate and needs_evolution:
+        from ..io.caching import RunCache
+
+        rc = RunCache(cache, inputs)
+        for i, z in enumerate(all_z):
+            if rc.is_complete_at(z):
+                resume_i = i
+            else:
+                break
 
     # photon non-conservation setup (reference _setup_ics_and_pfs_for_scrolling)
     photoncons_state = None
@@ -92,12 +125,15 @@ def generate_coeval(
     # --- halo evolution chain (reference evolve_halos, coeval.py:435):
     # discrete catalogs are sampled ascending in z — DexM + grid CHMF at the
     # lowest node, then progenitors of each catalog at the next-higher node.
+    resumed = set(all_z[: resume_i + 1])
     catalogs = {}
     if mo.source_model_uses_halo_sampler:
         from ..models import halos as halos_module
 
         cat = None
         for z in sorted(all_z):
+            if z in resumed:
+                break  # resumed nodes are the high-z tail of the ascending chain
             cat = halos_module.determine_halo_catalog(
                 z, inputs, initial_conditions, previous_catalog=cat
             )
@@ -109,7 +145,30 @@ def generate_coeval(
     ts_state = None
     halobox_nodes = []  # (z, HaloBox) history for the XraySourceBox shells
 
-    for z in all_z:
+    for i, z in enumerate(all_z):
+        if z in resumed:
+            # reload the chain-coupling boxes instead of recomputing
+            pf = cache.read(PerturbedField, inputs, z)
+            ion = cache.read(IonizedBox, inputs, z)
+            ts = cache.read(TsBox, inputs, z) if ao.USE_TS_FLUCT else None
+            halobox = cache.read("HaloBox", inputs, z)
+            if halobox is not None and ao.USE_TS_FLUCT:
+                halobox_nodes.append((z, halobox))
+            ts_state = ts if ts is not None else ts_state
+            if (not out_redshifts) or any(abs(z - oz) < 1e-8 for oz in out_redshifts):
+                tb = cache.read(BrightnessTemp, inputs, z)
+                yield Coeval(
+                    redshift=z,
+                    initial_conditions=initial_conditions,
+                    perturbed_field=pf,
+                    ionized_box=ion,
+                    brightness_temperature=tb,
+                    spin_temp=ts,
+                    halobox=halobox,
+                )
+            prev_ion, prev_ts, prev_z = ion, ts, z
+            continue
+
         pf = perturb_field(z, inputs, initial_conditions)
 
         halobox = None
@@ -164,6 +223,15 @@ def generate_coeval(
             vcb_box=initial_conditions.lowres_vcb,
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
+
+        if cache is not None:
+            _cache_write(pf, z)
+            if halobox is not None:
+                _cache_write(halobox, z)
+            if ts is not None:
+                _cache_write(ts, z)
+            _cache_write(ion, z)
+            _cache_write(tb, z)
 
         coeval = Coeval(
             redshift=z,

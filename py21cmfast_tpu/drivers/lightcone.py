@@ -54,6 +54,48 @@ class LightCone:
         return q.shape
 
 
+def _checkpoint_save(path, inputs, lightcones, gq, last_node: int):
+    """Write the partial lightcone + `_last_completed_node` (reference
+    lightcone.py:411-463 `LightCone.make_checkpoint`)."""
+    if path is None:
+        return
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["full_hash"] = inputs.full_hash
+        f.attrs["_last_completed_node"] = last_node
+        g = f.create_group("lightcones")
+        for q, arr in lightcones.items():
+            g.create_dataset(q, data=arr)
+        g2 = f.create_group("global_quantities")
+        for q, vals in gq.items():
+            g2.create_dataset(q, data=np.asarray(vals, np.float64))
+
+
+def _checkpoint_load(path, inputs, lightcones, gq) -> int:
+    """Restore a partial lightcone; returns `_last_completed_node` (-1 if no
+    usable checkpoint).  A hash mismatch (different inputs) is ignored."""
+    if path is None:
+        return -1
+    from pathlib import Path
+
+    if not Path(path).exists():
+        return -1
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if f.attrs.get("full_hash") != inputs.full_hash:
+            return -1
+        last = int(f.attrs["_last_completed_node"])
+        for q in lightcones:
+            if q in f["lightcones"]:
+                lightcones[q][...] = f["lightcones"][q][...]
+        for q in gq:
+            if q in f["global_quantities"]:
+                gq[q] = list(f["global_quantities"][q][...])
+    return last
+
+
 def generate_lightcone(
     inputs: InputParameters,
     lightconer: Lightconer | None = None,
@@ -64,8 +106,15 @@ def generate_lightcone(
     include_dvdr_in_tau21: bool = True,
     apply_rsds: bool = True,
     cache=None,
+    checkpoint_path=None,
 ):
-    """Yield (z, coeval, partial LightCone); final yield carries the finished cone."""
+    """Yield (z, coeval, partial LightCone); final yield carries the finished cone.
+
+    `cache` (an OutputCache) is forwarded to the coeval scroll for per-box
+    caching + resume.  `checkpoint_path` additionally checkpoints the partial
+    lightcone each node (slices, global quantities, `_last_completed_node`) so
+    an interrupted run restarts at the last completed node (reference
+    lightcone.py:223-248 and 411-463)."""
     if not inputs.node_redshifts:
         if min_redshift is None:
             raise ValueError("need node_redshifts or min_redshift")
@@ -105,7 +154,19 @@ def generate_lightcone(
         node_redshifts=node_z,
     )
 
-    for coeval in generate_coeval(inputs, out_redshifts=node_z, initial_conditions=initial_conditions):
+    last_completed = _checkpoint_load(checkpoint_path, inputs, lightcones, gq)
+
+    for i_node, coeval in enumerate(
+        generate_coeval(
+            inputs, out_redshifts=node_z,
+            initial_conditions=initial_conditions, cache=cache,
+        )
+    ):
+        if i_node <= last_completed:
+            prev_coeval = coeval  # slices already checkpointed
+            yield coeval.redshift, coeval, lc
+            continue
+
         for q in global_quantities:
             gq[q].append(float(np.mean(lightconer.get_field(coeval, q))))
 
@@ -117,6 +178,7 @@ def generate_lightcone(
                 if idx is not None:
                     lightcones[q][:, :, idx] = vals
         prev_coeval = coeval
+        _checkpoint_save(checkpoint_path, inputs, lightcones, gq, i_node)
         yield coeval.redshift, coeval, lc
 
     lc.global_quantities = {q: np.array(v) for q, v in gq.items()}

@@ -114,9 +114,14 @@ class RunCache:
 
     def required_classes(self):
         ao = self.inputs.astro_options
+        mo = self.inputs.matter_options
         req = ["PerturbedField", "IonizedBox", "BrightnessTemp"]
         if ao.USE_TS_FLUCT:
             req.append("TsBox")
+            # the Ts shell ladder in the halo-sampler path rebuilds the
+            # XraySourceBox from the HaloBox node history, so resume needs it
+            if mo.source_model_uses_halo_sampler:
+                req.append("HaloBox")
         return req
 
     def is_complete_at(self, redshift: float) -> bool:

@@ -97,3 +97,61 @@ def test_cache_config():
     assert c.writes("IonizedBox")
     off = CacheConfig.off()
     assert not off.writes("IonizedBox")
+
+
+def test_coeval_cache_resume(tmp_path):
+    """generate_coeval with a cache: second run resumes from disk and matches
+    (reference coeval.py:700-747 scroll resume)."""
+    inp = p21.InputParameters(random_seed=21).evolve_input_structs(
+        HII_DIM=8, DIM=16, BOX_LEN=16.0, SOURCE_MODEL="E-INTEGRAL",
+        USE_TS_FLUCT=True, ZPRIME_STEP_FACTOR=1.5, Z_HEAT_MAX=18.0,
+    ).with_logspaced_redshifts(9.0, 18.0)
+    cache = OutputCache(tmp_path / "cache")
+    zfin = inp.node_redshifts[-1]
+
+    c1 = list(p21.generate_coeval(inp, out_redshifts=[zfin], cache=cache))[-1]
+    rc = RunCache(cache, inp)
+    assert all(rc.is_complete_at(z) for z in inp.node_redshifts)
+
+    # resumed run: every node loads from disk, outputs identical
+    c2 = list(p21.generate_coeval(inp, out_redshifts=[zfin], cache=cache))[-1]
+    np.testing.assert_array_equal(
+        np.asarray(c1.neutral_fraction), np.asarray(c2.neutral_fraction)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c1.brightness_temp), np.asarray(c2.brightness_temp)
+    )
+
+
+def test_lightcone_checkpoint(tmp_path):
+    """Lightcone checkpointing: interrupt mid-run, restart, identical result
+    (reference lightcone.py:223-248 checkpointing)."""
+    inp = p21.InputParameters(random_seed=22).evolve_input_structs(
+        HII_DIM=8, DIM=16, BOX_LEN=16.0, SOURCE_MODEL="E-INTEGRAL",
+        ZPRIME_STEP_FACTOR=1.4,
+    ).with_logspaced_redshifts(8.0, 12.0)
+    ckpt = tmp_path / "lc_ckpt.h5"
+    cache = OutputCache(tmp_path / "cache")
+
+    full = p21.run_lightcone(inp, apply_rsds=False)
+
+    # interrupted run: stop after 2 nodes
+    gen = p21.generate_lightcone(
+        inp, apply_rsds=False, cache=cache, checkpoint_path=ckpt
+    )
+    for k, (_z, _c, _lc) in enumerate(gen):
+        if k >= 1:
+            break
+    gen.close()
+    assert ckpt.exists()
+
+    resumed = None
+    for _z, _c, resumed in p21.generate_lightcone(
+        inp, apply_rsds=False, cache=cache, checkpoint_path=ckpt
+    ):
+        pass
+    np.testing.assert_allclose(
+        full.lightcones["brightness_temp"],
+        resumed.lightcones["brightness_temp"],
+        rtol=1e-5, atol=1e-5,
+    )
