@@ -142,6 +142,7 @@ def generate_coeval(
     prev_ion: IonizedBox | None = None
     prev_ts = None
     prev_z = None
+    prev_pf = None
     ts_state = None
     halobox_nodes = []  # (z, HaloBox) history for the XraySourceBox shells
 
@@ -166,7 +167,7 @@ def generate_coeval(
                     spin_temp=ts,
                     halobox=halobox,
                 )
-            prev_ion, prev_ts, prev_z = ion, ts, z
+            prev_ion, prev_ts, prev_z, prev_pf = ion, ts, z, pf
             continue
 
         pf = perturb_field(z, inputs, initial_conditions)
@@ -218,6 +219,7 @@ def generate_coeval(
             previous_ionized_box=prev_ion,
             spin_temp=ts,
             halobox=halobox,
+            previous_perturbed_field=prev_pf,
             prev_redshift=prev_z,
             photoncons_state=photoncons_state,
             vcb_box=initial_conditions.lowres_vcb,
@@ -245,7 +247,7 @@ def generate_coeval(
         if (not out_redshifts) or any(abs(z - oz) < 1e-8 for oz in out_redshifts):
             yield coeval
 
-        prev_ion, prev_ts, prev_z = ion, ts, z
+        prev_ion, prev_ts, prev_z, prev_pf = ion, ts, z, pf
         if not needs_evolution:
             prev_ion = None  # no coupling between snapshots
 

@@ -133,6 +133,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "lagrangian",
         "use_exp_filter",
         "use_minihalos",
+        "track_nion",
     ),
 )
 def _ionize_scan(
@@ -151,6 +152,16 @@ def _ionize_scan(
     f_limit_mini,
     ion_eff_mini,
     gamma_prefactor_mini,
+    prev_delta,
+    prev_nion_stack,
+    prev_nion_mini_stack,
+    tables_prev,
+    caps_prev,
+    tables_prev_mini,
+    caps_prev_mini,
+    prev_dlo,
+    prev_dhi,
+    prev_pc_factor,
     r_values,
     sigma_r,
     table_dlo,
@@ -178,6 +189,7 @@ def _ionize_scan(
     lagrangian,
     use_exp_filter,
     use_minihalos,
+    track_nion,
 ):
     """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
     ordered largest R first (index 0 == largest).
@@ -220,6 +232,12 @@ def _ionize_scan(
         if not last_filtered:
             mta_stack = mta_stack.at[n_r - 1].set(mturn_a_box)
             mtm_stack = mtm_stack.at[n_r - 1].set(mturn_m_box)
+    if track_nion:
+        prev_adj = prev_delta * prev_pc_factor
+        pd_k = fft.rfft3(prev_adj)
+        prev_delta_stack = _batch_filtered(pd_k, hii_filter)
+        if not last_filtered:
+            prev_delta_stack = prev_delta_stack.at[n_r - 1].set(prev_adj)
     stars_stack = (
         _batch_filtered(stars_k, source_filter, mfp_meandens) if lagrangian else None
     )
@@ -235,6 +253,11 @@ def _ionize_scan(
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r, sfr_r) = xs
         elif lagrangian:
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r) = xs
+        elif use_minihalos and track_nion:
+            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
+             table_mini, cap_mini, mta_r, mtm_r,
+             p_table, p_cap, p_table_mini, p_cap_mini, p_dlo, p_dhi,
+             pd_r, pn_r, pnm_r) = xs
         elif use_minihalos:
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
              table_mini, cap_mini, mta_r, mtm_r) = xs
@@ -256,30 +279,48 @@ def _ionize_scan(
         elif use_minihalos:
             # 2D (log10 Mturn, delta) bilinear gathers for ACG and MCG
             mt_lo, mt_hi = mt_bounds[0], mt_bounds[1]
+
+            def gather2d(tab, mt_r, iD, fD):
+                tm = (jnp.clip(mt_r, mt_lo, mt_hi) - mt_lo) / (mt_hi - mt_lo)
+                tm = jnp.clip(tm * (N_MTURN_TABLE - 1), 0.0, N_MTURN_TABLE - 1.001)
+                j0 = tm.astype(jnp.int32)
+                fm = tm - j0
+                v00 = tab[j0, iD]
+                v01 = tab[j0, iD + 1]
+                v10 = tab[j0 + 1, iD]
+                v11 = tab[j0 + 1, iD + 1]
+                return (v00 * (1 - fD) + v01 * fD) * (1 - fm) + (
+                    v10 * (1 - fD) + v11 * fD
+                ) * fm
+
             t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
             t = jnp.clip(t, 0.0, N_DELTA_TABLE - 1.001)
             i0 = t.astype(jnp.int32)
             fd = t - i0
 
-            def gather2d(tab, mt_r):
-                tm = (jnp.clip(mt_r, mt_lo, mt_hi) - mt_lo) / (mt_hi - mt_lo)
-                tm = jnp.clip(tm * (N_MTURN_TABLE - 1), 0.0, N_MTURN_TABLE - 1.001)
-                j0 = tm.astype(jnp.int32)
-                fm = tm - j0
-                v00 = tab[j0, i0]
-                v01 = tab[j0, i0 + 1]
-                v10 = tab[j0 + 1, i0]
-                v11 = tab[j0 + 1, i0 + 1]
-                return (v00 * (1 - fd) + v01 * fd) * (1 - fm) + (
-                    v10 * (1 - fd) + v11 * fd
-                ) * fm
-
-            fcoll = gather2d(table, mta_r)
+            fcoll = gather2d(table, mta_r, i0, fd)
             fcoll = jnp.where(delta_r >= d_hi, cap, fcoll)
             fcoll = jnp.clip(fcoll, 1e-40, 1.0)
-            fcoll_mini = gather2d(table_mini, mtm_r)
+            fcoll_mini = gather2d(table_mini, mtm_r, i0, fd)
             fcoll_mini = jnp.where(delta_r >= d_hi, cap_mini, fcoll_mini)
             fcoll_mini = jnp.clip(fcoll_mini, 1e-40, 1.0)
+
+            if track_nion:
+                # Nion_smoothed(z, Mt) = Nion_prev + Nion(z, Mt)
+                #                      - Nion(z_prev, Mt)   (IonisationBox.c:834)
+                pd_r = jnp.maximum(pd_r, -1.0 + FRACT_FLOAT_ERR)
+                tp = (pd_r - p_dlo) / (p_dhi - p_dlo) * (N_DELTA_TABLE - 1)
+                tp = jnp.clip(tp, 0.0, N_DELTA_TABLE - 1.001)
+                ip = tp.astype(jnp.int32)
+                fp = tp - ip
+                prev_f = gather2d(p_table, mta_r, ip, fp)
+                prev_f = jnp.where(pd_r >= p_dhi, p_cap, prev_f)
+                prev_f = jnp.clip(prev_f, 1e-40, 1.0)
+                prev_fm = gather2d(p_table_mini, mtm_r, ip, fp)
+                prev_fm = jnp.where(pd_r >= p_dhi, p_cap_mini, prev_fm)
+                prev_fm = jnp.clip(prev_fm, 1e-40, 1.0)
+                fcoll = jnp.clip(pn_r + fcoll - prev_f, 1e-40, 1.0)
+                fcoll_mini = jnp.clip(pnm_r + fcoll_mini - prev_fm, 1e-40, 1.0)
         elif mass_dep:
             # gather from the per-R Nion(delta) table; cap above the barrier
             t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
@@ -297,6 +338,9 @@ def _ionize_scan(
             arg = (physconst.delta_c_sph - delta_r) / growth / (jnp.sqrt(2.0) * sigdiff)
             fcoll = jax.scipy.special.erfc(arg)
 
+        if use_minihalos:
+            nion_out, nion_mini_out = fcoll, fcoll_mini  # pre-mean-fix, stored
+            # for the next snapshot's trapezoidal smoothing
         if not lagrangian:
             # mean fix: normalize the grid mean to the global unconditional value
             grid_mean = jnp.maximum(jnp.mean(fcoll), f_limit)
@@ -344,7 +388,8 @@ def _ionize_scan(
             return jnp.where((~ionized) & (xh > TINY), res, xh)
 
         xh = jax.lax.cond(is_last, partial_ion, lambda x: x, xh)
-        return (xh, gamma, mfp), grid_mean
+        ys = (grid_mean, nion_out, nion_mini_out) if use_minihalos else grid_mean
+        return (xh, gamma, mfp), ys
 
     # the neutral-fraction buffer starts at 1 (reference outputs.py:1525);
     # x-ray ionization enters via the criterion and the last-step partial branch
@@ -368,7 +413,19 @@ def _ionize_scan(
             xs.append(wsfr_stack)
     elif use_minihalos:
         xs.extend([fcoll_tables_mini, fcoll_caps_mini, mta_stack, mtm_stack])
-    (xh, gamma, mfp), grid_means = jax.lax.scan(step, (xh0, gamma0, mfp0), tuple(xs))
+        if track_nion:
+            xs.extend([
+                tables_prev, caps_prev, tables_prev_mini, caps_prev_mini,
+                prev_dlo, prev_dhi, prev_delta_stack,
+                prev_nion_stack, prev_nion_mini_stack,
+            ])
+    (xh, gamma, mfp), ys = jax.lax.scan(step, (xh0, gamma0, mfp0), tuple(xs))
+    if use_minihalos:
+        grid_means, nion_stack, nion_mini_stack = ys
+    else:
+        grid_means = ys
+        nion_stack = jnp.zeros((1,), jnp.float32)
+        nion_mini_stack = jnp.zeros((1,), jnp.float32)
 
     ionized_final = xh < TINY
     z_reion = jnp.where(
@@ -376,7 +433,7 @@ def _ionize_scan(
         jnp.where(prev_z_reion >= 0, prev_z_reion, redshift),
         jnp.where(prev_z_reion >= 0, prev_z_reion, -1.0),
     )
-    return xh, gamma, mfp, z_reion, grid_means
+    return xh, gamma, mfp, z_reion, grid_means, nion_stack, nion_mini_stack
 
 
 def compute_ionization_field(
@@ -527,9 +584,47 @@ def compute_ionization_field(
                                   ln_m_max, 10.0 ** log10_mturn_m_ave, sc)
         )
 
+        # --- trapezoidal prev-snapshot integration (set_mean_fcoll:463-529 +
+        # the per-R Nion smoothing, IonisationBox.c:834-880): MCG star
+        # formation responds to the Mturn *history*, so Nion is carried as
+        # Nion(z) = Nion_prev + Nion(z, Mt) - Nion(z_prev, Mt).
+        prev_mfc = (
+            float(previous_ionized_box.mean_f_coll)
+            if previous_ionized_box is not None else 0.0
+        )
+        prev_mfc_mini = (
+            float(previous_ionized_box.mean_f_coll_MINI)
+            if previous_ionized_box is not None else 0.0
+        )
+        prev_z_adj = prev_redshift
+        if photoncons_state is not None and prev_redshift is not None:
+            prev_z_adj = photoncons_state.adjusted_redshift(prev_redshift)
+        if prev_z_adj is not None and prev_mfc * ion_eff_gl > 1e-4:
+            f_prev = float(
+                hmf.nion_general(sigma_table, cosmo, hmf_int, prev_z_adj, ln_m_min,
+                                 ln_m_max, 10.0 ** log10_mturn_ave, sc)
+            )
+            mean_fcoll = prev_mfc + mean_fcoll - f_prev
+        if prev_z_adj is not None and prev_mfc_mini * ion_eff_mini > 1e-4:
+            f_prev_mini = float(
+                hmf.nion_general_mini(sigma_table, cosmo, hmf_int, prev_z_adj,
+                                      ln_m_min, ln_m_max, 10.0 ** log10_mturn_m_ave, sc)
+            )
+            mean_fcoll_mini = prev_mfc_mini + mean_fcoll_mini - f_prev_mini
+
+    track_nion = bool(
+        use_minihalos
+        and previous_ionized_box is not None
+        and previous_perturbed_field is not None
+        and prev_redshift is not None
+        and previous_ionized_box.unnormalised_nion is not None
+        and (prev_mfc * ion_eff_gl + prev_mfc_mini * ion_eff_mini) > 1e-4
+    )
 
     ladder = setup_radii(inputs, m_min)
     n_r = ladder.n
+    if track_nion and np.shape(previous_ionized_box.unnormalised_nion)[0] != n_r:
+        track_nion = False  # radius ladder changed (m_min moved): restart tracking
 
     # --- per-R tables (mass-dep only) ---------------------------------------
     if use_minihalos:
@@ -546,6 +641,26 @@ def compute_ionization_field(
         d_hi = np.ones(n_r)
         tables = np.zeros((n_r, N_DELTA_TABLE))
         caps = np.zeros(n_r)
+
+    # previous-snapshot tables for the per-R trapezoidal Nion smoothing
+    prev_dlo = np.zeros(n_r)
+    prev_dhi = np.ones(n_r)
+    tables_prev = np.zeros((1, 1, 1))
+    caps_prev = np.zeros(1)
+    tables_prev_mini = np.zeros((1, 1, 1))
+    caps_prev_mini = np.zeros(1)
+    prev_pc_factor = 1.0
+    if track_nion:
+        growth_prev = float(cosmo.dicke(prev_z_adj))
+        (prev_dlo, prev_dhi, tables_prev, caps_prev,
+         tables_prev_mini, caps_prev_mini) = _build_nion_tables_mini(
+            inputs, ladder, sigma_table, growth_prev, m_min, sc,
+            np.linspace(mt_bounds[0], mt_bounds[1], N_MTURN_TABLE),
+        )
+        if photoncons_state is not None:
+            prev_pc_factor = float(
+                cosmo.dicke(prev_z_adj) / cosmo.dicke(prev_redshift)
+            )
 
     gamma_prefactor = (
         (1 + redshift) ** 2
@@ -586,7 +701,15 @@ def compute_ionization_field(
 
     # descending order for the scan (largest R first)
     order = np.argsort(ladder.R)[::-1]
-    xh, gamma, mfp, z_reion, _ = _ionize_scan(
+    if track_nion:
+        prev_pf_density = previous_perturbed_field.density
+        prev_nion_stack = previous_ionized_box.unnormalised_nion
+        prev_nion_mini_stack = previous_ionized_box.unnormalised_nion_mini
+    else:
+        prev_pf_density = jnp.zeros((1, 1, 1), jnp.float32)
+        prev_nion_stack = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+        prev_nion_mini_stack = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+    xh, gamma, mfp, z_reion, _, nion_stack, nion_mini_stack = _ionize_scan(
         perturbed_field.density,
         spin_temp.xray_ionised_fraction if spin_temp is not None else jnp.zeros(shape, jnp.float32),
         rec_box,
@@ -602,6 +725,16 @@ def compute_ionization_field(
         jnp.float32(f_limit_mini),
         jnp.float32(ion_eff_mini),
         jnp.float32(gamma_prefactor_mini),
+        prev_pf_density,
+        prev_nion_stack,
+        prev_nion_mini_stack,
+        jnp.asarray(tables_prev[order] if track_nion else tables_prev, jnp.float32),
+        jnp.asarray(caps_prev[order] if track_nion else caps_prev, jnp.float32),
+        jnp.asarray(tables_prev_mini[order] if track_nion else tables_prev_mini, jnp.float32),
+        jnp.asarray(caps_prev_mini[order] if track_nion else caps_prev_mini, jnp.float32),
+        jnp.asarray(prev_dlo[order] if track_nion else prev_dlo, jnp.float32),
+        jnp.asarray(prev_dhi[order] if track_nion else prev_dhi, jnp.float32),
+        jnp.float32(prev_pc_factor),
         jnp.asarray(ladder.R[order], jnp.float32),
         jnp.asarray(ladder.sigma_max[order], jnp.float32),
         jnp.asarray(d_lo[order], jnp.float32),
@@ -628,6 +761,7 @@ def compute_ionization_field(
         lagrangian=lagrangian,
         use_exp_filter=lagrangian and ao.USE_EXP_FILTER,
         use_minihalos=use_minihalos,
+        track_nion=track_nion,
     )
 
     # --- cumulative recombination update (set_recombination_rates:1258-1342) ---
@@ -678,6 +812,8 @@ def compute_ionization_field(
         ),
         mean_free_path=mfp,
         cumulative_recombinations=cumulative_rec,
+        unnormalised_nion=nion_stack if use_minihalos else None,
+        unnormalised_nion_mini=nion_mini_stack if use_minihalos else None,
     )
 
 

@@ -109,3 +109,22 @@ def test_vcb_flucts_raises_minihalo_mturn(inputs):
     vbox = jnp.full(shape, 30.0, jnp.float32)
     _, mt_m_vcb = _mcrit_kernel(*args, vbox, *tail)
     assert float(mt_m_vcb.mean()) > float(mt_m_novcb.mean())
+
+
+def test_trapezoidal_nion_tracking(inputs):
+    """The per-R unnormalised Nion grids are carried across snapshots and the
+    global means follow the trapezoidal rule (IonisationBox.c:463-529, 834)."""
+    outs = [inputs.node_redshifts[0], inputs.node_redshifts[-1]]
+    coevals = list(p21.generate_coeval(inputs, out_redshifts=outs))
+    first, last = coevals[0], coevals[-1]
+    # stacks stored whenever minihalos are on
+    assert first.ionized_box.unnormalised_nion is not None
+    nion = np.asarray(last.ionized_box.unnormalised_nion)
+    assert nion.ndim == 4  # (N_R, HII, HII, HII)
+    assert np.all(nion >= 0) and np.all(nion <= 1.0)
+    # smoothed Nion accumulates: the late-time box mean exceeds the first
+    assert float(nion.mean()) > float(
+        np.asarray(first.ionized_box.unnormalised_nion).mean()
+    )
+    # the trapezoidal global mean stays positive and grows toward low z
+    assert float(last.ionized_box.mean_f_coll) > float(first.ionized_box.mean_f_coll) > 0
