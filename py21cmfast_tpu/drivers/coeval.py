@@ -117,7 +117,7 @@ def generate_coeval(
 
     # photon non-conservation setup (reference _setup_ics_and_pfs_for_scrolling)
     photoncons_state = None
-    if ao.PHOTON_CONS_TYPE == "Z-PHOTONCONS":
+    if ao.PHOTON_CONS_TYPE != "NO-PHOTONCONS":
         from ..models.photoncons import setup_photon_cons
 
         photoncons_state = setup_photon_cons(inputs)

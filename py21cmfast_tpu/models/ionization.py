@@ -460,14 +460,40 @@ def compute_ionization_field(
     # density field by the growth ratio (IonisationBox.c:1389-1407)
     stored_redshift = redshift
     photoncons_factor = 1.0
+    photoncons_fit = None
     if photoncons_state is not None:
-        redshift = photoncons_state.adjusted_redshift(redshift)
-        photoncons_factor = float(
-            cosmo.dicke(redshift) / cosmo.dicke(stored_redshift)
-        )
+        if hasattr(photoncons_state, "adjusted_redshift"):
+            redshift = photoncons_state.adjusted_redshift(redshift)
+            photoncons_factor = float(
+                cosmo.dicke(redshift) / cosmo.dicke(stored_redshift)
+            )
+            # the fit-based variants flow through scaling constants instead
+        else:
+            photoncons_fit = photoncons_state
+            photoncons_state = None
 
     growth = float(cosmo.dicke(redshift))
     sc = hmf.set_scaling_constants(redshift, inputs)
+    if photoncons_fit is not None:
+        # ALPHA/F-PHOTONCONS: replace the escape-fraction parameter by its
+        # Q-dependent fit (reference get_fesc_fit, photoncons.c; applied to the
+        # ACG scaling relations — MCG escape params are left as-is)
+        v = photoncons_fit.value_at(stored_redshift)
+        if photoncons_fit.kind == "fesc":
+            fesc_new = float(np.clip(v, 1e-6, 1.0))
+            sc = dataclasses.replace(
+                sc, fesc_10=fesc_new,
+                Mlim_Fesc=hmf.mass_limit_where_scaling_hits_unity(
+                    sc.alpha_esc, fesc_new
+                ),
+            )
+        else:
+            sc = dataclasses.replace(
+                sc, alpha_esc=float(v),
+                Mlim_Fesc=hmf.mass_limit_where_scaling_hits_unity(
+                    float(v), sc.fesc_10
+                ),
+            )
     m_min = hmf.minimum_source_mass(redshift, inputs, xray=False)
     sigma_min = float(cosmo.sigma_z0(m_min))
     sigma_table = _get_sigma_table(inputs)

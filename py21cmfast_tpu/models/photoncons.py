@@ -25,7 +25,8 @@ from ..cosmology.constants import physconst
 from ..inputs import InputParameters
 from . import hmf
 
-__all__ = ["PhotonConsState", "setup_photon_cons", "analytic_Q_history"]
+__all__ = ["PhotonConsState", "PhotonConsFit", "setup_photon_cons",
+           "analytic_Q_history", "photoncons_alpha", "photoncons_fesc"]
 
 _state_cache: dict = {}
 
@@ -99,18 +100,38 @@ def calibrate_photon_cons(inputs: InputParameters, hii_dim_cal: int = 32):
     from ..drivers.coeval import generate_coeval
 
     so = inputs.simulation_options
+    # same source prescription as the run (sampler -> its integral equivalent),
+    # with Ts/recombinations/minihalos off, so the calibration differs from the
+    # analytic Q(z) only by the excursion-set photon loss
+    # (reference wrapper/photoncons.py:297-316)
+    source_map = {
+        "E-INTEGRAL": "E-INTEGRAL",
+        "L-INTEGRAL": "L-INTEGRAL",
+        "DEXM-ESF": "L-INTEGRAL",
+        "CHMF-SAMPLER": "L-INTEGRAL",
+        "CONST-ION-EFF": "CONST-ION-EFF",
+    }
     cal_inputs = inputs.evolve_input_structs(
-        SOURCE_MODEL="CONST-ION-EFF",
+        SOURCE_MODEL=source_map[inputs.matter_options.SOURCE_MODEL],
         PHOTON_CONS_TYPE="NO-PHOTONCONS",
         USE_TS_FLUCT=False,
         RECOMB_MODEL="NONE",
-        M_MIN_in_Mass=True,
+        USE_MINI_HALOS=False,
+        R_BUBBLE_MAX=(
+            15.0 if inputs.astro_options.uses_recombination
+            else inputs.astro_params.R_BUBBLE_MAX
+        ),
         HII_DIM=min(hii_dim_cal, so.HII_DIM),
         DIM=3 * min(hii_dim_cal, so.HII_DIM),
         BOX_LEN=so.box_len * min(hii_dim_cal, so.HII_DIM) / so.HII_DIM,
+        ZPRIME_STEP_FACTOR=min(1.1, so.ZPRIME_STEP_FACTOR),
     )
-    if not cal_inputs.node_redshifts:
-        cal_inputs = cal_inputs.with_logspaced_redshifts(4.5)
+    # the calibration gets its own dense z grid reaching below the run's
+    # outputs (reference calibrates down to PHOTONCONS_CALIBRATION_END so the
+    # full xH(z) curve, through overlap, is measured)
+    z_end = max(float(inputs.astro_params.PHOTONCONS_CALIBRATION_END), 3.5)
+    z_top = max(float(so.Z_HEAT_MAX), 15.0)
+    cal_inputs = cal_inputs.with_logspaced_redshifts(z_end, z_top)
 
     zs, xh = [], []
     for cv in generate_coeval(cal_inputs, out_redshifts=cal_inputs.node_redshifts):
@@ -119,13 +140,113 @@ def calibrate_photon_cons(inputs: InputParameters, hii_dim_cal: int = 32):
     return np.array(zs), np.array(xh)
 
 
-def setup_photon_cons(inputs: InputParameters) -> PhotonConsState | None:
-    """Build (and cache) the photon-conservation state for these inputs."""
-    if inputs.astro_options.PHOTON_CONS_TYPE != "Z-PHOTONCONS":
+@dataclasses.dataclass
+class PhotonConsFit:
+    """Linear-in-Q parameter fit for the simpler photon-conservation models
+    (reference wrapper/photoncons.py photoncons_alpha:416 / photoncons_fesc:587):
+    the ionization box runs with ALPHA_ESC (or F_ESC10) replaced by
+    yint + slope * Q_analytic(z)."""
+
+    kind: str  # "alpha" | "fesc"
+    fit_yint: float
+    fit_slope: float
+    z_analytic: np.ndarray
+    Q_analytic: np.ndarray
+    q_targets: np.ndarray  # diagnostic: per-calibration-z parameter targets
+    z_cal: np.ndarray
+
+    def value_at(self, z: float) -> float:
+        q = np.interp(z, self.z_analytic[::-1], self.Q_analytic[::-1])
+        return float(self.fit_yint + self.fit_slope * min(q, 1.0))
+
+
+_MAX_Q_FIT = 0.99
+_MIN_Q_FIT = 0.2
+
+
+def photoncons_fesc(inputs: InputParameters) -> PhotonConsFit:
+    """F-PHOTONCONS: F_ESC10(z) = F_ESC10 * Q_analytic/Q_calibration, fitted
+    linearly in Q (Nion is ~linear in fesc, so the analytic history with the
+    boosted fesc overshoots by exactly the calibration deficit)."""
+    z_ana, q_ana = analytic_Q_history(inputs)
+    z_cal, xh_cal = calibrate_photon_cons(inputs)
+    q_ref = np.minimum(np.interp(z_cal, z_ana[::-1], q_ana[::-1]), 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = q_ref / np.maximum(1.0 - xh_cal, 1e-10)
+    targets = ratio * inputs.astro_params.fesc_10
+    sel = np.isfinite(targets) & (q_ref > _MIN_Q_FIT) & (q_ref < _MAX_Q_FIT)
+    if sel.sum() < 2:
+        slope, yint = 0.0, inputs.astro_params.fesc_10
+    else:
+        slope, yint = np.polyfit(q_ref[sel], targets[sel], 1)
+    return PhotonConsFit(
+        kind="fesc", fit_yint=float(yint), fit_slope=float(slope),
+        z_analytic=z_ana, Q_analytic=q_ana, q_targets=targets, z_cal=z_cal,
+    )
+
+
+def photoncons_alpha(inputs: InputParameters) -> PhotonConsFit:
+    """ALPHA-PHOTONCONS: find, per calibration redshift, the ALPHA_ESC whose
+    analytic history overshoots the fiducial by the calibration deficit
+    (Q(alpha)/Q_ref == Q_ref/Q_cal), then fit ALPHA_ESC = yint + slope*Q
+    (reference wrapper/photoncons.py:416-585, ratio criterion)."""
+    ap = inputs.astro_params
+    z_ana, q_ana = analytic_Q_history(inputs, n=256)
+    z_cal, xh_cal = calibrate_photon_cons(inputs)
+    q_ref = np.minimum(np.interp(z_cal, z_ana[::-1], q_ana[::-1]), 1.0)
+
+    alphas = ap.ALPHA_ESC + np.linspace(-2.0, 1.0, 31)
+    q_test = np.empty((alphas.size, z_cal.size))
+    for i, a in enumerate(alphas):
+        za, qa = analytic_Q_history(inputs.evolve_input_structs(ALPHA_ESC=a), n=256)
+        q_test[i] = np.interp(z_cal, za[::-1], qa[::-1])
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # Q(alpha)/Q_ref - Q_ref/Q_cal: root in alpha per redshift
+        crit = q_test / q_ref[None, :] - (
+            q_ref / np.maximum(1.0 - xh_cal, 1e-10)
+        )[None, :]
+    targets = np.full(z_cal.size, np.nan)
+    last_alpha = ap.ALPHA_ESC
+    for j in range(z_cal.size)[::-1]:
+        sign_flip = np.where(np.diff(np.sign(crit[:, j])))[0]
+        if sign_flip.size == 0:
+            continue
+        y0, y1 = crit[sign_flip, j], crit[sign_flip + 1, j]
+        x0, x1 = alphas[sign_flip], alphas[sign_flip + 1]
+        guesses = x0 - y0 * (x1 - x0) / (y1 - y0)
+        targets[j] = guesses[np.argmin(np.abs(guesses - last_alpha))]
+        last_alpha = targets[j]
+
+    sel = np.isfinite(targets) & (q_ref > _MIN_Q_FIT) & (q_ref < _MAX_Q_FIT)
+    if sel.sum() < 2:
+        slope, yint = 0.0, ap.ALPHA_ESC
+    else:
+        slope, yint = np.polyfit(q_ref[sel], targets[sel], 1)
+    return PhotonConsFit(
+        kind="alpha", fit_yint=float(yint), fit_slope=float(slope),
+        z_analytic=z_ana, Q_analytic=q_ana, q_targets=targets, z_cal=z_cal,
+    )
+
+
+def setup_photon_cons(inputs: InputParameters):
+    """Build (and cache) the photon-conservation state for these inputs.
+    Returns a PhotonConsState (Z-PHOTONCONS), a PhotonConsFit (ALPHA/F), or
+    None."""
+    pc_type = inputs.astro_options.PHOTON_CONS_TYPE
+    if pc_type == "NO-PHOTONCONS":
         return None
-    key = inputs.full_hash
+    key = (inputs.full_hash, pc_type)
     if key in _state_cache:
         return _state_cache[key]
+    if pc_type == "ALPHA-PHOTONCONS":
+        state = photoncons_alpha(inputs)
+        _state_cache[key] = state
+        return state
+    if pc_type == "F-PHOTONCONS":
+        state = photoncons_fesc(inputs)
+        _state_cache[key] = state
+        return state
 
     z_ana, q_ana = analytic_Q_history(inputs)
     z_cal, xh_cal = calibrate_photon_cons(inputs)

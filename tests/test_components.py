@@ -187,3 +187,42 @@ def test_fixed_grid_mean_fix_watson(inputs):
     expected = nion_u * cosmo.rho_crit * cosmo.OMb * sc.fstar_10 * sc.fesc_10 * sc.pop2_ion
     got = float(np.asarray(box.n_ion).mean())
     assert np.isclose(got, expected, rtol=1e-3)
+
+
+def test_photoncons_fesc_inverts_known_bias(inputs, monkeypatch):
+    """Inject a calibration that over-ionizes by 25%: the F-PHOTONCONS fit must
+    recover fesc_target ~ 0.8 * F_ESC10 (reference photoncons_fesc:587)."""
+    from py21cmfast_tpu.models import photoncons as pc
+
+    inp = inputs.evolve_input_structs(SOURCE_MODEL="E-INTEGRAL")
+    z_ana, q_ana = pc.analytic_Q_history(inp)
+
+    def fake_cal(inputs_, hii_dim_cal=32):
+        z_cal = np.linspace(5.0, 12.0, 30)
+        q = np.interp(z_cal, z_ana[::-1], q_ana[::-1])
+        return z_cal, 1.0 - np.clip(1.25 * q, 0.0, 1.0)  # 25% over-ionized
+
+    monkeypatch.setattr(pc, "calibrate_photon_cons", fake_cal)
+    fit = pc.photoncons_fesc(inp)
+    f0 = inp.astro_params.fesc_10
+    # targets should sit at fesc/1.25 = 0.8 fesc wherever Q is in range
+    v_mid = fit.value_at(float(z_ana[np.argmin(np.abs(q_ana - 0.5))]))
+    assert np.isclose(v_mid, 0.8 * f0, rtol=0.05)
+
+
+def test_photoncons_alpha_null_when_conserving(inputs, monkeypatch):
+    """A perfectly conserving calibration must return ALPHA_ESC unchanged."""
+    from py21cmfast_tpu.models import photoncons as pc
+
+    inp = inputs.evolve_input_structs(SOURCE_MODEL="E-INTEGRAL")
+    z_ana, q_ana = pc.analytic_Q_history(inp, n=256)
+
+    def fake_cal(inputs_, hii_dim_cal=32):
+        z_cal = np.linspace(5.0, 12.0, 30)
+        q = np.interp(z_cal, z_ana[::-1], q_ana[::-1])
+        return z_cal, 1.0 - q
+
+    monkeypatch.setattr(pc, "calibrate_photon_cons", fake_cal)
+    fit = pc.photoncons_alpha(inp)
+    a0 = inp.astro_params.ALPHA_ESC
+    assert abs(fit.value_at(8.0) - a0) < 0.1
