@@ -14,10 +14,13 @@ Architecture:
    per-cell ODE step + Wouthuysen-Field Ts solve (get_Ts_fast:1210-1384).
 
 Known approximations vs the reference (documented for parity review):
- * Ly-a *heating* (USE_LYA_HEATING) uses the missing-blob table in the
-   reference (`Lyman_alpha_heating_table.dat`, absent from the distribution);
-   here the continuum/injected heating terms are currently set to zero.
+ * Ly-a heating tables are *generated* from the Fokker-Planck solution
+   (models/lya_heating.py) rather than read from the reference's external
+   download (`Lyman_alpha_heating_table.dat`).
  * RECFAST initial conditions come from our own Peebles solver (~1% of RECFAST).
+ * The per-cell Mcrit box for the MCG SFRD uses LW + streaming-velocity
+   feedback (prev J_21_LW box, v_cb box); the reionization feedback term
+   (which needs the previous IonizedBox) is not yet included here.
 """
 
 from __future__ import annotations
@@ -40,6 +43,8 @@ __all__ = ["compute_spin_temperature"]
 
 MAX_TK = 5e4
 N_DELTA_SFRD = 400
+N_MTURN_TS = 24          # log10-Mturn axis of the MCG SFRD tables (LOG10_MTURN range)
+MT_TS_LO, MT_TS_HI = 5.0, 10.0
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +229,18 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
 # device kernel
 
 
+@jax.jit
+def _mcrit_lw_box(j21, vcb, zp, a_lw, beta_lw, a_vcb, beta_vcb, mturn_m_nofb):
+    """Per-cell log10 MCG turnover from LW + streaming-velocity feedback
+    (reference make_mturn boxes; Visbal+15 / Schauer+20 form as in
+    thermochem.c lyman_werner_threshold)."""
+    mcrit_nolw = 3.314e7 * (1.0 + zp) ** -1.5
+    f_lw = 1.0 + a_lw * jnp.maximum(j21, 0.0) ** beta_lw
+    sigmavcb = 25.86 * jnp.sqrt(3.0 * jnp.pi / 8.0)
+    f_vcb = (1.0 + a_vcb * vcb / sigmavcb) ** beta_vcb
+    return jnp.log10(jnp.maximum(mcrit_nolw * f_lw * f_vcb, mturn_m_nofb))
+
+
 def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
     """Trilinear gather on a (nt, ns, ng) table with uniform axes given as
     (min, max) bounds (reference interpolate_heating_efficiencies,
@@ -287,6 +304,8 @@ def _ts_kernel(
     pref_starlya_mini,
     pref_lw,
     pref_lw_mini,
+    mcrit_box,
+    mcrit_clip,
     # scalars
     inv_growth_pf,
     fstar10,
@@ -330,11 +349,30 @@ def _ts_kernel(
     else:
         delta_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
 
+    if use_minihalos and not lagrangian:
+        # filtered log10-Mcrit shells (reference fill_Rbox_table of
+        # log10_Mcrit_LW, SpinTemperatureBox.c:1464-1473; clipped below at the
+        # no-feedback LW threshold)
+        mc_k = fft.rfft3(mcrit_box)
+
+        def _one_mcrit(rd):
+            r, do_f = rd
+            filt = jax.lax.cond(
+                do_f,
+                lambda: filters.filter_kbox(mc_k, kmag, heat_filter, r),
+                lambda: mc_k,
+            )
+            return jnp.maximum(fft.irfft3(filt, shape), mcrit_clip)
+
+        mcrit_shells = jax.lax.map(_one_mcrit, (r_values, do_filter))
+    else:
+        mcrit_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
+
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
          th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, delta0,
-         table_mini, msfrd_mini, p_star_mini, p_lw, p_lw_mini) = xs
+         table_mini, msfrd_mini, p_star_mini, p_lw, p_lw_mini, mc_r) = xs
 
         if lagrangian:
             # halo-model shells already filtered (XraySourceBox); units folded
@@ -359,7 +397,21 @@ def _ts_kernel(
             sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
             # L_X * s/yr and the unit conversions are folded into the tables (host)
             if use_minihalos:
-                fcoll_mini = table_mini[i0] * (1 - frac) + table_mini[i0 + 1] * frac
+                # bilinear (log10 Mcrit, delta) gather from the per-shell 2D
+                # MCG SFRD table (reference calculate_sfrd_from_grid:1010-1060)
+                tm = (jnp.clip(mc_r, MT_TS_LO, MT_TS_HI) - MT_TS_LO) / (
+                    MT_TS_HI - MT_TS_LO
+                ) * (N_MTURN_TS - 1)
+                tm = jnp.clip(tm, 0.0, N_MTURN_TS - 1.001)
+                j0 = tm.astype(jnp.int32)
+                fm = tm - j0
+                v00 = table_mini[j0, i0]
+                v01 = table_mini[j0, i0 + 1]
+                v10 = table_mini[j0 + 1, i0]
+                v11 = table_mini[j0 + 1, i0 + 1]
+                fcoll_mini = (v00 * (1 - frac) + v01 * frac) * (1 - fm) + (
+                    v10 * (1 - frac) + v11 * frac
+                ) * fm
                 fcoll_mini = jnp.maximum(fcoll_mini, 1e-40)
                 ave_mini = jnp.maximum(jnp.mean(fcoll_mini), 1e-40)
                 sfr_term_mini = (
@@ -402,6 +454,7 @@ def _ts_kernel(
             tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
             sfr_shells, xray_shells, delta_shells,
             sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini, pref_lw, pref_lw_mini,
+            mcrit_shells,
         ),
     )
 
@@ -737,33 +790,52 @@ def compute_spin_temperature(
         ) / ap.t_STAR
     xray_r_factor = (1 + ladder.zpp) ** (-ap.X_RAY_SPEC_INDEX)
 
-    # minihalo (MCG) SFRD: shell-average LW turnover approximation — the
-    # filtered-Mturn-grid version (reference fill_Rbox_table of log10 Mcrit)
-    # lands with the full 2D tables next round
+    # minihalo (MCG) SFRD: per-cell log10-Mcrit box (LW + streaming feedback)
+    # filtered per shell in the kernel, gathered from 2D (Mcrit, delta) tables
+    # (reference fill_Rbox_table of log10_Mcrit_LW + calculate_sfrd_from_grid)
     use_minihalos = ao.USE_MINI_HALOS and not lagrangian
-    sfrd_tables_mini = np.zeros((n_r, N_DELTA_SFRD))
+    sfrd_tables_mini = np.zeros((n_r, 2, N_DELTA_SFRD))
     mean_sfrd_mini = np.zeros(n_r)
+    mcrit_box = jnp.zeros(shape, jnp.float32)
+    mcrit_clip = 0.0
     if use_minihalos:
-        j21_avg = float(jnp.mean(prev_state.J_21_LW)) if prev_state.J_21_LW is not None else 0.0
+        j21_box = (
+            prev_state.J_21_LW
+            if prev_state.J_21_LW is not None
+            else jnp.zeros(shape, jnp.float32)
+        )
+        vcb = (
+            initial_conditions.lowres_vcb
+            if (initial_conditions is not None
+                and getattr(initial_conditions, "lowres_vcb", None) is not None)
+            else jnp.full(shape, jnp.float32(sc_zp.vcb_const))
+        )
+        mcrit_box = _mcrit_lw_box(
+            j21_box, vcb, jnp.float32(redshift), jnp.float32(ap.A_LW),
+            jnp.float32(ap.BETA_LW), jnp.float32(ap.A_VCB),
+            jnp.float32(ap.BETA_VCB), jnp.float32(sc_zp.mturn_m_nofb),
+        )
+        mcrit_clip = float(np.log10(hmf.lyman_werner_threshold(redshift, 0.0, 0.0, ap)))
+        ave_mcrit = float(jnp.mean(mcrit_box))
+        mturn_axis = np.linspace(MT_TS_LO, MT_TS_HI, N_MTURN_TS)
+        sfrd_tables_mini = np.zeros((n_r, N_MTURN_TS, N_DELTA_SFRD))
+        hmf_i = hmf.HMF_NAMES[inputs.matter_options.HMF]
         for i in range(n_r):
             zpp = float(ladder.zpp[i])
             sc_pp = hmf.set_scaling_constants(zpp, inputs).without_esc()
-            mturn_m = float(
-                hmf.lyman_werner_threshold(zpp, j21_avg, sc_pp.vcb_const, ap)
-            )
-            mturn_m = max(mturn_m, sc_pp.mturn_m_nofb)
             sigma_cond = float(sigma_table.sigma_of_lnm(np.log(ladder.m_max[i])))
             deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_SFRD)
-            sfrd_tables_mini[i] = hmf.nion_conditional(
-                sigma_table, hmf.HMF_NAMES[inputs.matter_options.HMF],
-                ladder.growth[i], float(np.log(ladder.m_min[i])),
-                float(np.log(ladder.m_max[i])), sigma_cond, deltas,
-                mturn_m, sc_pp, mini=True,
-            )
+            for j, mt in enumerate(mturn_axis):
+                sfrd_tables_mini[i, j] = hmf.nion_conditional(
+                    sigma_table, hmf_i, ladder.growth[i],
+                    float(np.log(ladder.m_min[i])),
+                    float(np.log(ladder.m_max[i])), sigma_cond, deltas,
+                    10.0 ** mt, sc_pp, mini=True,
+                )
             mean_sfrd_mini[i] = hmf.nion_general_mini(
-                sigma_table, cosmo, hmf.HMF_NAMES[inputs.matter_options.HMF],
-                zpp, float(np.log(ladder.m_min[i])), np.log(hmf.M_MAX_INTEGRAL),
-                mturn_m, sc_pp,
+                sigma_table, cosmo, hmf_i, zpp,
+                float(np.log(ladder.m_min[i])), np.log(hmf.M_MAX_INTEGRAL),
+                10.0 ** max(ave_mcrit, mcrit_clip), sc_pp,
             )
 
     # ---------------- per-snapshot constants (set_zp_consts:1098-1183) -------
@@ -921,6 +993,8 @@ def compute_spin_temperature(
         jnp.asarray(starlya_mini_pref * lya_norm, jnp.float32),
         jnp.asarray(lw_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
         jnp.asarray(lw_mini_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
+        mcrit_box,
+        jnp.float32(mcrit_clip),
         jnp.float32(inv_growth_pf),
         jnp.float32(sc_zp.fstar_10),
         jnp.float32(sc_zp.fstar_7),

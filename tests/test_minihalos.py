@@ -128,3 +128,25 @@ def test_trapezoidal_nion_tracking(inputs):
     )
     # the trapezoidal global mean stays positive and grows toward low z
     assert float(last.ionized_box.mean_f_coll) > float(first.ionized_box.mean_f_coll) > 0
+
+
+def test_ts_mcrit_box_per_cell(inputs):
+    """Cells with higher v_cb must form fewer MCG stars: the per-cell Mcrit box
+    (LW + streaming) feeds the Ts shell SFRD via 2D tables."""
+    import jax.numpy as jnp
+    from py21cmfast_tpu.models.spintemp import _mcrit_lw_box
+
+    shape = (4, 4, 4)
+    j21 = jnp.zeros(shape, jnp.float32)
+    low_v = jnp.zeros(shape, jnp.float32)
+    high_v = jnp.full(shape, 40.0, jnp.float32)
+    ap = inputs.astro_params
+    args = (jnp.float32(15.0), jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
+            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB), jnp.float32(1e5))
+    m_lo = _mcrit_lw_box(j21, low_v, *args)
+    m_hi = _mcrit_lw_box(j21, high_v, *args)
+    assert float(m_hi.mean()) > float(m_lo.mean())
+    # zero feedback recovers the z-only threshold
+    assert np.isclose(
+        10.0 ** float(m_lo[0, 0, 0]), 3.314e7 * 16.0**-1.5, rtol=1e-5
+    )
