@@ -197,7 +197,11 @@ class SimulationOptions:
     N_COND_INTERP: int = field(default=200, converter=int)
     N_PROB_INTERP: int = field(default=400, converter=int)
     MIN_LOGPROB: float = field(default=-12, converter=float)
-    HALOMASS_CORRECTION: float = field(default=0.89, converter=float)
+    # NOTE: the reference defaults this to 0.89 to compensate its
+    # keep-the-overshoot sampling bias (Stochasticity.c:376-381); our sampler
+    # stops with an exactly-unbiased probabilistic crossing rule, so no
+    # correction is needed by default.
+    HALOMASS_CORRECTION: float = field(default=1.0, converter=float)
     PARKINSON_G0: float = field(default=1.0, converter=float)
     PARKINSON_y1: float = field(default=0.0, converter=float)
     PARKINSON_y2: float = field(default=0.0, converter=float)

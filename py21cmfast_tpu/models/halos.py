@@ -154,6 +154,7 @@ def _sample_cells_kernel(
         m_tgt = jnp.where(excl, 0.0, m_tgt)
 
         u = jax.random.uniform(key_c, (chunk, k_max), minval=1e-12, maxval=1.0)
+        u_keep = jax.random.uniform(jax.random.fold_in(key_c, 1), (chunk, k_max))
         # bilinear gather from the inverse CMF table
         tc = jnp.clip((d - d_lo) / (d_hi - d_lo) * (n_cond - 1), 0.0, n_cond - 1.001)
         ic0 = tc.astype(jnp.int32)
@@ -169,9 +170,17 @@ def _sample_cells_kernel(
         ln_m = (t00 * (1 - fp) + t01 * fp) * (1 - fc) + (t10 * (1 - fp) + t11 * fp) * fc
         m = jnp.exp(ln_m)
 
-        # mass-limited: keep while the exclusive running sum is below target
+        # mass-limited with a debiased stop: halos fully inside the budget are
+        # kept; the halo that CROSSES the budget is kept with probability
+        # (remaining budget)/m, which makes the expected kept mass exactly the
+        # target (replaces the reference's fix_mass_sample 50/50 keep-or-drop
+        # correction, Stochasticity.c:341-411, with an exactly-unbiased rule)
         csum_excl = jnp.cumsum(m, axis=1) - m
-        keep = (csum_excl < m_tgt[:, None]) & (m >= m_min)
+        csum_incl = csum_excl + m
+        inside = csum_incl <= m_tgt[:, None]
+        crossing = (csum_excl < m_tgt[:, None]) & (~inside)
+        p_keep = (m_tgt[:, None] - csum_excl) / m
+        keep = (inside | (crossing & (u_keep < p_keep))) & (m >= m_min)
 
         # compact into the global buffer
         keep_flat = keep.reshape(-1)
@@ -409,11 +418,24 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     cond_t = np.pad(cond_t, (0, pad))
     m_tgt = np.pad(m_tgt, (0, pad))
 
+    # rare-halo truncation (Stochasticity.c:385-392): descendants whose
+    # condition is a many-sigma peak refuse to split stochastically — hand
+    # them a single progenitor carrying the expected mass
+    sig_d = np.interp(ln_md, ln_mbins, sig_bins)
+    dcrit_d = hmf.get_delta_crit(
+        hmf_int if hmf_int in (0, 1, 4) else 0, sig_d, growth
+    )
+    rare = (sig_d * 7.0 * growth < dcrit_d)[:n] if n else np.zeros(0, bool)
+    m_tgt_full = m_tgt.copy()
+    m_tgt[: n][rare] = 0.0  # excluded from the stochastic path
+
     u = jax.random.uniform(key, (n + pad, k_max), minval=1e-12, maxval=1.0)
+    u_keep = jax.random.uniform(jax.random.fold_in(key, 11), (n + pad, k_max))
     masses_p, keep = _progenitor_draws(
         jnp.asarray(cond_t, jnp.float32),
         jnp.asarray(m_tgt, jnp.float32),
         u,
+        u_keep,
         jnp.asarray(inv_tab, jnp.float32),
         jnp.float32(so.MIN_LOGPROB),
         jnp.float32(m_min),
@@ -424,6 +446,12 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     # compact on host; inherit position and correlated rng from descendant
     desc_idx, prog_slot = np.nonzero(keep)
     new_masses = masses_p[desc_idx, prog_slot].astype(np.float32)
+    if rare.any():
+        rare_idx = np.nonzero(rare)[0]
+        desc_idx = np.concatenate([desc_idx, rare_idx])
+        new_masses = np.concatenate(
+            [new_masses, m_tgt_full[rare_idx].astype(np.float32)]
+        )
     pos = np.asarray(prev_cat.halo_coords)[:n_desc][desc_idx]
     corr = (so.CORR_STAR, so.CORR_SFR, so.CORR_LX)
     old_rng = (
@@ -448,7 +476,7 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
 
 
 @jax.jit
-def _progenitor_draws(cond_t, m_tgt, u, inv_table, lnp_min, m_min):
+def _progenitor_draws(cond_t, m_tgt, u, u_keep, inv_table, lnp_min, m_min):
     n_cond, n_prob = inv_table.shape
     ic0 = jnp.clip(cond_t.astype(jnp.int32), 0, n_cond - 2)
     fc = (cond_t - ic0)[:, None]
@@ -462,8 +490,13 @@ def _progenitor_draws(cond_t, m_tgt, u, inv_table, lnp_min, m_min):
     t11 = inv_table[ic0[:, None] + 1, ip0 + 1]
     ln_m = (t00 * (1 - fp) + t01 * fp) * (1 - fc) + (t10 * (1 - fp) + t11 * fp) * fc
     m = jnp.exp(ln_m)
+    # debiased crossing rule (see _sample_cells_kernel)
     csum_excl = jnp.cumsum(m, axis=1) - m
-    keep = (csum_excl < m_tgt[:, None]) & (m >= m_min)
+    csum_incl = csum_excl + m
+    inside = csum_incl <= m_tgt[:, None]
+    crossing = (csum_excl < m_tgt[:, None]) & (~inside)
+    p_keep = (m_tgt[:, None] - csum_excl) / m
+    keep = (inside | (crossing & (u_keep < p_keep))) & (m >= m_min)
     return m, keep
 
 
