@@ -119,7 +119,7 @@ def _sigma_table(inputs):
 
 @partial(
     jax.jit,
-    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape"),
+    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape", "number_limited"),
 )
 def _sample_cells_kernel(
     key,
@@ -138,8 +138,11 @@ def _sample_cells_kernel(
     capacity,
     n_chunks,
     lo_shape,
+    number_limited=False,
 ):
-    """Mass-limited sampling of all cells, compacted into a fixed buffer."""
+    """Mass- or number-limited sampling of all cells, compacted into a fixed
+    buffer (reference stoc_mass_sample / stoc_halo_sample,
+    Stochasticity.c:259-276, 374-411)."""
     n_cells = delta_cells.shape[0]
     chunk = n_cells // n_chunks
     n_cond, n_prob = inv_table.shape
@@ -175,12 +178,20 @@ def _sample_cells_kernel(
         # (remaining budget)/m, which makes the expected kept mass exactly the
         # target (replaces the reference's fix_mass_sample 50/50 keep-or-drop
         # correction, Stochasticity.c:341-411, with an exactly-unbiased rule)
-        csum_excl = jnp.cumsum(m, axis=1) - m
-        csum_incl = csum_excl + m
-        inside = csum_incl <= m_tgt[:, None]
-        crossing = (csum_excl < m_tgt[:, None]) & (~inside)
-        p_keep = (m_tgt[:, None] - csum_excl) / m
-        keep = (inside | (crossing & (u_keep < p_keep))) & (m >= m_min)
+        if number_limited:
+            # NUMBER-LIMITED: Poisson-draw the halo count from the expected
+            # CMF integral, ignore the mass budget (stoc_halo_sample:259)
+            n_cell = jax.lax.dynamic_slice_in_dim(nhalo_cells, sl, chunk)
+            n_cell = jnp.where(excl, 0.0, n_cell)
+            n_draw = jax.random.poisson(jax.random.fold_in(key_c, 2), n_cell)
+            keep = (jnp.arange(k_max)[None, :] < n_draw[:, None]) & (m >= m_min)
+        else:
+            csum_excl = jnp.cumsum(m, axis=1) - m
+            csum_incl = csum_excl + m
+            inside = csum_incl <= m_tgt[:, None]
+            crossing = (csum_excl < m_tgt[:, None]) & (~inside)
+            p_keep = (m_tgt[:, None] - csum_excl) / m
+            keep = (inside | (crossing & (u_keep < p_keep))) & (m >= m_min)
 
         # compact into the global buffer
         keep_flat = keep.reshape(-1)
@@ -223,6 +234,12 @@ def sample_halo_grid(
 ):
     """Sample the conditional MF in every lowres cell between SAMPLER_MIN_MASS
     and the cell mass (reference sample_halo_grids, Stochasticity.c:761-941)."""
+    method = inputs.matter_options.SAMPLE_METHOD
+    if method in ("PARTITION", "BINARY-SPLIT"):
+        raise NotImplementedError(
+            f"SAMPLE_METHOD={method!r} (sequential split-tree samplers) is not "
+            "implemented in the TPU port yet; use MASS-LIMITED or NUMBER-LIMITED"
+        )
     so = inputs.simulation_options
     cosmo = inputs.cosmology
     sigma_table = _sigma_table(inputs)
@@ -295,6 +312,7 @@ def sample_halo_grid(
         capacity=capacity,
         n_chunks=n_chunks,
         lo_shape=so.lowres_shape,
+        number_limited=method == "NUMBER-LIMITED",
     )
     return masses, pos, total
 
@@ -406,10 +424,14 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     mcoll_bins = hmf.mcoll_conditional(
         sigma_table, hmf_int, growth, np.log(m_min), ln_mbins, sig_bins, delta_bins
     ) * np.exp(ln_mbins)
+    nhalo_bins = hmf.nhalo_conditional(
+        sigma_table, hmf_int, growth, np.log(m_min), ln_mbins, sig_bins, delta_bins
+    ) * np.exp(ln_mbins)
 
     # per-descendant targets
     ln_md = np.log(np.maximum(masses_d, m_min))
     m_tgt = np.interp(ln_md, ln_mbins, mcoll_bins) * so.HALOMASS_CORRECTION
+    n_exp_d = np.interp(ln_md, ln_mbins, nhalo_bins)
     cond_t = np.interp(ln_md, ln_mbins, np.arange(n_cond).astype(float))
 
     k_max = 64  # progenitor multiplicity per step is small (dz ~ 2%)
@@ -417,6 +439,7 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     pad = (-n) % 256
     cond_t = np.pad(cond_t, (0, pad))
     m_tgt = np.pad(m_tgt, (0, pad))
+    n_exp_d = np.pad(n_exp_d, (0, pad))
 
     # rare-halo truncation (Stochasticity.c:385-392): descendants whose
     # condition is a many-sigma peak refuse to split stochastically — hand
@@ -428,6 +451,7 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     rare = (sig_d * 7.0 * growth < dcrit_d)[:n] if n else np.zeros(0, bool)
     m_tgt_full = m_tgt.copy()
     m_tgt[: n][rare] = 0.0  # excluded from the stochastic path
+    n_exp_d[: n][rare] = 0.0
 
     u = jax.random.uniform(key, (n + pad, k_max), minval=1e-12, maxval=1.0)
     u_keep = jax.random.uniform(jax.random.fold_in(key, 11), (n + pad, k_max))
@@ -439,6 +463,9 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
         jnp.asarray(inv_tab, jnp.float32),
         jnp.float32(so.MIN_LOGPROB),
         jnp.float32(m_min),
+        n_exp=jnp.asarray(n_exp_d, jnp.float32),
+        key=jax.random.fold_in(key, 13),
+        number_limited=inputs.matter_options.SAMPLE_METHOD == "NUMBER-LIMITED",
     )
     masses_p = np.asarray(masses_p)[:n]
     keep = np.asarray(keep)[:n]
@@ -475,8 +502,9 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     )
 
 
-@jax.jit
-def _progenitor_draws(cond_t, m_tgt, u, u_keep, inv_table, lnp_min, m_min):
+@partial(jax.jit, static_argnames=("number_limited",))
+def _progenitor_draws(cond_t, m_tgt, u, u_keep, inv_table, lnp_min, m_min,
+                      n_exp=None, key=None, *, number_limited=False):
     n_cond, n_prob = inv_table.shape
     ic0 = jnp.clip(cond_t.astype(jnp.int32), 0, n_cond - 2)
     fc = (cond_t - ic0)[:, None]
@@ -490,6 +518,11 @@ def _progenitor_draws(cond_t, m_tgt, u, u_keep, inv_table, lnp_min, m_min):
     t11 = inv_table[ic0[:, None] + 1, ip0 + 1]
     ln_m = (t00 * (1 - fp) + t01 * fp) * (1 - fc) + (t10 * (1 - fp) + t11 * fp) * fc
     m = jnp.exp(ln_m)
+    if number_limited:
+        k_max = m.shape[1]
+        n_draw = jax.random.poisson(key, n_exp)
+        keep = (jnp.arange(k_max)[None, :] < n_draw[:, None]) & (m >= m_min)
+        return m, keep
     # debiased crossing rule (see _sample_cells_kernel)
     csum_excl = jnp.cumsum(m, axis=1) - m
     csum_incl = csum_excl + m

@@ -226,3 +226,35 @@ def test_photoncons_alpha_null_when_conserving(inputs, monkeypatch):
     fit = pc.photoncons_alpha(inp)
     a0 = inp.astro_params.ALPHA_ESC
     assert abs(fit.value_at(8.0) - a0) < 0.1
+
+
+def test_number_limited_sampler(inputs):
+    """NUMBER-LIMITED sampling: halo count is Poisson around the expected CMF
+    integral (reference stoc_halo_sample, Stochasticity.c:259-276)."""
+    from py21cmfast_tpu.models import hmf
+    from py21cmfast_tpu.models.ionization import _get_sigma_table
+
+    inp = inputs.evolve_input_structs(
+        SAMPLER_MIN_MASS=1e9, HII_DIM=8, DIM=16, BOX_LEN=24.0,
+        SAMPLE_METHOD="NUMBER-LIMITED",
+    )
+    n_cond = 2048
+    res = cfuncs.sample_halos_from_conditions(inp, 8.0, np.full(n_cond, 0.5), seed=3)
+    st = _get_sigma_table(inp)
+    cosmo = inp.cosmology
+    growth = float(cosmo.dicke(8.0))
+    m_cond = cosmo.rho_mean * 3.0**3
+    sig_c = float(st.sigma_of_lnm(np.log(m_cond)))
+    n_exp = hmf.nhalo_conditional(
+        st, hmf.HMF_NAMES[inp.matter_options.HMF], growth, np.log(1e9),
+        np.array([np.log(m_cond)]), np.array([sig_c]), np.array([0.5]),
+    )[0] * m_cond
+    assert np.isclose(len(res["halo_masses"]) / n_cond, n_exp, rtol=0.1)
+
+
+def test_partition_method_raises(inputs):
+    inp = inputs.evolve_input_structs(
+        SAMPLE_METHOD="BINARY-SPLIT", HII_DIM=8, DIM=16, BOX_LEN=24.0
+    )
+    with pytest.raises(NotImplementedError):
+        cfuncs.sample_halos_from_conditions(inp, 8.0, np.full(4, 0.5), seed=3)
