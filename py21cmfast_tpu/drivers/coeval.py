@@ -210,6 +210,7 @@ def generate_coeval(
                 prev_redshift=prev_z,
                 initial_conditions=initial_conditions,
                 source_box=source_box,
+                previous_ionized_box=prev_ion,
             )
 
         ion = compute_ionization_field(

@@ -18,9 +18,8 @@ Known approximations vs the reference (documented for parity review):
    (models/lya_heating.py) rather than read from the reference's external
    download (`Lyman_alpha_heating_table.dat`).
  * RECFAST initial conditions come from our own Peebles solver (~1% of RECFAST).
- * The per-cell Mcrit box for the MCG SFRD uses LW + streaming-velocity
-   feedback (prev J_21_LW box, v_cb box); the reionization feedback term
-   (which needs the previous IonizedBox) is not yet included here.
+ * The per-cell Mcrit box for the MCG SFRD includes LW, streaming-velocity,
+   and (when the previous IonizedBox is passed) reionization feedback.
 """
 
 from __future__ import annotations
@@ -689,6 +688,7 @@ def compute_spin_temperature(
     prev_redshift: float | None = None,
     initial_conditions=None,
     source_box: XraySourceBox | None = None,
+    previous_ionized_box=None,
 ):
     """Compute the TsBox at `redshift`, evolving from the previous snapshot.
 
@@ -810,10 +810,28 @@ def compute_spin_temperature(
                 and getattr(initial_conditions, "lowres_vcb", None) is not None)
             else jnp.full(shape, jnp.float32(sc_zp.vcb_const))
         )
-        mcrit_box = _mcrit_lw_box(
-            j21_box, vcb, jnp.float32(redshift), jnp.float32(ap.A_LW),
-            jnp.float32(ap.BETA_LW), jnp.float32(ap.A_VCB),
-            jnp.float32(ap.BETA_VCB), jnp.float32(sc_zp.mturn_m_nofb),
+        # full feedback turnover: LW + streaming + Sobacchi-Mesinger
+        # reionization feedback when the previous IonizedBox is available
+        from .ionization import _mcrit_kernel
+
+        prev_g12 = (
+            previous_ionized_box.ionisation_rate_G12
+            if previous_ionized_box is not None
+            else jnp.zeros(shape, jnp.float32)
+        )
+        prev_zre = (
+            previous_ionized_box.z_reion
+            if previous_ionized_box is not None
+            else jnp.full(shape, -1.0, jnp.float32)
+        )
+        _, mcrit_box = _mcrit_kernel(
+            prev_g12, prev_zre, j21_box,
+            jnp.float32(redshift),
+            jnp.float32(sc_zp.mturn_a_nofb),
+            jnp.float32(sc_zp.mturn_m_nofb),
+            vcb,
+            jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
+            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
         )
         mcrit_clip = float(np.log10(hmf.lyman_werner_threshold(redshift, 0.0, 0.0, ap)))
         ave_mcrit = float(jnp.mean(mcrit_box))
