@@ -15,7 +15,17 @@ from ..cosmology.constants import physconst
 from ..inputs import InputParameters
 from ..outputs import BrightnessTemp, IonizedBox, PerturbedField, TsBox
 
-__all__ = ["brightness_temperature"]
+__all__ = ["brightness_temperature", "brightness_constant"]
+
+
+def brightness_constant(inputs: InputParameters, redshift: float) -> float:
+    """The saturated-Ts Tb prefactor in mK (BrightnessTemperatureBox.c:49-53)."""
+    cp = inputs.cosmo_params
+    return (
+        27.0
+        * (cp.OMb * cp.hlittle**2 / 0.023)
+        * ((0.15 / cp.OMm / cp.hlittle**2) * (1.0 + redshift) / 10.0) ** 0.5
+    )
 
 
 @partial(jax.jit, static_argnames=("use_ts",))
@@ -37,13 +47,8 @@ def brightness_temperature(
     spin_temp: TsBox | None = None,
 ) -> BrightnessTemp:
     redshift = float(ionized_box.redshift)
-    cp = inputs.cosmo_params
     t_rad = physconst.T_cmb * (1 + redshift)
-    const_factor = (
-        27.0
-        * (cp.OMb * cp.hlittle**2 / 0.023)
-        * ((0.15 / cp.OMm / cp.hlittle**2) * (1.0 + redshift) / 10.0) ** 0.5
-    )
+    const_factor = brightness_constant(inputs, redshift)
     tb, tau = _tb_kernel(
         ionized_box.neutral_fraction,
         perturbed_field.density,

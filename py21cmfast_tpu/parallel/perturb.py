@@ -1,0 +1,235 @@
+"""Mesh-sharded perturbed-field step: slab-local CIC deposit with ppermute
+halo exchange (the multi-chip equivalent of models/perturb.py).
+
+Decomposition: hires "particles" (one per hires cell) live on x-slabs; each
+shard deposits its particles into a margin-extended local lowres buffer, then
+the margins ride `ppermute` to the neighboring shards (periodic in x via the
+modular permutation).  The margin is sized on the host from the actual maximum
+x-displacement, so no particle ever scatters beyond one neighbor.
+
+Reference equivalents: PerturbedField.c:389-496 (move + deposit),
+compute_perturbed_velocities:284-388 (k-space velocities, here with the
+distributed FFT from parallel/pfft.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..cosmology.constants import FRACT_FLOAT_ERR
+from . import pfft
+from .mesh import GRID_AXIS
+
+__all__ = ["build_sharded_lowres_ics", "build_sharded_perturb"]
+
+
+def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens):
+    """Sharded GRF + lowres density + lowres displacement fields.
+
+    Returns jitted fn(white, ln_k, sqrtp) -> (hires_density, lowres_density,
+    psi_x, psi_y, psi_z), x-slab sharded (hires_density at the hires
+    resolution; the rest at lowres).  Matches the
+    single-device `_filtered_sample` + `_gradient_field` pipeline: tophat
+    filter at the lowres cell scale (when DIM != HII_DIM), strided subsample.
+    """
+    from ..cosmology.constants import physconst
+    from ..ops import filters
+
+    n_shards = mesh.devices.size
+    nx, ny, nz = hi_shape
+    n_tot = nx * ny * nz
+    volume = box_lens[0] * box_lens[1] * box_lens[2]
+    amp_fac = np.float32(np.sqrt(n_tot / volume))
+    do_filter = hi_shape[0] != lo_shape[0]
+    smooth_R = physconst.l_factor * box_lens[0] / lo_shape[0]
+    ratio = hi_shape[0] // lo_shape[0]
+    if do_filter:
+        assert (nx // n_shards) % ratio == 0, (
+            "hires slab must contain whole subsampling strides"
+        )
+
+    def _subsample_local(x):
+        if not do_filter:
+            return x
+        return x[::ratio, ::ratio, ::ratio]
+
+    def per_shard(white, ln_k, sqrtp):
+        d_k = pfft.rfft3(white)
+        kx, ky, kz = pfft.local_k_axes(hi_shape, box_lens, n_shards)
+        kmag = jnp.sqrt(
+            kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
+        )
+        lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
+        amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k, sqrtp), 0.0) * amp_fac
+        d_k = d_k * amp
+        hires_density = pfft.irfft3(d_k, nz)
+        d_k_f = (
+            filters.filter_kbox(d_k, kmag, filters.TOPHAT, smooth_R)
+            if do_filter
+            else d_k
+        )
+        density = _subsample_local(pfft.irfft3(d_k_f, nz))
+        ksq = kmag * kmag
+        ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+
+        def grad(kvec):
+            g = jnp.where(ksq > 0, d_k_f * (1j * kvec / ksq_safe), 0.0)
+            return _subsample_local(pfft.irfft3(g, nz))
+
+        psi_x = grad(kx[:, None, None])
+        psi_y = grad(ky[None, :, None])
+        psi_z = grad(kz[None, None, :])
+        return hires_density, density, psi_x, psi_y, psi_z
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(GRID_AXIS, None, None), P(), P()),
+        out_specs=(P(GRID_AXIS, None, None),) * 5,
+    )
+    return jax.jit(sharded)
+
+
+def _cic_scatter_buffer(buf, px_b, py, pz, mass, n_buf_x, ny, nz):
+    """8-corner CIC into a flattened margin-extended buffer: x clamped into
+    the buffer (no wrap — margins handle the overflow), y/z periodic."""
+    x0 = jnp.floor(px_b)
+    y0 = jnp.floor(py)
+    z0 = jnp.floor(pz)
+    fx = px_b - x0
+    fy = py - y0
+    fz = pz - z0
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, n_buf_x - 2)
+    iy0 = y0.astype(jnp.int32) % ny
+    iz0 = z0.astype(jnp.int32) % nz
+    for dx in (0, 1):
+        wx = (1.0 - fx) if dx == 0 else fx
+        ix = ix0 + dx
+        for dy in (0, 1):
+            wy = (1.0 - fy) if dy == 0 else fy
+            iy = (iy0 + dy) % ny
+            for dz in (0, 1):
+                wz = (1.0 - fz) if dz == 0 else fz
+                iz = (iz0 + dz) % nz
+                idx = (ix * ny + iy) * nz + iz
+                buf = buf.at[idx.reshape(-1)].add(
+                    (mass * wx * wy * wz).reshape(-1)
+                )
+    return buf
+
+
+def build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin: int):
+    """Return jitted fn(hires_density, psi_x, psi_y, psi_z, d_init, fac_za,
+    mass_factor, dDdt_over_D) -> (delta, v_z), x-slab sharded at lowres.
+
+    `psi_*` are the lowres displacement slabs from build_sharded_lowres_ics;
+    `margin` must bound the maximum |x displacement| in lowres cells (host
+    computes it from max|psi_x| * fac_za * HII/BOX + padding).
+    """
+    n_shards = mesh.devices.size
+    nx_h, ny_h, nz_h = hi_shape
+    nx_l, ny_l, nz_l = lo_shape
+    nxh_loc = nx_h // n_shards
+    nxl_loc = nx_l // n_shards
+    assert margin <= nxl_loc, "displacement margin exceeds the slab width"
+    ratio = nx_h / nx_l
+    n_buf_x = nxl_loc + 2 * margin
+    perm_to_left = [(s, (s - 1) % n_shards) for s in range(n_shards)]
+    perm_to_right = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+
+    # hires index -> lowres (pt) grid index for displacement gathers
+    map_loc = ((np.arange(nxh_loc) * (nx_l / nx_h) + 0.5).astype(np.int32))
+    needs_next = map_loc.max() >= nxl_loc  # gather may touch neighbor's 1st row
+    map_y = ((np.arange(ny_h) * (ny_l / ny_h) + 0.5).astype(np.int32)) % ny_l
+    map_z = ((np.arange(nz_h) * (nz_l / nz_h) + 0.5).astype(np.int32)) % nz_l
+
+    def per_shard(hires_density, psi_x, psi_y, psi_z, d_init, fac_za,
+                  mass_factor, dDdt_over_D):
+        sid = jax.lax.axis_index(GRID_AXIS)
+        x0_glob_l = sid * nxl_loc  # this shard's first lowres row
+        # extend the displacement slabs with 1 row from the right neighbor
+        def extend(v):
+            if not needs_next:
+                return v
+            first = v[:1]
+            recv = jax.lax.ppermute(first, GRID_AXIS, perm_to_left)
+            return jnp.concatenate([v, recv], axis=0)
+
+        vx = extend(psi_x)
+        vy = extend(psi_y)
+        vz = extend(psi_z)
+
+        ix_l = jnp.asarray(map_loc)  # local lowres row per hires row
+        iy_l = jnp.asarray(map_y)
+        iz_l = jnp.asarray(map_z)
+        disp = jnp.float32(fac_za)
+        sx = disp * nx_l / box_lens[0]
+        sy = disp * ny_l / box_lens[1]
+        sz = disp * nz_l / box_lens[2]
+
+        def g(v):
+            return v[ix_l][:, iy_l][:, :, iz_l]
+
+        ix_glob_h = sid * nxh_loc + jnp.arange(nxh_loc, dtype=jnp.float32)
+        px = ix_glob_h[:, None, None] * jnp.float32(1.0 / ratio) + g(vx) * sx
+        py = (
+            jnp.arange(ny_h, dtype=jnp.float32)[None, :, None]
+            * jnp.float32(ny_l / ny_h)
+            + g(vy) * sy
+        )
+        pz = (
+            jnp.arange(nz_h, dtype=jnp.float32)[None, None, :]
+            * jnp.float32(nz_l / nz_h)
+            + g(vz) * sz
+        )
+        mass = 1.0 + hires_density * d_init
+        # into buffer coordinates (buffer row b == global row x0_glob_l - m + b)
+        px_b = px - jnp.float32(x0_glob_l) + jnp.float32(margin)
+
+        buf = jnp.zeros(n_buf_x * ny_l * nz_l, jnp.float32)
+        buf = _cic_scatter_buffer(buf, px_b, py, pz, mass, n_buf_x, ny_l, nz_l)
+        buf = buf.reshape(n_buf_x, ny_l, nz_l)
+
+        # halo exchange: my left margin belongs to the left neighbor's tail,
+        # my right margin to the right neighbor's head
+        left = buf[:margin]
+        right = buf[margin + nxl_loc:]
+        from_right = jax.lax.ppermute(left, GRID_AXIS, perm_to_left)
+        from_left = jax.lax.ppermute(right, GRID_AXIS, perm_to_right)
+        interior = buf[margin: margin + nxl_loc]
+        interior = interior.at[nxl_loc - margin:].add(from_right)
+        interior = interior.at[:margin].add(from_left)
+
+        delta = interior * mass_factor - 1.0
+        # velocities via the distributed FFT (kz is the unsharded axis)
+        d_k = pfft.rfft3(delta)
+        kx, ky, kz = pfft.local_k_axes(lo_shape, box_lens, n_shards)
+        ksq = (
+            kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
+        )
+        ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+        v_k = jnp.where(
+            ksq > 0, d_k * (1j * kz[None, None, :] * dDdt_over_D / ksq_safe), 0.0
+        )
+        v_z = pfft.irfft3(v_k, nz_l)
+        delta = jnp.maximum(delta, -1.0 + FRACT_FLOAT_ERR)
+        return delta, v_z
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(GRID_AXIS, None, None),
+            P(GRID_AXIS, None, None),
+            P(GRID_AXIS, None, None),
+            P(GRID_AXIS, None, None),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(P(GRID_AXIS, None, None), P(GRID_AXIS, None, None)),
+    )
+    return jax.jit(sharded)

@@ -131,3 +131,29 @@ def test_sharded_snapshot_matches_single_device(mesh8):
     mismatched = np.abs(got - want) > 2e-3
     assert mismatched.mean() < 0.005, f"{mismatched.sum()} cells differ"
     np.testing.assert_allclose(got[~mismatched], want[~mismatched], rtol=1e-3, atol=2e-3)
+
+
+def test_sharded_coeval_matches_single_device():
+    """Full sharded driver (ICs -> perturb w/ halo exchange -> ionize -> Tb)
+    matches the single-device pipeline at float32 precision."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.parallel.driver import run_sharded_coeval
+    from py21cmfast_tpu.parallel.mesh import make_mesh
+
+    inputs = p21.InputParameters(random_seed=9).evolve_input_structs(
+        HII_DIM=24, DIM=48, BOX_LEN=36.0, SOURCE_MODEL="E-INTEGRAL",
+        PERTURB_ALGORITHM="ZELDOVICH",
+    )
+    mesh = make_mesh(8)
+    o = run_sharded_coeval(inputs, [8.0], mesh=mesh)[0]
+
+    ics = p21.compute_initial_conditions(inputs)
+    pf = p21.perturb_field(8.0, inputs, ics)
+    ion = p21.compute_ionization_field(8.0, inputs, pf)
+
+    d_sh, d1 = np.asarray(o.density), np.asarray(pf.density)
+    assert np.sqrt(np.mean((d_sh - d1) ** 2)) < 1e-4 * d1.std() + 1e-6
+    xh_sh, xh1 = np.asarray(o.neutral_fraction), np.asarray(ion.neutral_fraction)
+    assert abs(xh_sh.mean() - xh1.mean()) < 1e-3
+    # threshold cells may flip from FFT roundoff; require < 0.5% mismatch
+    assert np.mean(np.round(xh_sh, 3) != np.round(xh1, 3)) < 5e-3
