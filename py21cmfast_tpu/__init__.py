@@ -26,6 +26,7 @@ from .inputs import (
     InputParameters,
     MatterOptions,
     SimulationOptions,
+    register_class_transfer,
 )
 from .outputs import (
     BrightnessTemp,

@@ -33,6 +33,7 @@ __all__ = [
     "AstroOptions",
     "AstroParams",
     "InputParameters",
+    "register_class_transfer",
 ]
 
 
@@ -505,7 +506,11 @@ class InputParameters:
     # convenience accessors used everywhere in the model layer
     @property
     def cosmology(self) -> Cosmology:
-        return _cached_cosmology(self.cosmo_params, self.matter_options.power_spectrum_int)
+        return _cached_cosmology(
+            self.cosmo_params,
+            self.matter_options.power_spectrum_int,
+            _class_transfer["version"],
+        )
 
     def _hash_of(self, *groups) -> str:
         h = hashlib.md5()
@@ -540,7 +545,52 @@ class InputParameters:
         )
 
 
+# externally-computed CLASS transfer tables (the reference runs classy at
+# runtime, wrapper/classy_interface.py; classy is not bundled here, so the
+# user registers the tables once per process)
+_class_transfer = {"version": 0, "density": None, "vcb": None}
+
+
+def register_class_transfer(k, transfer_density, k_vcb=None, transfer_vcb=None):
+    """Register CLASS transfer-function tables for POWER_SPECTRUM='CLASS'.
+
+    `transfer_density` follows the CLASS convention (T ~ delta(k, z=0)/zeta(k),
+    so T ~ k^2 at low k); `transfer_vcb` (optional) is the relative-velocity
+    transfer in units of v/c, as ingested by the reference
+    (cosmology.c:310 power_in_vcb)."""
+    _class_transfer["density"] = (
+        np.asarray(k, np.float64), np.asarray(transfer_density, np.float64)
+    )
+    if transfer_vcb is not None:
+        _class_transfer["vcb"] = (
+            np.asarray(k_vcb if k_vcb is not None else k, np.float64),
+            np.asarray(transfer_vcb, np.float64),
+        )
+    _class_transfer["version"] += 1
+    _cached_cosmology.cache_clear()
+
+
 @lru_cache(maxsize=8)
-def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int) -> Cosmology:
+def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0) -> Cosmology:
     # sigma_norm quadrature is the expensive part; cache per parameter set
-    return cosmo_params.cosmology(power_spectrum=ps_int)
+    table = None
+    if ps_int == 5:
+        table = _class_transfer["density"]
+        if table is None:
+            raise ValueError(
+                "POWER_SPECTRUM='CLASS' needs transfer tables: call "
+                "py21cmfast_tpu.register_class_transfer(k, T[, k_vcb, T_vcb]) "
+                "with the output of a CLASS run first"
+            )
+    cosmo = cosmo_params.cosmology(power_spectrum=ps_int, transfer_table=table)
+    if ps_int == 5 and _class_transfer["vcb"] is not None:
+        kv, tv = _class_transfer["vcb"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p_vcb = (
+                cosmo.sigma_norm
+                * cosmo.primordial_curvature_power(kv)
+                * (tv * physconst.c_cms / 1e5) ** 2
+                / kv**3
+            )
+        cosmo.set_vcb_power_table(kv, np.where(kv > 0, p_vcb, 0.0))
+    return cosmo

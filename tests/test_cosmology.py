@@ -95,3 +95,37 @@ def test_ddicke_dt_negative(cosmo):
     # D grows with time; dt/dz < 0 so ddicke_dt must be > 0
     assert cosmo.ddicke_dt(10.0) > 0
     assert cosmo.dtdz(10.0) < 0
+
+
+def test_class_transfer_registration():
+    """POWER_SPECTRUM='CLASS' with a registered table: a table generated from
+    the EH transfer must reproduce the EH power spectrum, and an unregistered
+    CLASS request must raise with guidance."""
+    import pytest
+
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu import inputs as inp_mod
+
+    saved = dict(inp_mod._class_transfer)
+    try:
+        inp_mod._class_transfer.update({"density": None, "vcb": None})
+        inp_mod._cached_cosmology.cache_clear()
+        bad = p21.InputParameters(random_seed=1).evolve_input_structs(
+            POWER_SPECTRUM="CLASS"
+        )
+        with pytest.raises(ValueError, match="register_class_transfer"):
+            _ = bad.cosmology
+
+        ref = p21.InputParameters(random_seed=1)
+        cosmo_eh = ref.cosmology
+        k = np.logspace(-4, 2.3, 800)
+        t_eh = cosmo_eh.transfer_function(k) * k**2  # CLASS convention ~ k^2
+        p21.register_class_transfer(k, t_eh)
+        cl = bad.cosmology
+        kt = np.logspace(-3, 1, 50)
+        np.testing.assert_allclose(
+            cl.power_in_k(kt), cosmo_eh.power_in_k(kt), rtol=2e-3
+        )
+    finally:
+        inp_mod._class_transfer.update(saved)
+        inp_mod._cached_cosmology.cache_clear()
