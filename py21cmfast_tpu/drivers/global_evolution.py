@@ -66,7 +66,7 @@ def run_global_evolution(
     ts_state, prev_z, prev_q = None, None, None
     for z in node_z:
         pf = PerturbedField(
-            redshift=jnp.float32(z),
+            redshift=np.float32(z),
             density=jnp.zeros(shape, jnp.float32),
             velocity_z=jnp.zeros(shape, jnp.float32),
         )
@@ -102,14 +102,14 @@ def run_global_evolution(
             g12 = 0.0
 
         ion = IonizedBox(
-            redshift=jnp.float32(z),
+            redshift=np.float32(z),
             neutral_fraction=jnp.full(shape, q_hi, jnp.float32),
             z_reion=jnp.full(shape, -1.0 if q_hi > 0 else z, jnp.float32),
             ionisation_rate_G12=jnp.full(shape, g12, jnp.float32),
-            mean_f_coll=jnp.float32(nion),
-            mean_f_coll_MINI=jnp.float32(0.0),
-            log10_Mturnover_ave=jnp.float32(np.log10(sc.mturn_a_nofb)),
-            log10_Mturnover_MINI_ave=jnp.float32(0.0),
+            mean_f_coll=np.float32(nion),
+            mean_f_coll_MINI=np.float32(0.0),
+            log10_Mturnover_ave=np.float32(np.log10(sc.mturn_a_nofb)),
+            log10_Mturnover_MINI_ave=np.float32(0.0),
         )
         if ao.USE_TS_FLUCT:
             # fold the x-ray pre-ionization into the neutral fraction

@@ -9,6 +9,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..cosmology.constants import physconst
@@ -58,4 +59,4 @@ def brightness_temperature(
         jnp.float32(1.0 + redshift),
         use_ts=spin_temp is not None,
     )
-    return BrightnessTemp(redshift=jnp.float32(redshift), brightness_temp=tb, tau_21=tau)
+    return BrightnessTemp(redshift=np.float32(redshift), brightness_temp=tb, tau_21=tau)

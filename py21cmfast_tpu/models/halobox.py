@@ -156,15 +156,15 @@ def compute_halo_grid(
     )
     inv_vol = jnp.float32(1.0 / cell_vol)
     box = HaloBox(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         n_ion=n_ion_g * inv_vol,
         halo_sfr=sfr_g * inv_vol,
         whalo_sfr=wsfr_g * inv_vol,
         halo_xray=xray_g * inv_vol,
         halo_stars=stars_g * inv_vol,
         count=count_g,
-        log10_Mcrit_ACG_ave=jnp.float32(np.log10(sc.mturn_a_nofb)),
-        log10_Mcrit_MCG_ave=jnp.float32(0.0),
+        log10_Mcrit_ACG_ave=np.float32(np.log10(sc.mturn_a_nofb)),
+        log10_Mcrit_MCG_ave=np.float32(0.0),
     )
     if lagrangian_delta is not None:
         sub = compute_fixed_halo_grid(
@@ -298,12 +298,12 @@ def compute_fixed_halo_grid(
             sfrd_rel = sfrd_rel * jnp.float32(sfrd_u / sfrd_mean)
 
     return HaloBox(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         n_ion=nion_rel * jnp.float32(prefactor_nion),
         halo_sfr=sfrd_rel * jnp.float32(prefactor_sfr),
         whalo_sfr=nion_rel * jnp.float32(prefactor_wsfr),
         halo_xray=sfrd_rel * jnp.float32(prefactor_xray),
         halo_stars=sfrd_rel * jnp.float32(prefactor_stars),
-        log10_Mcrit_ACG_ave=jnp.float32(np.log10(sc.mturn_a_nofb)),
-        log10_Mcrit_MCG_ave=jnp.float32(0.0),
+        log10_Mcrit_ACG_ave=np.float32(np.log10(sc.mturn_a_nofb)),
+        log10_Mcrit_MCG_ave=np.float32(0.0),
     )

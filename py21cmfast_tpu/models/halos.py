@@ -380,13 +380,13 @@ def determine_halo_catalog(
 
     star_rng, sfr_rng, xray_rng = _property_rng(jax.random.fold_in(key, 99), n)
     return HaloCatalog(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         halo_masses=jnp.asarray(all_masses),
         halo_coords=jnp.asarray(all_pos),
         star_rng=star_rng,
         sfr_rng=sfr_rng,
         xray_rng=xray_rng,
-        n_halos=jnp.int32(n),
+        n_halos=np.int32(n),
     )
 
 
@@ -492,13 +492,13 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
         for c, o, f in zip(corr, old_rng, fresh)
     ]
     return HaloCatalog(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         halo_masses=jnp.asarray(new_masses),
         halo_coords=jnp.asarray(pos.astype(np.float32)),
         star_rng=jnp.asarray(new_rng[0]),
         sfr_rng=jnp.asarray(new_rng[1]),
         xray_rng=jnp.asarray(new_rng[2]),
-        n_halos=jnp.int32(len(new_masses)),
+        n_halos=np.int32(len(new_masses)),
     )
 
 
@@ -570,7 +570,7 @@ def perturb_halo_catalog(
     new_pos = (pos + disp) % box
 
     return PerturbedHaloCatalog(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         halo_masses=catalog.halo_masses,
         halo_coords=new_pos,
         star_rng=catalog.star_rng,

@@ -546,14 +546,14 @@ def compute_ionization_field(
         else:
             xh = jnp.full(shape, 1.0 - float(rec_hist.x_e(redshift)), jnp.float32)
         return IonizedBox(
-            redshift=jnp.float32(stored_redshift),
+            redshift=np.float32(stored_redshift),
             neutral_fraction=xh,
             z_reion=prev_z_reion,
             ionisation_rate_G12=jnp.zeros(shape, jnp.float32),
-            mean_f_coll=jnp.float32(mean_fcoll),
-            mean_f_coll_MINI=jnp.float32(0.0),
-            log10_Mturnover_ave=jnp.float32(log10_mturn_ave),
-            log10_Mturnover_MINI_ave=jnp.float32(0.0),
+            mean_f_coll=np.float32(mean_fcoll),
+            mean_f_coll_MINI=np.float32(0.0),
+            log10_Mturnover_ave=np.float32(log10_mturn_ave),
+            log10_Mturnover_MINI_ave=np.float32(0.0),
         )
 
     # --- minihalo turnover-mass grids + 2D tables (calculate_mcrit_boxes:403) ---
@@ -826,14 +826,14 @@ def compute_ionization_field(
             cumulative_rec = rec_box + jnp.float32(d_nrec)
 
     return IonizedBox(
-        redshift=jnp.float32(stored_redshift),
+        redshift=np.float32(stored_redshift),
         neutral_fraction=xh,
         z_reion=z_reion,
         ionisation_rate_G12=gamma,
-        mean_f_coll=jnp.float32(mean_fcoll),
-        mean_f_coll_MINI=jnp.float32(mean_fcoll_mini),
-        log10_Mturnover_ave=jnp.float32(log10_mturn_ave),
-        log10_Mturnover_MINI_ave=jnp.float32(
+        mean_f_coll=np.float32(mean_fcoll),
+        mean_f_coll_MINI=np.float32(mean_fcoll_mini),
+        log10_Mturnover_ave=np.float32(log10_mturn_ave),
+        log10_Mturnover_MINI_ave=np.float32(
             log10_mturn_m_ave if use_minihalos else 0.0
         ),
         mean_free_path=mfp,

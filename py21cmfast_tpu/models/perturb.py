@@ -232,7 +232,7 @@ def perturb_field(
         need_xy=mo.KEEP_3D_VELOCITIES,
     )
     return PerturbedField(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         density=delta,
         velocity_z=v_z,
         velocity_x=v_x,

@@ -671,7 +671,7 @@ def _init_first_ts(redshift, inputs, perturbed_field):
     ts = (1.0 + xc) / (1.0 / trad + xc / tk_box)
 
     box = TsBox(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         spin_temperature=ts.astype(jnp.float32),
         xray_ionised_fraction=jnp.full_like(dens, xe),
         kinetic_temp_neutral=tk_box.astype(jnp.float32),
@@ -1030,7 +1030,7 @@ def compute_spin_temperature(
     )
 
     box = TsBox(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         spin_temperature=ts,
         xray_ionised_fraction=x_e,
         kinetic_temp_neutral=tk,

@@ -95,7 +95,7 @@ def compute_xray_source_field(
         box_lens=so.box_lens,
     )
     return XraySourceBox(
-        redshift=jnp.float32(redshift),
+        redshift=np.float32(redshift),
         filtered_sfr=sfr_shells,
         filtered_xray=xray_shells,
     )

@@ -1,3 +1,4 @@
+import sys as _s; _s.path.insert(0, "/root/repo")
 import time, sys
 t00=time.time()
 import jax

@@ -1,0 +1,20 @@
+import sys; sys.path.insert(0, "/root/repo")
+import time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+import py21cmfast_tpu as p21
+
+t0=time.time(); _ = float(jnp.zeros(())); print("early scalar D2H:", time.time()-t0, flush=True)
+
+inputs = p21.InputParameters(random_seed=1).evolve_input_structs(
+    HII_DIM=256, DIM=512, BOX_LEN=384.0, SOURCE_MODEL="E-INTEGRAL")
+ics = p21.compute_initial_conditions(inputs)
+pf = p21.perturb_field(8.0, inputs, ics)
+ion = p21.compute_ionization_field(8.0, inputs, pf)
+jax.block_until_ready(ion.neutral_fraction)
+t0=time.time(); z=float(jnp.float32(8.0)); print("late scalar D2H:", time.time()-t0, flush=True)
+t0=time.time(); tb = p21.brightness_temperature(inputs, ion, pf); jax.block_until_ready(tb.brightness_temp)
+print("tb:", time.time()-t0, flush=True)
