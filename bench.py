@@ -39,15 +39,24 @@ def run_once(hii_dim: int, dim: int, z: float, seed: int) -> float:
     inputs = p21.InputParameters(random_seed=seed).evolve_input_structs(
         HII_DIM=hii_dim, DIM=dim, BOX_LEN=1.5 * hii_dim, SOURCE_MODEL="E-INTEGRAL"
     )
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     ics = p21.compute_initial_conditions(inputs)
-    jax.block_until_ready(ics.lowres_density)
     pf = p21.perturb_field(z, inputs, ics)
-    jax.block_until_ready(pf.density)
     ion = p21.compute_ionization_field(z, inputs, pf)
-    jax.block_until_ready(ion.neutral_fraction)
     tb = p21.brightness_temperature(inputs, ion, pf)
-    jax.block_until_ready(tb.brightness_temp)
+    # NOTE: on the axon platform block_until_ready does NOT reliably wait for
+    # execution; force completion by fetching scalar checksums of every
+    # stage's primary output (the scalar D2H is ~30 ms once the transfer path
+    # is warm, so this adds negligible overhead to the measurement).
+    chk = (
+        float(jnp.sum(ics.lowres_density))
+        + float(jnp.sum(pf.density))
+        + float(jnp.sum(ion.neutral_fraction))
+        + float(jnp.sum(tb.brightness_temp))
+    )
+    assert np.isfinite(chk)
     return time.perf_counter() - t0
 
 

@@ -61,7 +61,11 @@ def _sample_dk(key, ln_k_table, sqrtp_table, *, hi_shape, box_lens):
     w_k = fft.rfft3(white)
     kmag = grids.kmag_grid(hi_shape, box_lens)
     lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
-    amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k_table, sqrtp_table), 0.0)
+    x0 = ln_k_table[0]
+    inv_dx = (ln_k_table.shape[0] - 1) / (ln_k_table[-1] - ln_k_table[0])
+    amp = jnp.where(
+        kmag > 0, grids.uniform_lerp(lnk, x0, inv_dx, sqrtp_table), 0.0
+    )
     return w_k * (amp * np.float32(np.sqrt(n_tot / volume)))
 
 
@@ -204,7 +208,11 @@ def _vcb_component_idx(
     kmag = grids.kmag_grid(hi_shape, box_lens)
     kvec = _kvec_grid(axis_idx, hi_shape, box_lens)
     lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
-    amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k_table, ratio_table), 0.0)
+    x0 = ln_k_table[0]
+    inv_dx = (ln_k_table.shape[0] - 1) / (ln_k_table[-1] - ln_k_table[0])
+    amp = jnp.where(
+        kmag > 0, grids.uniform_lerp(lnk, x0, inv_dx, ratio_table), 0.0
+    )
     kmag_safe = jnp.where(kmag > 0, kmag, 1.0)
     g_k = d_k * (1j * kvec / kmag_safe) * amp
     if do_filter:

@@ -34,6 +34,49 @@ __all__ = ["compute_ionization_field", "setup_radii"]
 HII_ROUND_ERR = 1e-5
 N_DELTA_TABLE = 400
 N_MTURN_TABLE = 24
+CHEBY_DEG = 16          # degree of the log-Nion Chebyshev fits
+CHEBY_X_SAFE = 0.98     # blend to the table edge above this (barrier sliver)
+
+
+def _fit_log_cheby(tables, caps):
+    """Fit log(Nion) per radius with Chebyshev polynomials.
+
+    Table *gathers* dominate the ionization kernel on TPU (~0.36 s per shell
+    at 256^3 vs ~0.03 s for an FFT — gathers run near-scalar); a degree-16
+    Clenshaw evaluation is pure vector FMA.  The thin sliver within 1% of the
+    collapse barrier (where log Nion turns sharply into the cap) blends
+    linearly to the table's last node — cells there have fcoll*zeta >> 1 and
+    ionize regardless.  Returns (coeffs[n_r, deg+1], log_edge[n_r], ok) where
+    ok=False (caller falls back to the gather) if the interior residual
+    exceeds 1%."""
+    from numpy.polynomial import chebyshev as C
+
+    n_r, n_d = tables.shape
+    x = np.linspace(-1.0, 1.0, n_d)
+    sel = x <= CHEBY_X_SAFE
+    coeffs = np.zeros((n_r, CHEBY_DEG + 1))
+    log_edge = np.zeros(n_r)
+    ok = True
+    for i in range(n_r):
+        y = np.log(np.clip(tables[i], 1e-38, None))
+        c = C.chebfit(x[sel], y[sel], CHEBY_DEG)
+        coeffs[i] = c
+        log_edge[i] = y[-1]
+        resid = np.max(np.abs(np.expm1(C.chebval(x[sel], c) - y[sel])))
+        if resid > 1e-2:
+            ok = False
+    return coeffs, log_edge, ok
+
+
+def _clenshaw(coeffs, x, deg):
+    """Vectorized Chebyshev evaluation; `coeffs` is a traced (deg+1,) vector,
+    `x` a grid, `deg` static."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    two_x = 2.0 * x
+    for k in range(deg, 0, -1):
+        b1, b2 = coeffs[k] + two_x * b1 - b2, b1
+    return coeffs[0] + x * b1 - b2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +177,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "use_exp_filter",
         "use_minihalos",
         "track_nion",
+        "use_cheby",
     ),
 )
 def _ionize_scan(
@@ -168,6 +212,8 @@ def _ionize_scan(
     table_dhi,
     fcoll_tables,
     fcoll_caps,
+    cheby_coeffs,
+    cheby_edge,
     mean_fcoll_global,
     f_limit,
     ion_eff,
@@ -190,6 +236,7 @@ def _ionize_scan(
     use_exp_filter,
     use_minihalos,
     track_nion,
+    use_cheby,
 ):
     """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
     ordered largest R first (index 0 == largest).
@@ -261,6 +308,9 @@ def _ionize_scan(
         elif use_minihalos:
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
              table_mini, cap_mini, mta_r, mtm_r) = xs
+        elif use_cheby:
+            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
+             cheb_c, cheb_e) = xs
         else:
             (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r) = xs
         is_last = idx == n_r - 1
@@ -321,6 +371,18 @@ def _ionize_scan(
                 prev_fm = jnp.clip(prev_fm, 1e-40, 1.0)
                 fcoll = jnp.clip(pn_r + fcoll - prev_f, 1e-40, 1.0)
                 fcoll_mini = jnp.clip(pnm_r + fcoll_mini - prev_fm, 1e-40, 1.0)
+        elif mass_dep and use_cheby:
+            # log-Nion Chebyshev evaluation (vector FMA; see _fit_log_cheby)
+            xch = jnp.clip(
+                (delta_r - d_lo) / (d_hi - d_lo) * 2.0 - 1.0, -1.0, 1.0
+            )
+            flog = _clenshaw(cheb_c, jnp.minimum(xch, CHEBY_X_SAFE), CHEBY_DEG)
+            blend = jnp.clip(
+                (xch - CHEBY_X_SAFE) / (1.0 - CHEBY_X_SAFE), 0.0, 1.0
+            )
+            fcoll = jnp.exp(flog * (1.0 - blend) + cheb_e * blend)
+            fcoll = jnp.where(delta_r >= d_hi, cap, fcoll)
+            fcoll = jnp.clip(fcoll, 1e-40, 1.0)
         elif mass_dep:
             # gather from the per-R Nion(delta) table; cap above the barrier
             t = (delta_r - d_lo) / (d_hi - d_lo) * (N_DELTA_TABLE - 1)
@@ -411,6 +473,8 @@ def _ionize_scan(
         xs.append(stars_stack)
         if track_gamma:
             xs.append(wsfr_stack)
+    elif use_cheby:
+        xs.extend([cheby_coeffs, cheby_edge])
     elif use_minihalos:
         xs.extend([fcoll_tables_mini, fcoll_caps_mini, mta_stack, mtm_stack])
         if track_nion:
@@ -668,6 +732,14 @@ def compute_ionization_field(
         tables = np.zeros((n_r, N_DELTA_TABLE))
         caps = np.zeros(n_r)
 
+    # Chebyshev fits of the per-R log-Nion tables (gathers are the dominant
+    # device cost on TPU; Clenshaw is vector FMA)
+    use_cheby = False
+    cheby_coeffs = np.zeros((n_r, CHEBY_DEG + 1))
+    cheby_edge = np.zeros(n_r)
+    if mass_dep and not lagrangian and not use_minihalos:
+        cheby_coeffs, cheby_edge, use_cheby = _fit_log_cheby(tables, caps)
+
     # previous-snapshot tables for the per-R trapezoidal Nion smoothing
     prev_dlo = np.zeros(n_r)
     prev_dhi = np.ones(n_r)
@@ -767,6 +839,8 @@ def compute_ionization_field(
         jnp.asarray(d_hi[order], jnp.float32),
         jnp.asarray(tables[order], jnp.float32),
         jnp.asarray(caps[order], jnp.float32),
+        jnp.asarray(cheby_coeffs[order], jnp.float32),
+        jnp.asarray(cheby_edge[order], jnp.float32),
         jnp.float32(mean_fcoll),
         jnp.float32(f_limit),
         jnp.float32(ion_eff),
@@ -788,6 +862,7 @@ def compute_ionization_field(
         use_exp_filter=lagrangian and ao.USE_EXP_FILTER,
         use_minihalos=use_minihalos,
         track_nion=track_nion,
+        use_cheby=use_cheby,
     )
 
     # --- cumulative recombination update (set_recombination_rates:1258-1342) ---

@@ -51,6 +51,8 @@ def _displacement_factors(inputs: InputParameters, redshift: float):
         "box_lens",
         "use_2lpt",
         "n_slabs",
+        "window_rows",
+        "margin",
     ),
 )
 def _displace_and_deposit(
@@ -67,6 +69,8 @@ def _displace_and_deposit(
     box_lens,
     use_2lpt,
     n_slabs,
+    window_rows=None,
+    margin=0,
 ):
     """Move hires cell masses by the scaled displacement; CIC onto out grid.
 
@@ -99,15 +103,43 @@ def _displace_and_deposit(
     vy_g = jnp.take(map_y, jnp.arange(ny))
     vz_g = jnp.take(map_z, jnp.arange(nz))
 
+    # When hires/pt is an integer ratio k, the resample map int(i/k + 0.5) is
+    # a strided upsample == roll(repeat(v, k), -(k//2)) — dense copies instead
+    # of grid-scale gathers (gathers run near-scalar on TPU, ~145M elem/s).
+    k_up = nx // pt_shape[0] if nx % pt_shape[0] == 0 else 0
+    structured = (
+        k_up > 0
+        and ny % pt_shape[1] == 0 and ny // pt_shape[1] == k_up
+        and nz % pt_shape[2] == 0 and nz // pt_shape[2] == k_up
+        and slab % max(k_up, 1) == 0
+    )
+
     def body(acc_flat, s):
         x0 = s * slab
         xs = x0 + jnp.arange(slab)
         ix = xs.astype(jnp.float32)[:, None, None]
         pxi = jnp.take(map_x, xs)  # pt-grid x indices for this slab
 
-        # gather displacement fields on the slab: (slab, ny, nz)
-        def g(v):
-            return v[pxi][:, vy_g][:, :, vz_g]
+        if structured and k_up > 1:
+            def g(v):
+                # x: slice the needed pt rows (+1 for the half-cell shift,
+                # with periodic pad), upsample, trim the k//2 offset
+                v_pad = jnp.concatenate([v, v[:1]], axis=0)
+                row0 = s * (slab // k_up)
+                vr = jax.lax.dynamic_slice_in_dim(
+                    v_pad, row0, slab // k_up + 1, axis=0
+                )
+                u = jnp.repeat(vr, k_up, axis=0)
+                u = jax.lax.dynamic_slice_in_dim(u, k_up // 2, slab, axis=0)
+                u = jnp.roll(jnp.repeat(u, k_up, axis=1), -(k_up // 2), axis=1)
+                u = jnp.roll(jnp.repeat(u, k_up, axis=2), -(k_up // 2), axis=2)
+                return u
+        elif structured:  # k_up == 1: identity resample
+            def g(v):
+                return jax.lax.dynamic_slice_in_dim(v, x0, slab, axis=0)
+        else:
+            def g(v):
+                return v[pxi][:, vy_g][:, :, vz_g]
 
         px = ix + g(vx) * disp_scale[0]
         py = iy[None] + g(vy) * disp_scale[1]
@@ -119,15 +151,33 @@ def _displace_and_deposit(
             pz = pz - g(v2z) * disp_scale_2[2]
 
         mass = 1.0 + jax.lax.dynamic_slice_in_dim(hires_density, x0, slab, axis=0) * d_init
-        acc_flat = cic.cic_scatter_flat(
-            acc_flat,
-            px * ratio_out,
-            py * ratio_out,
-            pz * ratio_out_z,
-            mass,
-            out_shape,
+        if window_rows is None:
+            acc_flat = cic.cic_scatter_flat(
+                acc_flat,
+                px * ratio_out,
+                py * ratio_out,
+                pz * ratio_out_z,
+                mass,
+                out_shape,
+            )
+            return acc_flat, None
+        # windowed deposit: scatter into a small slab-local buffer (the XLA
+        # scatter primitive runs ~2x faster into a VMEM-scale target than
+        # into the full grid), then roll-add the dense window into the
+        # accumulator.  `window_rows` bounds slab extent + |x displacement|.
+        slab_out = out_shape[0] // n_slabs
+        px_w = px * ratio_out - (s * slab_out - margin).astype(jnp.float32)
+        buf = jnp.zeros(window_rows * out_shape[1] * out_shape[2], jnp.float32)
+        buf = cic.cic_scatter_window(
+            buf, px_w, py * ratio_out, pz * ratio_out_z, mass,
+            (window_rows, out_shape[1], out_shape[2]),
         )
-        return acc_flat, None
+        padded = jnp.zeros_like(acc_flat).reshape(out_shape)
+        padded = jax.lax.dynamic_update_slice_in_dim(
+            padded, buf.reshape(window_rows, out_shape[1], out_shape[2]), 0, axis=0
+        )
+        padded = jnp.roll(padded, s * slab_out - margin, axis=0)
+        return acc_flat + padded.reshape(-1), None
 
     acc = jnp.zeros(int(np.prod(out_shape)), dtype=jnp.float32)
     acc, _ = jax.lax.scan(body, acc, jnp.arange(n_slabs))
@@ -191,6 +241,21 @@ def perturb_field(
         n_slabs = max(1, hi_shape[0] // per_slab)
         while hi_shape[0] % n_slabs:
             n_slabs += 1
+        # windowed-deposit margin: bound the x displacement in out-grid cells
+        # (one device max + scalar fetch; rounded up to multiples of 8 to
+        # bound the number of compiled variants)
+        import jax.numpy as _jnp
+
+        max_psi = float(jax.jit(lambda v: _jnp.max(_jnp.abs(v)))(ics.vx))
+        max_disp = abs(fac_za) * max_psi * out_shape[0] / box_lens[0]
+        if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None:
+            max_psi2 = float(jax.jit(lambda v: _jnp.max(_jnp.abs(v)))(ics.vx_2LPT))
+            max_disp += abs(fac_2lpt) * max_psi2 * out_shape[0] / box_lens[0]
+        margin = ((int(np.ceil(max_disp)) + 2 + 7) // 8) * 8
+        slab_out = out_shape[0] // n_slabs
+        window_rows = slab_out + 2 * margin
+        if window_rows >= out_shape[0] or out_shape[0] % n_slabs:
+            window_rows, margin = None, 0
         grid_1pd = _displace_and_deposit(
             ics.hires_density,
             (ics.vx, ics.vy, ics.vz),
@@ -206,6 +271,8 @@ def perturb_field(
             box_lens=box_lens,
             use_2lpt=mo.PERTURB_ALGORITHM == "2LPT",
             n_slabs=n_slabs,
+            window_rows=window_rows,
+            margin=margin,
         )
         mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
 

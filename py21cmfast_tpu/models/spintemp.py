@@ -566,8 +566,20 @@ def _ts_kernel(
     hh_t, hh_k, eh_t, eh_k, ph_t, ph_k = kappa_knots
     log_tk = jnp.log(jnp.clip(tk, 1.0, 1e12))
 
+    def _small_interp(x, xs, ys):
+        # piecewise-linear interp over a SMALL non-uniform knot table via
+        # vectorized comparisons (jnp.interp's searchsorted is pathologically
+        # slow on TPU at grid scale)
+        n = xs.shape[0]
+        idx = jnp.sum(x[..., None] >= xs[None, :], axis=-1)
+        i0 = jnp.clip(idx - 1, 0, n - 2)
+        x0_, x1_ = xs[i0], xs[i0 + 1]
+        y0_, y1_ = ys[i0], ys[i0 + 1]
+        f = jnp.clip((x - x0_) / (x1_ - x0_), 0.0, 1.0)
+        return y0_ * (1.0 - f) + y1_ * f
+
     def interp_kappa(logt_knots, logk_knots, logT, hh_slope=None):
-        out = jnp.interp(logT, logt_knots, logk_knots)
+        out = _small_interp(logT, logt_knots, logk_knots)
         if hh_slope is not None:
             # power-law extrapolation above the last knot (kappa_10:439-442)
             out = jnp.where(

@@ -45,6 +45,36 @@ def cic_scatter_flat(acc_flat, px, py, pz, weights, out_shape):
     return acc_flat
 
 
+def cic_scatter_window(acc_flat, px, py, pz, weights, window_shape):
+    """Scatter-add into a slab-local window: x CLAMPED into the window (the
+    caller guarantees a margin covering the max displacement; the window is
+    roll-added into the periodic grid afterwards), y/z periodic."""
+    wx, ny, nz = window_shape
+    ix0 = jnp.floor(px)
+    iy0 = jnp.floor(py)
+    iz0 = jnp.floor(pz)
+    fx = (px - ix0).astype(acc_flat.dtype)
+    fy = (py - iy0).astype(acc_flat.dtype)
+    fz = (pz - iz0).astype(acc_flat.dtype)
+    ix0 = jnp.clip(ix0.astype(jnp.int32), 0, wx - 2)
+    iy0 = iy0.astype(jnp.int32) % ny
+    iz0 = iz0.astype(jnp.int32) % nz
+    ix1 = ix0 + 1
+    iy1 = (iy0 + 1) % ny
+    iz1 = (iz0 + 1) % nz
+
+    w = weights.astype(acc_flat.dtype)
+    for xi, wxw in ((ix0, 1.0 - fx), (ix1, fx)):
+        for yi, wy in ((iy0, 1.0 - fy), (iy1, fy)):
+            base = (xi * ny + yi) * nz
+            for zi, wz in ((iz0, 1.0 - fz), (iz1, fz)):
+                idx = (base + zi).reshape(-1)
+                acc_flat = acc_flat.at[idx].add(
+                    (w * wxw * wy * wz).reshape(-1), mode="promise_in_bounds"
+                )
+    return acc_flat
+
+
 def cic_read(box, px, py, pz):
     """Trilinear (CIC) read of `box` at fractional positions (map_mass.c:102-140)."""
     nx, ny, nz = box.shape

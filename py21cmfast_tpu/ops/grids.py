@@ -53,3 +53,16 @@ def subsample(field, out_shape):
     iy = resample_indices(out_shape[1], in_shape[1])
     iz = resample_indices(out_shape[2], in_shape[2])
     return field[jnp.ix_(jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(iz))]
+
+
+def uniform_lerp(x, x0, inv_dx, table):
+    """Linear interpolation on a UNIFORM 1D grid: table[i] at x0 + i/inv_dx.
+
+    `jnp.interp` lowers to a searchsorted that is pathologically slow on TPU
+    at grid scale (~10 s at 512^3); for uniform tables the index is direct
+    arithmetic + one gather."""
+    t = (x - x0) * inv_dx
+    t = jnp.clip(t, 0.0, table.shape[0] - 1.001)
+    i0 = t.astype(jnp.int32)
+    f = t - i0
+    return table[i0] * (1.0 - f) + table[i0 + 1] * f

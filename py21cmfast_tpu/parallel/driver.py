@@ -39,8 +39,10 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     from ..models.brightness import brightness_constant
     from ..models.ics import power_amplitude_table
     from ..models.ionization import (
+        CHEBY_DEG,
         N_DELTA_TABLE,
         _build_nion_tables,
+        _fit_log_cheby,
         _get_sigma_table,
         setup_radii,
     )
@@ -77,10 +79,7 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     sigma_table = _get_sigma_table(inputs)
     hmf_int = hmf.HMF_NAMES[mo.HMF]
     mass_dep = mo.source_model_is_mass_dependent
-    snapshot_fn = build_sharded_snapshot(
-        mesh, lo_shape, box_lens, inputs.astro_options.hii_filter_int, mass_dep,
-        n_delta_table=N_DELTA_TABLE,
-    )
+    snapshot_fns = {}  # keyed by whether the cheby fit passed at that z
     mass_factor = float(np.prod(lo_shape) / np.prod(hi_shape))
 
     out = []
@@ -110,7 +109,11 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
                 sc.mturn_a_nofb, sc))
             d_lo, d_hi, tables, caps = _build_nion_tables(
                 inputs, ladder, sigma_table, D, m_min, sc)
+            coeffs, log_edge, cheby_ok = _fit_log_cheby(tables, caps)
+            if cheby_ok:
+                tables = np.concatenate([coeffs, log_edge[:, None]], axis=1)
         else:
+            cheby_ok = False
             ion_eff = ap.HII_EFF_FACTOR
             mean_fcoll = float(hmf.fcoll_general(
                 sigma_table, cosmo, hmf_int, z, ln_m_min, ln_m_max))
@@ -122,6 +125,12 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
             caps = np.zeros(n_r)
 
         order = np.argsort(ladder.R)[::-1]
+        if cheby_ok not in snapshot_fns:
+            snapshot_fns[cheby_ok] = build_sharded_snapshot(
+                mesh, lo_shape, box_lens, inputs.astro_options.hii_filter_int,
+                mass_dep, n_delta_table=N_DELTA_TABLE, use_cheby=cheby_ok,
+            )
+        snapshot_fn = snapshot_fns[cheby_ok]
         tb_const = brightness_constant(inputs, z)
         xh, tb = snapshot_fn(
             delta,

@@ -65,7 +65,11 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens):
             kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
         )
         lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
-        amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k, sqrtp), 0.0) * amp_fac
+        from ..ops.grids import uniform_lerp
+
+        x0 = ln_k[0]
+        inv_dx = (ln_k.shape[0] - 1) / (ln_k[-1] - ln_k[0])
+        amp = jnp.where(kmag > 0, uniform_lerp(lnk, x0, inv_dx, sqrtp), 0.0) * amp_fac
         d_k = d_k * amp
         hires_density = pfft.irfft3(d_k, nz)
         d_k_f = (

@@ -23,11 +23,14 @@ from .mesh import GRID_AXIS
 
 
 def build_sharded_snapshot(mesh, shape, box_lens, hii_filter: int, mass_dep: bool,
-                           n_delta_table: int = 400):
+                           n_delta_table: int = 400, use_cheby: bool = False):
     """Return a jitted function computing (xH, Tb) from a sharded density field.
 
     fn(delta, r_values, sigma_r, d_lo, d_hi, tables, caps, scalars...) where
     `delta` is sharded P('x', None, None) and everything else replicated.
+    With `use_cheby`, `tables` is instead (cheby_coeffs[n_r, deg+1] stacked
+    with the log-edge value appended) and fcoll evaluates via Clenshaw —
+    matching models/ionization's gather-free path.
     """
     n_shards = mesh.devices.size
     nx, ny, nz = shape
@@ -53,7 +56,16 @@ def build_sharded_snapshot(mesh, shape, box_lens, hii_filter: int, mass_dep: boo
             )
             delta_r = jnp.maximum(delta_r, -1.0 + FRACT_FLOAT_ERR)
 
-            if mass_dep:
+            if mass_dep and use_cheby:
+                from ..models.ionization import CHEBY_DEG, CHEBY_X_SAFE, _clenshaw
+
+                xch = jnp.clip((delta_r - dlo) / (dhi - dlo) * 2.0 - 1.0, -1.0, 1.0)
+                flog = _clenshaw(table[:-1], jnp.minimum(xch, CHEBY_X_SAFE), CHEBY_DEG)
+                blend = jnp.clip((xch - CHEBY_X_SAFE) / (1.0 - CHEBY_X_SAFE), 0.0, 1.0)
+                fcoll = jnp.exp(flog * (1.0 - blend) + table[-1] * blend)
+                fcoll = jnp.where(delta_r >= dhi, cap, fcoll)
+                fcoll = jnp.clip(fcoll, 1e-40, 1.0)
+            elif mass_dep:
                 t = (delta_r - dlo) / (dhi - dlo) * (n_delta_table - 1)
                 t = jnp.clip(t, 0.0, n_delta_table - 1.001)
                 i0 = t.astype(jnp.int32)
@@ -126,7 +138,11 @@ def build_sharded_ics(mesh, hi_shape, box_lens):
             kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
         )
         lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
-        amp = jnp.where(kmag > 0, jnp.interp(lnk, ln_k, sqrtp), 0.0) * amp_fac
+        from ..ops.grids import uniform_lerp
+
+        x0 = ln_k[0]
+        inv_dx = (ln_k.shape[0] - 1) / (ln_k[-1] - ln_k[0])
+        amp = jnp.where(kmag > 0, uniform_lerp(lnk, x0, inv_dx, sqrtp), 0.0) * amp_fac
         d_k = d_k * amp
         density = pfft.irfft3(d_k, nz)
         ksq = kmag * kmag
