@@ -268,7 +268,7 @@ def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
     jax.jit,
     static_argnames=(
         "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
-        "use_minihalos", "use_lya_heat",
+        "use_minihalos", "use_lya_heat", "use_cheby",
     ),
 )
 def _ts_kernel(
@@ -288,6 +288,8 @@ def _ts_kernel(
     sfrd_dhi,
     sfrd_tables,
     sfrd_caps,
+    sfrd_cheby,
+    sfrd_edge,
     mean_sfrd,
     tbl_heat,
     tbl_ion,
@@ -322,6 +324,7 @@ def _ts_kernel(
     lagrangian,
     use_minihalos,
     use_lya_heat,
+    use_cheby,
 ):
     kmag = grids.kmag_grid(shape, box_lens)
     d_k = fft.rfft3(density_pf * inv_growth_pf)
@@ -330,7 +333,11 @@ def _ts_kernel(
     # per-cell x_e interpolation index into the 14-point deposition-fraction axis
     xhii_grid = jnp.asarray(heating.X_INT_XHII, jnp.float32)
     xe_call = jnp.clip(prev_xe, xhii_grid[0] * 1.001, xhii_grid[-1] * 0.999)
-    xidx = jnp.clip(jnp.searchsorted(xhii_grid, xe_call) - 1, 0, 12)
+    # comparison-sum index into the 14-point axis (searchsorted is slow on TPU)
+    xidx = jnp.clip(
+        jnp.sum(xe_call[..., None] >= xhii_grid[None, None, None, :], axis=-1) - 1,
+        0, 12,
+    )
     ival = (xe_call - xhii_grid[xidx]) / (xhii_grid[xidx + 1] - xhii_grid[xidx])
 
     # hoist the carry-independent filtered-density shells out of the scan as
@@ -369,8 +376,8 @@ def _ts_kernel(
 
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
-        (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, msfrd,
-         th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, delta0,
+        (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, cheb_c, cheb_e,
+         msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, delta0,
          table_mini, msfrd_mini, p_star_mini, p_lw, p_lw_mini, mc_r) = xs
 
         if lagrangian:
@@ -382,12 +389,25 @@ def _ts_kernel(
             delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
             delta_zpp = delta0 * growth
 
-            # conditional SFRD via table gather
-            t = (delta_zpp - dlo) / (dhi - dlo) * (N_DELTA_SFRD - 1)
-            t = jnp.clip(t, 0.0, N_DELTA_SFRD - 1.001)
-            i0 = t.astype(jnp.int32)
-            frac = t - i0
-            fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
+            # conditional SFRD: log-Chebyshev Clenshaw (vector FMA) when the
+            # host fit passed, table gather otherwise (see models/ionization)
+            if use_cheby:
+                from .ionization import CHEBY_DEG, CHEBY_X_SAFE, _clenshaw
+
+                xch = jnp.clip(
+                    (delta_zpp - dlo) / (dhi - dlo) * 2.0 - 1.0, -1.0, 1.0
+                )
+                flog = _clenshaw(cheb_c, jnp.minimum(xch, CHEBY_X_SAFE), CHEBY_DEG)
+                blend = jnp.clip(
+                    (xch - CHEBY_X_SAFE) / (1.0 - CHEBY_X_SAFE), 0.0, 1.0
+                )
+                fcoll = jnp.exp(flog * (1.0 - blend) + cheb_e * blend)
+            else:
+                t = (delta_zpp - dlo) / (dhi - dlo) * (N_DELTA_SFRD - 1)
+                t = jnp.clip(t, 0.0, N_DELTA_SFRD - 1.001)
+                i0 = t.astype(jnp.int32)
+                frac = t - i0
+                fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
             fcoll = jnp.where(delta_zpp >= dhi, cap, fcoll)
             fcoll = jnp.maximum(fcoll, 1e-40)
 
@@ -396,6 +416,11 @@ def _ts_kernel(
             sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
             # L_X * s/yr and the unit conversions are folded into the tables (host)
             if use_minihalos:
+                if use_cheby:
+                    t = (delta_zpp - dlo) / (dhi - dlo) * (N_DELTA_SFRD - 1)
+                    t = jnp.clip(t, 0.0, N_DELTA_SFRD - 1.001)
+                    i0 = t.astype(jnp.int32)
+                    frac = t - i0
                 # bilinear (log10 Mcrit, delta) gather from the per-shell 2D
                 # MCG SFRD table (reference calculate_sfrd_from_grid:1010-1060)
                 tm = (jnp.clip(mc_r, MT_TS_LO, MT_TS_HI) - MT_TS_LO) / (
@@ -449,7 +474,8 @@ def _ts_kernel(
         (zero, zero, zero, zero, zero, zero, zero),
         (
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
-            sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, mean_sfrd,
+            sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, sfrd_cheby, sfrd_edge,
+            mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
             sfr_shells, xray_shells, delta_shells,
             sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini, pref_lw, pref_lw_mini,
@@ -784,6 +810,9 @@ def compute_spin_temperature(
     )
 
     # conditional SFRD tables (density path only)
+    use_cheby = False
+    sfrd_cheby = np.zeros((n_r, 17))
+    sfrd_edge = np.zeros(n_r)
     if lagrangian:
         d_lo = np.zeros(n_r)
         d_hi = np.ones(n_r)
@@ -796,6 +825,10 @@ def compute_spin_temperature(
         d_lo, d_hi, sfrd_tables, sfrd_caps = _build_sfrd_tables(
             inputs, ladder, sigma_table, sc_zp
         )
+        from .ionization import CHEBY_DEG, _fit_log_cheby
+
+        sfrd_cheby = np.zeros((n_r, CHEBY_DEG + 1))
+        sfrd_cheby, sfrd_edge, use_cheby = _fit_log_cheby(sfrd_tables, sfrd_caps)
         # z-edge factors (ts_main:1566-1572, E-INTEGRAL branch)
         z_edge_factor = np.abs(ladder.dzpp * ladder.dtdz) * np.asarray(
             cosmo.hubble(ladder.zpp)
@@ -1008,6 +1041,8 @@ def compute_spin_temperature(
         jnp.asarray(d_hi, jnp.float32),
         jnp.asarray(sfrd_tables, jnp.float32),
         jnp.asarray(sfrd_caps, jnp.float32),
+        jnp.asarray(sfrd_cheby, jnp.float32),
+        jnp.asarray(sfrd_edge, jnp.float32),
         jnp.asarray(mean_sfrd, jnp.float32),
         jnp.asarray(tbl_heat, jnp.float32),
         jnp.asarray(tbl_ion, jnp.float32),
@@ -1039,6 +1074,7 @@ def compute_spin_temperature(
         lagrangian=lagrangian,
         use_minihalos=use_minihalos,
         use_lya_heat=use_lya_heat,
+        use_cheby=use_cheby,
     )
 
     box = TsBox(
