@@ -16,6 +16,7 @@ from .models import hmf
 from .models.ionization import _get_sigma_table
 
 __all__ = [
+    "convert_halo_properties",
     "evaluate_sigma",
     "evaluate_condition_integrals",
     "evaluate_SFRD_cond",
@@ -145,6 +146,39 @@ def sample_halos_from_conditions(inputs: InputParameters, redshift, deltas, seed
     )
     m = np.asarray(masses)
     return {"halo_masses": m[m > 0], "n_halos": int(total)}
+
+
+def convert_halo_properties(inputs: InputParameters, redshift, halo_masses,
+                            star_rng=None, sfr_rng=None, xray_rng=None):
+    """Per-halo galaxy properties from the stochastic scaling relations
+    (reference cfuncs.convert_halo_properties:1106 / test_halo_props).
+
+    Returns a dict with stellar_mass [Msun], sfr [Msun/s], n_ion weight,
+    fesc-weighted sfr, and xray luminosity [1e38 erg/s]."""
+    import jax.numpy as jnp
+
+    from .models.halobox import halo_properties
+    from .outputs import HaloCatalog
+
+    m = np.asarray(halo_masses, np.float32)
+    zeros = np.zeros_like(m)
+    cat = HaloCatalog(
+        redshift=np.float32(redshift),
+        halo_masses=jnp.asarray(m),
+        halo_coords=jnp.zeros((len(m), 3), jnp.float32),
+        star_rng=jnp.asarray(star_rng if star_rng is not None else zeros, jnp.float32),
+        sfr_rng=jnp.asarray(sfr_rng if sfr_rng is not None else zeros, jnp.float32),
+        xray_rng=jnp.asarray(xray_rng if xray_rng is not None else zeros, jnp.float32),
+        n_halos=np.int32(len(m)),
+    )
+    stellar, sfr, n_ion_w, wsfr, xray38 = halo_properties(redshift, inputs, cat)
+    return {
+        "stellar_mass": np.asarray(stellar),
+        "sfr": np.asarray(sfr),
+        "n_ion": np.asarray(n_ion_w),
+        "fesc_weighted_sfr": np.asarray(wsfr),
+        "xray_luminosity": np.asarray(xray38),
+    }
 
 
 def compute_tau(inputs: InputParameters, redshifts, global_xHI, z_re_HeII: float = 3.0):

@@ -178,6 +178,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "use_minihalos",
         "track_nion",
         "use_cheby",
+        "paint_spheres",
     ),
 )
 def _ionize_scan(
@@ -237,6 +238,7 @@ def _ionize_scan(
     use_minihalos,
     track_nion,
     use_cheby,
+    paint_spheres,
 ):
     """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
     ordered largest R first (index 0 == largest).
@@ -252,6 +254,7 @@ def _ionize_scan(
     wsfr_k = fft.rfft3(wsfr_box) if (lagrangian and track_gamma) else None
     source_filter = filters.EXP_MFP if use_exp_filter else hii_filter
     n_r = r_values.shape[0]
+    cell_len_paint = np.float32(box_lens[0] / shape[0])
 
     # The filtered fields are independent of the scan carry: precompute them as
     # ONE batched inverse FFT per grid (much better TPU pipelining than a c2r
@@ -441,7 +444,24 @@ def _ionize_scan(
                 )
             mfp = jnp.where(newly, r, mfp)
 
-        xh = jnp.where(ionized, 0.0, xh)
+        if paint_spheres:
+            # IONISE_ENTIRE_SPHERE (reference update_in_sphere,
+            # bubble_helper_progs.c:341): zero the whole R-sphere around each
+            # newly flagged center.  TPU-native: convolve the flag field with
+            # the normalized spherical tophat; any cell within R of a center
+            # has (flags (*) K) >= 1/N_sphere_cells (FFT sidelobes are ~1e-2
+            # of that, so the half threshold is safe).
+            flags = (ionized & (xh > FRACT_FLOAT_ERR)).astype(jnp.float32)
+            m_k = fft.rfft3(flags)
+            painted = fft.irfft3(
+                filters.filter_kbox(m_k, kmag, filters.TOPHAT, r), shape
+            )
+            n_sph = jnp.maximum(
+                (4.0 * np.pi / 3.0) * (r / cell_len_paint) ** 3, 1.0
+            )
+            xh = jnp.where(painted > 0.5 / n_sph, 0.0, xh)
+        else:
+            xh = jnp.where(ionized, 0.0, xh)
 
         # partial ionization on the last (smallest) step (IonisationBox.c:1161-1196)
         def partial_ion(xh):
@@ -863,6 +883,7 @@ def compute_ionization_field(
         use_minihalos=use_minihalos,
         track_nion=track_nion,
         use_cheby=use_cheby,
+        paint_spheres=ao.IONISE_ENTIRE_SPHERE,
     )
 
     # --- cumulative recombination update (set_recombination_rates:1258-1342) ---

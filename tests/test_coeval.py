@@ -90,3 +90,21 @@ def test_z_reion_consistency(coeval):
     ionized = xh < 1e-20
     assert np.all(zre[ionized] > 0)
     assert np.all(zre[~ionized] < 0)
+
+
+def test_ionise_entire_sphere(inputs):
+    """IONISE_ENTIRE_SPHERE paints full R-spheres around flagged centers
+    (reference bubble_helper_progs.c update_in_sphere): the ionized fraction
+    must be >= the center-pixel method's at identical inputs."""
+    base = inputs.evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=24.0, SOURCE_MODEL="E-INTEGRAL"
+    )
+    ics = p21.compute_initial_conditions(base)
+    pf = p21.perturb_field(7.0, base, ics)
+    xh_c = p21.compute_ionization_field(7.0, base, pf).neutral_fraction
+    sph = base.evolve_input_structs(IONISE_ENTIRE_SPHERE=True)
+    xh_s = p21.compute_ionization_field(7.0, sph, pf).neutral_fraction
+    f_c = 1.0 - float(np.mean(np.asarray(xh_c)))
+    f_s = 1.0 - float(np.mean(np.asarray(xh_s)))
+    assert f_s >= f_c - 1e-6
+    assert f_s > 0

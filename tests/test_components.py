@@ -258,3 +258,14 @@ def test_partition_method_raises(inputs):
     )
     with pytest.raises(NotImplementedError):
         cfuncs.sample_halos_from_conditions(inp, 8.0, np.full(4, 0.5), seed=3)
+
+
+def test_convert_halo_properties(inputs):
+    """Scaling-relation property conversion (reference convert_halo_properties):
+    stellar mass scales with halo mass, fesc-weighting reduces sfr."""
+    m = np.array([1e9, 1e10, 1e11, 1e12], np.float32)
+    props = cfuncs.convert_halo_properties(inputs, 8.0, m)
+    assert np.all(np.diff(props["stellar_mass"]) > 0)
+    assert np.all(props["sfr"] > 0)
+    assert np.all(props["fesc_weighted_sfr"] <= props["sfr"] * inputs.astro_params.POP2_ION)
+    assert np.all(props["xray_luminosity"] > 0)
