@@ -121,6 +121,8 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
     cont = np.zeros(n_r)
     inj = np.zeros(n_r)
     starlya_mini = np.zeros(n_r)
+    cont_mini = np.zeros(n_r)
+    inj_mini = np.zeros(n_r)
     lw = np.zeros(n_r)
     lw_mini = np.zeros(n_r)
     nu_lw_norm = 2.70331197e15 / 3.288465e15  # nu_LW_thresh / nu_ion_HI
@@ -131,13 +133,14 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
     for i in range(n_r):
         zpp = ladder.zpp[i]
         sum_ly2 = sum_lynto2 = 0.0
-        sum_mini = sum_lw = sum_lw_mini = 0.0
+        sum_mini = sum_ly2_mini = sum_lynto2_mini = sum_lw = sum_lw_mini = 0.0
         # n=2 (continuum photons that redshift into Lya)
         if zpp < heating.zmax_lyn(zp, 2):
             nuprime = heating.nu_n(2) * (1 + zpp) / (1 + zp)
             sum_ly2 = heating.frecycle(2) * spectra.emissivity(nuprime, 2)
             if ao.USE_MINI_HALOS:
-                sum_mini += heating.frecycle(2) * spectra.emissivity(nuprime, 3)
+                sum_ly2_mini = heating.frecycle(2) * spectra.emissivity(nuprime, 3)
+                sum_mini += sum_ly2_mini
                 nu_lw = max(nuprime, nu_lw_norm)
                 if nu_lw < heating.nu_n(3):
                     sum_lw += (1 - ap.F_H2_SHIELD) * spectra.emissivity_band_integral(nu_lw, 2, 2)
@@ -149,7 +152,9 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
             nuprime = heating.nu_n(n) * (1 + zpp) / (1 + zp)
             sum_lynto2 += heating.frecycle(n) * spectra.emissivity(nuprime, 2)
             if ao.USE_MINI_HALOS:
-                sum_mini += heating.frecycle(n) * spectra.emissivity(nuprime, 3)
+                _mini_n = heating.frecycle(n) * spectra.emissivity(nuprime, 3)
+                sum_lynto2_mini += _mini_n
+                sum_mini += _mini_n
                 nu_lw = max(nuprime, nu_lw_norm)
                 if nu_lw < heating.nu_n(n + 1):
                     sum_lw += (1 - ap.F_H2_SHIELD) * spectra.emissivity_band_integral(nu_lw, n, 2)
@@ -179,13 +184,16 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
         cont[i] = zpp_integrand * sum_ly2
         inj[i] = zpp_integrand * sum_lynto2
         starlya_mini[i] = zpp_integrand * sum_mini
+        cont_mini[i] = zpp_integrand * sum_ly2_mini
+        inj_mini[i] = zpp_integrand * sum_lynto2_mini
         lw[i] = zpp_integrand * sum_lw
         lw_mini[i] = zpp_integrand * sum_lw_mini
 
         sum_prev, ly2_prev, lynto2_prev = sum_lyn, sum_ly2, sum_lynto2
         prev_zpp = zpp
     return {"starlya": starlya, "cont": cont, "inj": inj,
-            "starlya_mini": starlya_mini, "lw": lw, "lw_mini": lw_mini}
+            "starlya_mini": starlya_mini, "cont_mini": cont_mini,
+            "inj_mini": inj_mini, "lw": lw, "lw_mini": lw_mini}
 
 
 def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
@@ -303,6 +311,8 @@ def _ts_kernel(
     sfrd_tables_mini,
     mean_sfrd_mini,
     pref_starlya_mini,
+    pref_lya_cont_mini,
+    pref_lya_inj_mini,
     pref_lw,
     pref_lw_mini,
     mcrit_box,
@@ -378,7 +388,8 @@ def _ts_kernel(
         dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, cheb_c, cheb_e,
          msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, delta0,
-         table_mini, msfrd_mini, p_star_mini, p_lw, p_lw_mini, mc_r) = xs
+         table_mini, msfrd_mini, p_star_mini, p_cont_mini, p_inj_mini,
+         p_lw, p_lw_mini, mc_r) = xs
 
         if lagrangian:
             # halo-model shells already filtered (XraySourceBox); units folded
@@ -458,11 +469,13 @@ def _ts_kernel(
         dxlya = dxlya + xray_sfr * f_lya
         dstarlya = dstarlya + sfr_term * p_star
         if use_lya_heat:
-            # continuum (n=2 band) / injected (n>=3 cascades) Ly-a split
-            # (reference SpinTemperatureBox.c:1730-1737; MCG flux enters the
-            # coupling but its cont/inj heating split is not yet tracked)
+            # continuum (n=2 band) / injected (n>=3 cascades) Ly-a split for
+            # both ACG and MCG flux (reference SpinTemperatureBox.c:1730-1737)
             dlya_cont = dlya_cont + sfr_term * p_cont
             dlya_inj = dlya_inj + sfr_term * p_inj
+            if use_minihalos:
+                dlya_cont = dlya_cont + sfr_term_mini * p_cont_mini
+                dlya_inj = dlya_inj + sfr_term_mini * p_inj_mini
         if use_minihalos:
             dstarlya = dstarlya + sfr_term_mini * p_star_mini
             dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
@@ -478,7 +491,8 @@ def _ts_kernel(
             mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
             sfr_shells, xray_shells, delta_shells,
-            sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini, pref_lw, pref_lw_mini,
+            sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini,
+            pref_lya_cont_mini, pref_lya_inj_mini, pref_lw, pref_lw_mini,
             mcrit_shells,
         ),
     )
@@ -759,6 +773,8 @@ def compute_spin_temperature(
     lya_cont_pref = spec["cont"]
     lya_inj_pref = spec["inj"]
     starlya_mini_pref = spec["starlya_mini"]
+    lya_cont_mini_pref = spec["cont_mini"]
+    lya_inj_mini_pref = spec["inj_mini"]
     lw_pref = spec["lw"]
     lw_mini_pref = spec["lw_mini"]
 
@@ -993,12 +1009,16 @@ def compute_spin_temperature(
         gp_norm = lya_heating.gunn_peterson_coef() / hubble_zp * n_zp
         lya_cont_pref = lya_cont_pref * lya_norm
         lya_inj_pref = lya_inj_pref * lya_norm
+        lya_cont_mini_pref = lya_cont_mini_pref * lya_norm
+        lya_inj_mini_pref = lya_inj_mini_pref * lya_norm
     else:
         lya_tbl_cont = jnp.zeros((2, 2, 2), jnp.float32)
         lya_tbl_inj = jnp.zeros((2, 2, 2), jnp.float32)
         gp_norm = 0.0
         lya_cont_pref = np.zeros_like(lya_cont_pref)
         lya_inj_pref = np.zeros_like(lya_inj_pref)
+        lya_cont_mini_pref = np.zeros_like(lya_cont_mini_pref)
+        lya_inj_mini_pref = np.zeros_like(lya_inj_mini_pref)
 
     consts = tuple(
         jnp.float32(v)
@@ -1056,6 +1076,8 @@ def compute_spin_temperature(
         jnp.asarray(sfrd_tables_mini, jnp.float32),
         jnp.asarray(mean_sfrd_mini, jnp.float32),
         jnp.asarray(starlya_mini_pref * lya_norm, jnp.float32),
+        jnp.asarray(lya_cont_mini_pref, jnp.float32),
+        jnp.asarray(lya_inj_mini_pref, jnp.float32),
         jnp.asarray(lw_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
         jnp.asarray(lw_mini_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
         mcrit_box,
