@@ -41,9 +41,20 @@ MAX_HALO_CELL = 100000  # reference Stochasticity.c:25
 # DexM: excursion-set halo finder on the hires grid
 
 
-@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "n_r"))
-def _dexm_scan(d_k, barriers, radii, masses, *, hi_shape, box_lens, n_r):
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "n_r", "optimize"))
+def _dexm_scan(d_k, barriers, radii, masses, loose_level, *, hi_shape, box_lens,
+               n_r, optimize=False):
     """Descending-R excursion set with FFT sphere-painted exclusion.
+
+    Candidate centres must clear the reference's strict no-overlap test
+    (check_halo(.., 1), HaloCatalog.c:263-289): no already-flagged pixel may
+    lie within R of the centre — evaluated here as a tophat convolution of
+    the in_halo mask.  With `optimize` (DEXM_OPTIMIZE), levels with
+    M > DEXM_OPTIMIZE_MINMASS (`loose_level` True) use the looser
+    centre-pixel-only test, mirroring the reference's forbidden-region
+    shortcut for large halos.  Same-level overlaps are not suppressed (the
+    reference's raster-order first-come dedup is inherently sequential);
+    this slightly over-merges same-mass neighbours.
 
     Returns (halo_mass_grid, in_halo mask): halo_mass_grid holds the halo mass
     at each halo-centre cell (0 elsewhere)."""
@@ -52,9 +63,18 @@ def _dexm_scan(d_k, barriers, radii, masses, *, hi_shape, box_lens, n_r):
 
     def step(carry, xs):
         halo_grid, in_halo = carry
-        r, barrier, mass = xs
+        r, barrier, mass, loose = xs
         delta_r = fft.irfft3(filters.filter_kbox(d_k, kmag, filters.TOPHAT, r), hi_shape)
-        new_centres = (delta_r > barrier) & (~in_halo)
+        sphere_vol_r = 4.0 / 3.0 * np.pi * r**3
+        # overlap fraction of already-flagged pixels within R of each centre
+        occ_k = fft.rfft3(in_halo.astype(jnp.float32))
+        occupied = fft.irfft3(
+            filters.filter_kbox(occ_k, kmag, filters.TOPHAT, r), hi_shape
+        )
+        clear = occupied * sphere_vol_r < 0.5 * cell_vol
+        if optimize:
+            clear = jnp.where(loose, ~in_halo, clear)
+        new_centres = (delta_r > barrier) & (~in_halo) & clear
         halo_grid = jnp.where(new_centres, mass, halo_grid)
         # paint exclusion spheres: convolve centres with a normalized tophat of
         # radius r; anything with weight above threshold lies inside some halo
@@ -70,7 +90,7 @@ def _dexm_scan(d_k, barriers, radii, masses, *, hi_shape, box_lens, n_r):
     halo_grid0 = jnp.zeros(hi_shape, jnp.float32)
     in_halo0 = jnp.zeros(hi_shape, bool)
     (halo_grid, in_halo), _ = jax.lax.scan(
-        step, (halo_grid0, in_halo0), (radii, barriers, masses)
+        step, (halo_grid0, in_halo0), (radii, barriers, masses, loose_level)
     )
     return halo_grid, in_halo
 
@@ -96,14 +116,18 @@ def dexm_halo_grid(redshift: float, inputs: InputParameters, ics: InitialConditi
     )
 
     d_k = jax.jit(fft.rfft3)(ics.hires_density)
+    mo = inputs.matter_options
+    loose = np.asarray(masses) > so.DEXM_OPTIMIZE_MINMASS
     return _dexm_scan(
         d_k,
         jnp.asarray(barriers, jnp.float32),
         jnp.asarray(radii, jnp.float32),
         jnp.asarray(masses, jnp.float32),
+        jnp.asarray(loose),
         hi_shape=so.hires_shape,
         box_lens=so.box_lens,
         n_r=len(radii),
+        optimize=bool(mo.DEXM_OPTIMIZE),
     )
 
 

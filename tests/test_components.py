@@ -269,3 +269,34 @@ def test_convert_halo_properties(inputs):
     assert np.all(props["sfr"] > 0)
     assert np.all(props["fesc_weighted_sfr"] <= props["sfr"] * inputs.astro_params.POP2_ION)
     assert np.all(props["xray_luminosity"] > 0)
+
+
+def test_dexm_no_overlap_semantics(inputs):
+    """DexM strict mode must not place a smaller halo whose sphere overlaps a
+    larger one (reference check_halo(.., 1)); DEXM_OPTIMIZE relaxes the test
+    for large masses and can only find >= as many centres."""
+    from py21cmfast_tpu.models.halos import dexm_halo_grid
+
+    inp = inputs.evolve_input_structs(HII_DIM=16, DIM=32, BOX_LEN=32.0)
+    ics = p21.compute_initial_conditions(inp)
+    grid, in_halo = dexm_halo_grid(9.0, inp, ics)
+    grid = np.asarray(grid)
+    centres = np.argwhere(grid > 0)
+    masses = grid[grid > 0]
+    if len(centres) >= 2:
+        # every pair of centres must be separated by at least the larger radius
+        cosmo = inp.cosmology
+        r_of = lambda m: float(cosmo.MtoR(m))
+        cell = 32.0 / 32
+        n = len(centres)
+        for i in range(min(n, 20)):
+            for j in range(i + 1, min(n, 20)):
+                d = centres[i] - centres[j]
+                d = np.minimum(np.abs(d), 32 - np.abs(d))  # periodic
+                dist = np.sqrt((d**2).sum()) * cell
+                r_big = max(r_of(masses[i]), r_of(masses[j]))
+                if masses[i] != masses[j]:  # same-level overlaps allowed
+                    assert dist > 0.8 * r_big, (dist, r_big)
+    inp_opt = inp.evolve_input_structs(DEXM_OPTIMIZE=True)
+    grid_o, _ = dexm_halo_grid(9.0, inp_opt, ics)
+    assert np.sum(np.asarray(grid_o) > 0) >= np.sum(grid > 0)
