@@ -167,8 +167,12 @@ def generate_lightcone(
             yield coeval.redshift, coeval, lc
             continue
 
+        import jax.numpy as jnp
+
         for q in global_quantities:
-            gq[q].append(float(np.mean(lightconer.get_field(coeval, q))))
+            gq[q].append(
+                float(jnp.mean(lightconer.get_field(coeval, q, device=True)))
+            )
 
         if prev_coeval is not None:
             for q in quantities:

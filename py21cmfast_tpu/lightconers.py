@@ -61,20 +61,26 @@ class Lightconer:
         coeval_low is at the lower redshift (smaller distance)."""
         raise NotImplementedError
 
-    def get_field(self, coeval, quantity):
+    def get_field(self, coeval, quantity, device=False):
+        """Fetch a named field; `device=True` returns the on-device array
+        (avoids the 64 MB/box device-to-host transfer per node — slicing and
+        means then run on device and only the slices come back)."""
         if quantity == "brightness_temp":
-            return np.asarray(coeval.brightness_temperature.brightness_temp)
-        if quantity == "tau_21":
-            return np.asarray(coeval.brightness_temperature.tau_21)
-        if quantity in ("density", "velocity_z", "velocity_x", "velocity_y"):
-            return np.asarray(getattr(coeval.perturbed_field, quantity))
-        if quantity in ("neutral_fraction", "z_reion", "ionisation_rate_G12"):
-            return np.asarray(getattr(coeval.ionized_box, quantity))
-        if quantity in ("spin_temperature", "kinetic_temp_neutral", "xray_ionised_fraction"):
+            out = coeval.brightness_temperature.brightness_temp
+        elif quantity == "tau_21":
+            out = coeval.brightness_temperature.tau_21
+        elif quantity in ("density", "velocity_z", "velocity_x", "velocity_y"):
+            out = getattr(coeval.perturbed_field, quantity)
+        elif quantity in ("neutral_fraction", "z_reion", "ionisation_rate_G12"):
+            out = getattr(coeval.ionized_box, quantity)
+        elif quantity in ("spin_temperature", "kinetic_temp_neutral",
+                          "xray_ionised_fraction"):
             if coeval.spin_temp is None:
                 raise ValueError(f"{quantity} requires USE_TS_FLUCT")
-            return np.asarray(getattr(coeval.spin_temp, quantity))
-        raise ValueError(f"unknown lightcone quantity {quantity}")
+            out = getattr(coeval.spin_temp, quantity)
+        else:
+            raise ValueError(f"unknown lightcone quantity {quantity}")
+        return out if device else np.asarray(out)
 
 
 
@@ -95,11 +101,17 @@ class RectilinearLightconer(Lightconer):
         n_los = inputs.simulation_options.lowres_shape[2]
         pix = np.round(dists / cell).astype(int) % n_los
 
-        box_lo = self.get_field(coeval_low, quantity)
-        box_hi = self.get_field(coeval_high, quantity)
-        w = (dists - d_low) / max(d_high - d_low, 1e-30)
-        vals = box_lo[:, :, pix] * (1 - w)[None, None, :] + box_hi[:, :, pix] * w[None, None, :]
-        return idx, vals.astype(np.float32)
+        import jax.numpy as jnp
+
+        box_lo = self.get_field(coeval_low, quantity, device=True)
+        box_hi = self.get_field(coeval_high, quantity, device=True)
+        w = jnp.asarray((dists - d_low) / max(d_high - d_low, 1e-30), jnp.float32)
+        pix_j = jnp.asarray(pix)
+        vals = (
+            box_lo[:, :, pix_j] * (1 - w)[None, None, :]
+            + box_hi[:, :, pix_j] * w[None, None, :]
+        )
+        return idx, np.asarray(vals, np.float32)
 
 
 class AngularLightconer(Lightconer):
