@@ -140,9 +140,21 @@ def apply_rsds(
         field = field.reshape(nx * ny, -1)
         disp_pix = disp_pix.reshape(nx * ny, -1)
 
-    shifted = np.asarray(
-        rsds_shift(field.T, disp_pix.T, n_rsd_subcells=n_rsd_subcells, periodic=periodic)
-    ).T
+    # chunk over sightlines: each is independent, and the fine-grid
+    # intermediates are n_rsd_subcells * n_slices * n_coords floats — a full
+    # z=5.5-35 lightcone at 256^2 would need ~6 GB at once
+    n_coords = field.shape[0]
+    chunk = max(1, min(n_coords, int(2**25 // max(field.shape[1] * n_rsd_subcells, 1))))
+    outs = []
+    for c0 in range(0, n_coords, chunk):
+        sl = slice(c0, c0 + chunk)
+        outs.append(np.asarray(
+            rsds_shift(
+                field[sl].T, disp_pix[sl].T,
+                n_rsd_subcells=n_rsd_subcells, periodic=periodic,
+            )
+        ).T)
+    shifted = np.concatenate(outs, axis=0)
 
     if shape3d:
         shifted = shifted.reshape(nx, ny, -1)
