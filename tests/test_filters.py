@@ -74,3 +74,61 @@ def test_sharpk_cut():
     kmag = jnp.asarray([0.1, 10.0], dtype=jnp.float32)
     w = filters.filter_weights(kmag, filters.SHARPK, R=1.0)
     assert float(w[0]) == 1.0 and float(w[1]) == 0.0
+
+
+class TestMultipleScattering:
+    """Filter 5: Lya multiple-scattering annulus window (filtering.c:119-307)."""
+
+    def test_series_matches_mpmath(self):
+        import mpmath
+
+        from py21cmfast_tpu.ops.filters import hyper_2f3_window
+
+        for alpha, beta in [(0.5, 0.8), (2.0, 1.5), (5.0, 0.3)]:
+            krs = np.array([0.01, 0.5, 3.0, 10.0, 25.0])
+            ours = hyper_2f3_window(krs, alpha, beta)
+            a1, a2 = (2 + alpha) / 2, (3 + alpha) / 2
+            b2, b3 = (2 + alpha + beta) / 2, (3 + alpha + beta) / 2
+            exact = np.array(
+                [float(mpmath.hyp2f3(a1, a2, 2.5, b2, b3, -(k**2) / 4)) for k in krs]
+            )
+            np.testing.assert_allclose(ours, exact, rtol=5e-4)
+
+    def test_beta_zero_is_tophat(self):
+        from py21cmfast_tpu.ops.filters import hyper_2f3_window
+
+        krs = np.linspace(0.01, 50, 40)
+        w = hyper_2f3_window(krs, 1.0, 0.0)
+        w_th = 3 * (np.sin(krs) - krs * np.cos(krs)) / krs**3
+        np.testing.assert_allclose(w, w_th, atol=1e-12)
+
+    def test_window_normalised_at_k0(self):
+        from py21cmfast_tpu.ops.filters import ms_filter_table
+
+        kt, wt = ms_filter_table(5.0, 2.0, 6.0, 3.0)
+        assert wt[0] == 1.0
+        assert np.isfinite(wt).all()
+        # low-k limit -> 1 (mean-preserving), high-k suppressed
+        assert abs(wt[1] - 1.0) < 1e-3
+        assert abs(wt[-1]) < 0.05
+
+    def test_ms_broader_than_straightline(self):
+        """Multiple scattering diffuses photons: the MS window is *narrower* in k
+        (more extended in r) than the straight-line annulus at moderate k."""
+        from py21cmfast_tpu.ops.filters import ms_window
+
+        k = np.linspace(0.3, 1.0, 20)
+        Ri, Ro, Rstar = 3.0, 8.0, 50.0  # x_em < 1: strong scattering regime
+        w_ms = ms_window(k, Ri, Ro, Rstar)
+        w_sl = np.asarray(filters.w_shell(jnp.asarray(k, jnp.float64), Ri, Ro))
+        # windows differ measurably once scattering matters
+        assert np.max(np.abs(w_ms - w_sl)) > 0.01
+
+    def test_device_interp_matches_host(self):
+        from py21cmfast_tpu.ops.filters import ms_filter_table, ms_window, w_multiple_scattering
+
+        kt, wt = ms_filter_table(5.0, 2.0, 6.0, 3.0, n_k=4096)
+        kq = np.linspace(0.05, 4.9, 57)
+        dev = np.asarray(w_multiple_scattering(jnp.asarray(kq, jnp.float32), kt, wt))
+        host = ms_window(kq, 2.0, 6.0, 3.0)
+        np.testing.assert_allclose(dev, host, atol=2e-4)
