@@ -171,6 +171,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "mass_dep",
         "use_ts",
         "use_recomb",
+        "filter_recomb",
         "track_gamma",
         "last_filtered",
         "lagrangian",
@@ -231,6 +232,7 @@ def _ionize_scan(
     mass_dep,
     use_ts,
     use_recomb,
+    filter_recomb,
     track_gamma,
     last_filtered,
     lagrangian,
@@ -252,71 +254,69 @@ def _ionize_scan(
     xe_k = fft.rfft3(xe_box) if use_ts else None
     stars_k = fft.rfft3(stars_box) if lagrangian else None
     wsfr_k = fft.rfft3(wsfr_box) if (lagrangian and track_gamma) else None
+    rec_k = fft.rfft3(rec_box) if filter_recomb else None
     source_filter = filters.EXP_MFP if use_exp_filter else hii_filter
     n_r = r_values.shape[0]
     cell_len_paint = np.float32(box_lens[0] / shape[0])
 
-    # The filtered fields are independent of the scan carry: precompute them as
-    # ONE batched inverse FFT per grid (much better TPU pipelining than a c2r
-    # per scan step).  Memory: n_r * N^3 * 4 B per grid — acceptable below
-    # HII_DIM ~ 384; revisit with a MINIMIZE_MEMORY scan variant beyond that.
-    def _batch_filtered(k_box, ftype, r_param=0.0):
-        def one(r):
-            return fft.irfft3(filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape)
-
-        # lax.map (sequential) rather than vmap: a single batched 3D FFT
-        # program compiles pathologically slowly on TPU; runtime is equal.
-        return jax.lax.map(one, r_values)
-
-    delta_stack = _batch_filtered(d_k, hii_filter)
-    if not last_filtered:
-        delta_stack = delta_stack.at[n_r - 1].set(delta_adj)
-    xe_stack = _batch_filtered(xe_k, hii_filter) if use_ts else None
-    if use_ts and not last_filtered:
-        xe_stack = xe_stack.at[n_r - 1].set(xe_box)
     if use_minihalos:
         mta_k = fft.rfft3(mturn_a_box)
         mtm_k = fft.rfft3(mturn_m_box)
-        mta_stack = _batch_filtered(mta_k, hii_filter)
-        mtm_stack = _batch_filtered(mtm_k, hii_filter)
-        if not last_filtered:
-            mta_stack = mta_stack.at[n_r - 1].set(mturn_a_box)
-            mtm_stack = mtm_stack.at[n_r - 1].set(mturn_m_box)
     if track_nion:
         prev_adj = prev_delta * prev_pc_factor
         pd_k = fft.rfft3(prev_adj)
-        prev_delta_stack = _batch_filtered(pd_k, hii_filter)
-        if not last_filtered:
-            prev_delta_stack = prev_delta_stack.at[n_r - 1].set(prev_adj)
-    stars_stack = (
-        _batch_filtered(stars_k, source_filter, mfp_meandens) if lagrangian else None
-    )
-    wsfr_stack = (
-        _batch_filtered(wsfr_k, source_filter, mfp_meandens)
-        if (lagrangian and track_gamma)
-        else None
-    )
 
     def step(carry, xs):
         xh, gamma, mfp = carry
         if lagrangian and track_gamma:
-            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r, sfr_r) = xs
+            (r, sig_r, d_lo, d_hi, table, cap, idx) = xs
         elif lagrangian:
-            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r, stars_r) = xs
+            (r, sig_r, d_lo, d_hi, table, cap, idx) = xs
         elif use_minihalos and track_nion:
-            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
-             table_mini, cap_mini, mta_r, mtm_r,
+            (r, sig_r, d_lo, d_hi, table, cap, idx,
+             table_mini, cap_mini,
              p_table, p_cap, p_table_mini, p_cap_mini, p_dlo, p_dhi,
-             pd_r, pn_r, pnm_r) = xs
+             pn_r, pnm_r) = xs
         elif use_minihalos:
-            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
-             table_mini, cap_mini, mta_r, mtm_r) = xs
+            (r, sig_r, d_lo, d_hi, table, cap, idx,
+             table_mini, cap_mini) = xs
         elif use_cheby:
-            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r,
+            (r, sig_r, d_lo, d_hi, table, cap, idx,
              cheb_c, cheb_e) = xs
         else:
-            (r, sig_r, d_lo, d_hi, table, cap, idx, delta_r, xe_r) = xs
+            (r, sig_r, d_lo, d_hi, table, cap, idx) = xs
         is_last = idx == n_r - 1
+
+        # Filter each grid INSIDE the scan step: the filter multiply and the
+        # consuming elementwise work fuse into one XLA computation per step, so
+        # nothing ever materializes an n_r*N^3 stack in HBM (this is the
+        # reference's MINIMIZE_MEMORY execution order, SpinTemperatureBox.c:
+        # 1583-1609, adopted unconditionally — on TPU it is also *faster* than
+        # hoisting, which round-trips every filtered grid through HBM).
+        # On the last (smallest-R) step the reference uses the UNFILTERED grids
+        # for every field (copy_filter_transform, IonisationBox.c:606-633).
+        def _filtered(k_box, unfiltered, ftype, r_param=0.0):
+            if last_filtered:
+                return fft.irfft3(filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape)
+            return jax.lax.cond(
+                is_last,
+                lambda: unfiltered,
+                lambda: fft.irfft3(
+                    filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape
+                ),
+            )
+
+        delta_r = _filtered(d_k, delta_adj, hii_filter)
+        xe_r = _filtered(xe_k, xe_box, hii_filter) if use_ts else 0.0
+        if lagrangian:
+            stars_r = _filtered(stars_k, stars_box, source_filter, mfp_meandens)
+            if track_gamma:
+                sfr_r = _filtered(wsfr_k, wsfr_box, source_filter, mfp_meandens)
+        if use_minihalos:
+            mta_r = _filtered(mta_k, mturn_a_box, hii_filter)
+            mtm_r = _filtered(mtm_k, mturn_m_box, hii_filter)
+            if track_nion:
+                pd_r = _filtered(pd_k, prev_adj, hii_filter)
 
         delta_r = jnp.maximum(delta_r, -1.0 + FRACT_FLOAT_ERR)
         xe_r = jnp.clip(xe_r, 0.0, 0.999) if use_ts else 0.0
@@ -420,9 +420,13 @@ def _ionize_scan(
         else:
             fcoll_mini = 0.0
 
-        # recombinations per baryon in the cell (CELL_RECOMB: previous snapshot's
-        # cumulative N_rec, unfiltered; IonisationBox.c:1084-1099)
-        if use_recomb:
+        # recombinations per baryon: CELL_RECOMB uses the previous snapshot's
+        # cumulative N_rec unfiltered, otherwise N_rec is filtered at each R
+        # like the other grids (IonisationBox.c:1084-1099)
+        if filter_recomb:
+            rec = jnp.maximum(_filtered(rec_k, rec_box, hii_filter), 0.0)
+            rec = rec / (1.0 + delta_r)
+        elif use_recomb:
             rec = rec_box / (1.0 + delta_r)
         else:
             rec = 0.0
@@ -486,21 +490,17 @@ def _ionize_scan(
         fcoll_tables,
         fcoll_caps,
         jnp.arange(n_r),
-        delta_stack,
-        xe_stack if use_ts else jnp.zeros((n_r, 1, 1, 1), jnp.float32),
     ]
     if lagrangian:
-        xs.append(stars_stack)
-        if track_gamma:
-            xs.append(wsfr_stack)
+        pass
     elif use_cheby:
         xs.extend([cheby_coeffs, cheby_edge])
     elif use_minihalos:
-        xs.extend([fcoll_tables_mini, fcoll_caps_mini, mta_stack, mtm_stack])
+        xs.extend([fcoll_tables_mini, fcoll_caps_mini])
         if track_nion:
             xs.extend([
                 tables_prev, caps_prev, tables_prev_mini, caps_prev_mini,
-                prev_dlo, prev_dhi, prev_delta_stack,
+                prev_dlo, prev_dhi,
                 prev_nion_stack, prev_nion_mini_stack,
             ])
     (xh, gamma, mfp), ys = jax.lax.scan(step, (xh0, gamma0, mfp0), tuple(xs))
@@ -876,6 +876,7 @@ def compute_ionization_field(
         mass_dep=mass_dep,
         use_ts=spin_temp is not None,
         use_recomb=use_recomb,
+        filter_recomb=use_recomb and not ao.CELL_RECOMB,
         track_gamma=True,
         last_filtered=False,
         lagrangian=lagrangian,

@@ -350,46 +350,45 @@ def _ts_kernel(
     )
     ival = (xe_call - xhii_grid[xidx]) / (xhii_grid[xidx + 1] - xhii_grid[xidx])
 
-    # hoist the carry-independent filtered-density shells out of the scan as
-    # one batched inverse FFT (same trick as the ionization scan)
-    if not lagrangian:
-        def _one_shell(r, do_f):
-            filt = jax.lax.cond(
-                do_f,
-                lambda: filters.filter_kbox(d_k, kmag, heat_filter, r),
-                lambda: d_k,
-            )
-            return fft.irfft3(filt, shape)
-
-        delta_shells = jax.lax.map(lambda rd: _one_shell(*rd), (r_values, do_filter))
-    else:
-        delta_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
-
+    # Filtered shells are computed INSIDE the scan step (one filter+iFFT fused
+    # with its consumers per step): nothing materializes an n_R*N^3 stack in
+    # HBM.  This is the reference's MINIMIZE_MEMORY execution order
+    # (SpinTemperatureBox.c:1583-1609), adopted unconditionally — on TPU it is
+    # also faster than hoisting, which round-trips each shell through HBM.
     if use_minihalos and not lagrangian:
-        # filtered log10-Mcrit shells (reference fill_Rbox_table of
-        # log10_Mcrit_LW, SpinTemperatureBox.c:1464-1473; clipped below at the
-        # no-feedback LW threshold)
         mc_k = fft.rfft3(mcrit_box)
-
-        def _one_mcrit(rd):
-            r, do_f = rd
-            filt = jax.lax.cond(
-                do_f,
-                lambda: filters.filter_kbox(mc_k, kmag, heat_filter, r),
-                lambda: mc_k,
-            )
-            return jnp.maximum(fft.irfft3(filt, shape), mcrit_clip)
-
-        mcrit_shells = jax.lax.map(_one_mcrit, (r_values, do_filter))
-    else:
-        mcrit_shells = jnp.zeros((r_values.shape[0], 1, 1, 1), jnp.float32)
 
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, cheb_c, cheb_e,
-         msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, delta0,
+         msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh,
          table_mini, msfrd_mini, p_star_mini, p_cont_mini, p_inj_mini,
-         p_lw, p_lw_mini, mc_r) = xs
+         p_lw, p_lw_mini) = xs
+
+        if not lagrangian:
+            delta0 = fft.irfft3(
+                jax.lax.cond(
+                    do_f,
+                    lambda: filters.filter_kbox(d_k, kmag, heat_filter, r),
+                    lambda: d_k,
+                ),
+                shape,
+            )
+        if use_minihalos and not lagrangian:
+            # filtered log10-Mcrit shell (reference fill_Rbox_table of
+            # log10_Mcrit_LW, SpinTemperatureBox.c:1464-1473; clipped below at
+            # the no-feedback LW threshold)
+            mc_r = jnp.maximum(
+                fft.irfft3(
+                    jax.lax.cond(
+                        do_f,
+                        lambda: filters.filter_kbox(mc_k, kmag, heat_filter, r),
+                        lambda: mc_k,
+                    ),
+                    shape,
+                ),
+                mcrit_clip,
+            )
 
         if lagrangian:
             # halo-model shells already filtered (XraySourceBox); units folded
@@ -490,10 +489,9 @@ def _ts_kernel(
             sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, sfrd_cheby, sfrd_edge,
             mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
-            sfr_shells, xray_shells, delta_shells,
+            sfr_shells, xray_shells,
             sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini,
             pref_lya_cont_mini, pref_lya_inj_mini, pref_lw, pref_lw_mini,
-            mcrit_shells,
         ),
     )
 

@@ -62,6 +62,65 @@ def power_spectrum_1d(field, box_lens, n_bins=16, k_min=None, k_max=None, log_bi
         return ksum / counts, psum / counts, counts
 
 
+def reference_binned_power(field, box_lens, bins=None):
+    """P(k) binned exactly like the reference golden tests.
+
+    The reference produces its gold spectra with powerbox.get_power(field,
+    boxlength=BOX_LEN, bins_upto_boxlen=True) (produce_integration_test_data.py:
+    84-280).  That scheme, reverse-engineered against the stored gold k-centers
+    (matches to <5e-9):
+
+      bins    = int(N_geom // 2.2), N_geom = prod(shape)**(1/3)
+      edges   = linspace(0, min-axis Nyquist, bins+1)   [linear; DC in bin 0;
+                 modes with |k| == Nyquist dropped]
+      k_c     = unweighted mean |k| of the full-FFT modes in the bin
+      P       = mean |fftn(f)|^2 * V / N_tot^2 over the bin
+
+    Implemented on the rfft half-space with hermitian multiplicity weights
+    (equivalent to full-fftn mode counting).  Returns (k_centers, P, counts).
+    """
+    field = np.asarray(field, dtype=np.float64)
+    shape = field.shape
+    n_tot = int(np.prod(shape))
+    if np.isscalar(box_lens):
+        box_lens = (float(box_lens),) * 3
+    volume = float(np.prod(box_lens))
+
+    if bins is None:
+        bins = int(n_tot ** (1.0 / 3.0) // 2.2)
+
+    d_k = np.fft.rfftn(field)
+    pk_grid = (np.abs(d_k) ** 2) * (volume / n_tot**2)
+
+    axes = [2 * np.pi * np.fft.fftfreq(s, d=l / s) for s, l in zip(shape, box_lens)]
+    axes[2] = axes[2][: shape[2] // 2 + 1]
+    kmag = np.sqrt(
+        axes[0][:, None, None] ** 2 + axes[1][None, :, None] ** 2 + axes[2][None, None, :] ** 2
+    )
+
+    # hermitian multiplicity: kz=0 plane (and kz=Nyquist for even Nz) once
+    nz = shape[2]
+    w = np.full(nz // 2 + 1, 2.0)
+    w[0] = 1.0
+    if nz % 2 == 0:
+        w[-1] = 1.0
+    weights = np.broadcast_to(w[None, None, :], pk_grid.shape)
+
+    kny = min(np.pi * s / l for s, l in zip(shape, box_lens))
+    edges = np.linspace(0.0, kny, bins + 1)
+
+    mag = kmag.ravel()
+    pk = pk_grid.ravel()
+    wts = weights.ravel()
+    idx = np.digitize(mag, edges) - 1
+    valid = (idx >= 0) & (idx < bins)
+    psum = np.bincount(idx[valid], weights=(pk * wts)[valid], minlength=bins)
+    ksum = np.bincount(idx[valid], weights=(mag * wts)[valid], minlength=bins)
+    counts = np.bincount(idx[valid], weights=wts[valid], minlength=bins)
+    with np.errstate(invalid="ignore"):
+        return ksum / counts, psum / counts, counts
+
+
 def dimensionless_power(field, box_lens, **kw):
     """Delta^2(k) = k^3 P(k) / (2 pi^2)."""
     k, p, n = power_spectrum_1d(field, box_lens, **kw)

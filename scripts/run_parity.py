@@ -1,0 +1,377 @@
+"""Reference-parity runner: run configs matched to the reference's golden-data
+matrix (produce_integration_test_data.py:47-280) and compare our power spectra
+against the stored golds in /root/reference/tests/test_data/power_spectra_*.h5.
+
+Seeds are not bitwise comparable across implementations (GSL vs threefry), so
+agreement is asserted statistically: each config runs with several seeds, the
+per-bin realization scatter is measured, and the gold (itself one realization)
+is compared in units of that scatter plus as a band-averaged amplitude ratio.
+
+Writes tests/parity_data/<config>.json (one file per config) and regenerates
+PARITY.md from all result files present.
+
+Usage:
+  python scripts/run_parity.py --configs simple,no-mdz --seeds 3
+  python scripts/run_parity.py --all --seeds 5
+  python scripts/run_parity.py --report-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+GOLD_DIR = Path("/root/reference/tests/test_data")
+OUT_DIR = REPO / "tests" / "parity_data"
+
+# Matched to reference tests/produce_integration_test_data.py:47-62
+DEFAULTS = dict(
+    HII_DIM=50,
+    DIM=150,
+    BOX_LEN=100.0,
+    SAMPLER_MIN_MASS=1e9,
+    ZPRIME_STEP_FACTOR=1.04,
+    SOURCE_MODEL="E-INTEGRAL",
+    USE_EXP_FILTER=False,
+    CELL_RECOMB=False,
+    USE_TS_FLUCT=False,
+    USE_UPPER_STELLAR_TURNOVER=False,
+)
+
+# Matched to reference OPTIONS_TESTRUNS (produce_integration_test_data.py:84-280).
+# Configs needing CLASS transfer functions run with EH here (classy is not in
+# this environment) — their density-sector comparison carries a transfer-function
+# systematic, noted in PARITY.md.
+CONFIGS = {
+    "simple": (18, {}),
+    "no-mdz": (18, {"SOURCE_MODEL": "CONST-ION-EFF"}),
+    "ts": (18, {"USE_TS_FLUCT": True}),
+    "ts_nomdz": (18, {"USE_TS_FLUCT": True, "SOURCE_MODEL": "CONST-ION-EFF"}),
+    "homo": (
+        18,
+        {"RECOMB_MODEL": "homogeneous", "CELL_RECOMB": True, "R_BUBBLE_MAX": 50.0},
+    ),
+    "inhomo": (18, {"RECOMB_MODEL": "inhomogeneous", "R_BUBBLE_MAX": 50.0}),
+    "inhomo_ts": (
+        18,
+        {"RECOMB_MODEL": "inhomogeneous", "USE_TS_FLUCT": True, "R_BUBBLE_MAX": 50.0},
+    ),
+    "sampler": (18, {"SOURCE_MODEL": "CHMF-SAMPLER"}),
+    "sampler_hires": (
+        18,
+        {"SOURCE_MODEL": "CHMF-SAMPLER", "PERTURB_ON_HIGH_RES": True},
+    ),
+    "fixed_halogrids": (18, {"SOURCE_MODEL": "L-INTEGRAL"}),
+    "sampler_ts": (18, {"SOURCE_MODEL": "CHMF-SAMPLER", "USE_TS_FLUCT": True}),
+    "sampler_ir": (
+        18,
+        {
+            "SOURCE_MODEL": "CHMF-SAMPLER",
+            "RECOMB_MODEL": "inhomogeneous",
+            "R_BUBBLE_MAX": 50.0,
+        },
+    ),
+    "sampler_ts_ir": (
+        18,
+        {
+            "SOURCE_MODEL": "CHMF-SAMPLER",
+            "USE_TS_FLUCT": True,
+            "RECOMB_MODEL": "inhomogeneous",
+            "R_BUBBLE_MAX": 50.0,
+        },
+    ),
+    "sampler_noncubic": (
+        18,
+        {"SOURCE_MODEL": "CHMF-SAMPLER", "NON_CUBIC_FACTOR": 1.2},
+    ),
+    "dexm": (18, {"SOURCE_MODEL": "DEXM-ESF"}),
+    "photoncons-z": (12, {"PHOTON_CONS_TYPE": "z-photoncons"}),
+    "minimize_mem": (
+        18,
+        {
+            "USE_TS_FLUCT": True,
+            "RECOMB_MODEL": "inhomogeneous",
+            "R_BUBBLE_MAX": 50.0,
+            "MINIMIZE_MEMORY": True,
+        },
+    ),
+    "mini": (
+        18,
+        {
+            "USE_MINI_HALOS": True,
+            "RECOMB_MODEL": "inhomogeneous",
+            "R_BUBBLE_MAX": 50.0,
+            "USE_TS_FLUCT": True,
+            "M_TURN": 5.0,
+            "Z_HEAT_MAX": 25,
+            "ZPRIME_STEP_FACTOR": 1.1,
+            "V_CB_MODEL": "FLUCTS",
+        },
+    ),
+    "sampler_mini": (
+        18,
+        {
+            "SOURCE_MODEL": "CHMF-SAMPLER",
+            "USE_MINI_HALOS": True,
+            "USE_TS_FLUCT": True,
+            "RECOMB_MODEL": "inhomogeneous",
+            "R_BUBBLE_MAX": 50.0,
+            "V_CB_MODEL": "FLUCTS",
+            "M_TURN": 5.0,
+        },
+    ),
+    "multiple_scattering": (
+        18,
+        {
+            "LYA_MULTIPLE_SCATTERING": True,
+            "SOURCE_MODEL": "L-INTEGRAL",
+            "USE_TS_FLUCT": True,
+        },
+    ),
+}
+
+# gold dataset name -> how to pull the field out of our Coeval
+FIELD_MAP = {
+    "brightness_temp": lambda cv: cv.brightness_temperature.brightness_temp,
+    "density": lambda cv: cv.perturbed_field.density,
+    "velocity_z": lambda cv: cv.perturbed_field.velocity_z,
+    "neutral_fraction": lambda cv: cv.ionized_box.neutral_fraction,
+    "z_reion": lambda cv: cv.ionized_box.z_reion,
+    "ionisation_rate_G12": lambda cv: cv.ionized_box.ionisation_rate_G12,
+    "lowres_density": lambda cv: cv.initial_conditions.lowres_density,
+    "lowres_vx": lambda cv: cv.initial_conditions.vx,
+    "lowres_vx_2LPT": lambda cv: cv.initial_conditions.vx_2LPT,
+    "spin_temperature": lambda cv: cv.spin_temp.spin_temperature if cv.spin_temp else None,
+    "xray_ionised_fraction": lambda cv: (
+        cv.spin_temp.xray_ionised_fraction if cv.spin_temp else None
+    ),
+    "kinetic_temp_neutral": lambda cv: (
+        cv.spin_temp.kinetic_temp_neutral if cv.spin_temp else None
+    ),
+    "J_21_LW": lambda cv: cv.spin_temp.J_21_LW if cv.spin_temp else None,
+    "cumulative_recombinations": lambda cv: cv.ionized_box.cumulative_recombinations,
+}
+
+SEEDS = [101, 202, 303, 404, 505]
+
+
+def build_inputs(name: str, seed: int):
+    import py21cmfast_tpu as p21
+
+    z, overrides = CONFIGS[name]
+    kwargs = {**DEFAULTS, **overrides}
+    inputs = p21.InputParameters(random_seed=seed).evolve_input_structs(**kwargs)
+    needs_ladder = kwargs.get("USE_TS_FLUCT", False) or (
+        str(kwargs.get("RECOMB_MODEL", "none")).lower() != "none"
+    )
+    if needs_ladder:
+        inputs = inputs.with_logspaced_redshifts(float(z))
+    return float(z), inputs
+
+
+def run_one(name: str, seed: int):
+    from py21cmfast_tpu.drivers.coeval import run_coeval
+    from py21cmfast_tpu.ops.ps import reference_binned_power
+
+    z, inputs = build_inputs(name, seed)
+    t0 = time.time()
+    [cv] = run_coeval(inputs, [z])
+    dt = time.time() - t0
+
+    box_lens = inputs.simulation_options.box_lens
+    spectra = {}
+    for field, getter in FIELD_MAP.items():
+        try:
+            arr = getter(cv)
+        except (AttributeError, TypeError):
+            arr = None
+        if arr is None:
+            continue
+        arr = np.asarray(arr, dtype=np.float64)
+        if arr.ndim != 3:
+            continue
+        k, p, _ = reference_binned_power(arr, box_lens)
+        spectra[field] = p
+        spectra.setdefault("_k", k)
+    return spectra, dt
+
+
+def load_gold(name: str):
+    import h5py
+
+    path = GOLD_DIR / f"power_spectra_{name}.h5"
+    if not path.exists():
+        return None
+    out = {}
+    with h5py.File(path, "r") as f:
+        if "coeval" not in f:
+            return None
+        g = f["coeval"]
+        for key in g:
+            if key == "k":
+                out["_k"] = g[key][:]
+            elif key.startswith("power_"):
+                out[key[len("power_") :]] = g[key][:]
+    return out
+
+
+def run_config(name: str, seeds, verbose=True):
+    gold = load_gold(name)
+    runs = {}
+    times = []
+    for seed in seeds:
+        if verbose:
+            print(f"[{name}] seed {seed} ...", flush=True)
+        spectra, dt = run_one(name, seed)
+        times.append(dt)
+        for field, p in spectra.items():
+            runs.setdefault(field, []).append(np.asarray(p))
+        if verbose:
+            print(f"[{name}] seed {seed} done in {dt:.1f}s", flush=True)
+
+    k = runs.pop("_k")[0]
+    result = {
+        "config": name,
+        "redshift": CONFIGS[name][0],
+        "n_seeds": len(seeds),
+        "seeds": list(seeds),
+        "k": k.tolist(),
+        "times_s": [round(t, 2) for t in times],
+        "fields": {},
+    }
+    for field, stack in runs.items():
+        stack = np.stack(stack)
+        entry = {
+            "mean": stack.mean(axis=0).tolist(),
+            "std": stack.std(axis=0, ddof=1).tolist() if len(seeds) > 1 else None,
+            "runs": stack.tolist(),
+        }
+        if gold is not None and field in gold:
+            entry["gold"] = np.asarray(gold[field]).tolist()
+        result["fields"][field] = entry
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    with open(OUT_DIR / f"{name}.json", "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def band_stats(k, gold, mean, std, runs=None, k_lo=0.3, k_hi=1.2):
+    """Summary statistics over the statistically-useful band.
+
+    `band_z` is the primary gate: the gold's geometric-mean band power placed
+    within OUR per-seed distribution (in log).  |band_z| <~ 3 means the gold is
+    indistinguishable from one of our own realizations — the right criterion
+    for fields whose power is exponentially sensitive to the realization
+    (e.g. neutral_fraction at xH ~ 1)."""
+    k = np.asarray(k)
+    gold = np.asarray(gold)
+    mean = np.asarray(mean)
+    sel = (k >= k_lo) & (k <= k_hi) & (mean > 0) & (gold > 0)
+    if sel.sum() < 3:
+        return None
+    ratio = gold[sel] / mean[sel]
+    out = {
+        "band_ratio": float(np.exp(np.mean(np.log(ratio)))),
+        "max_dev_pct": float(np.max(np.abs(ratio - 1)) * 100),
+    }
+    if std is not None:
+        std = np.asarray(std)
+        sigma = np.maximum(std[sel], 1e-30)
+        pulls = (gold[sel] - mean[sel]) / sigma
+        out["max_pull"] = float(np.max(np.abs(pulls)))
+    if runs is not None and len(runs) > 2:
+        stack = np.asarray(runs)[:, sel]
+        ok = np.all(stack > 0, axis=0)
+        if ok.sum() >= 3:
+            logs = np.mean(np.log(stack[:, ok]), axis=1)  # per-seed band log-power
+            gb = np.mean(np.log(gold[sel][ok]))
+            sd = np.std(logs, ddof=1)
+            if sd > 0:
+                out["band_z"] = float((gb - logs.mean()) / sd)
+    return out
+
+
+def write_report():
+    lines = [
+        "# PARITY — power-spectrum comparison against the reference golds",
+        "",
+        "Configs matched to `/root/reference/tests/produce_integration_test_data.py`",
+        "(HII_DIM=50, DIM=150, BOX_LEN=100, z=18 except photoncons-z at z=12).",
+        "Seeds are not bitwise comparable across implementations, so each config",
+        "runs with several seeds here; `ratio` is the geometric-mean gold/ours power",
+        "ratio over k ∈ [0.3, 1.2] Mpc⁻¹ (1.00 = perfect amplitude parity),",
+        "`maxdev` the worst single-bin deviation in that band, and `pull` the worst",
+        "deviation in units of the measured per-bin realization scatter (the gold",
+        "is itself a single realization, so |pull| ≲ 3 is statistical agreement).",
+        "Configs whose gold used CLASS transfer functions (mini/sampler_mini) run",
+        "with EH here — their density sector carries a known transfer systematic.",
+        "",
+        "`band_z` places the gold's band power inside our per-seed distribution",
+        "(in log): |band_z| <~ 3 is indistinguishable from one of our own seeds.",
+        "",
+        "| config | field | ratio | maxdev % | max pull | band_z | n seeds |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    report_fields = [
+        "brightness_temp",
+        "density",
+        "neutral_fraction",
+        "spin_temperature",
+        "lowres_density",
+        "velocity_z",
+    ]
+    for path in sorted(OUT_DIR.glob("*.json")):
+        with open(path) as f:
+            res = json.load(f)
+        for field in report_fields:
+            entry = res["fields"].get(field)
+            if entry is None or "gold" not in entry:
+                continue
+            st = band_stats(
+                res["k"], entry["gold"], entry["mean"], entry.get("std"),
+                runs=entry.get("runs"),
+            )
+            if st is None:
+                continue
+            pull = f"{st['max_pull']:.1f}" if "max_pull" in st else "—"
+            bz = f"{st['band_z']:+.1f}" if "band_z" in st else "—"
+            lines.append(
+                f"| {res['config']} | {field} | {st['band_ratio']:.3f} | "
+                f"{st['max_dev_pct']:.1f} | {pull} | {bz} | {res['n_seeds']} |"
+            )
+    lines.append("")
+    (REPO / "PARITY.md").write_text("\n".join(lines))
+    print(f"wrote PARITY.md ({len(lines)} lines)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--report-only", action="store_true")
+    args = ap.parse_args()
+
+    if not args.report_only:
+        names = list(CONFIGS) if args.all else [c for c in args.configs.split(",") if c]
+        for name in names:
+            t0 = time.time()
+            res = run_config(name, SEEDS[: args.seeds])
+            tb = res["fields"].get("brightness_temp", {})
+            if "gold" in tb:
+                st = band_stats(res["k"], tb["gold"], tb["mean"], tb.get("std"))
+                print(f"[{name}] Tb band ratio {st['band_ratio']:.3f} "
+                      f"maxdev {st['max_dev_pct']:.1f}% ({time.time()-t0:.0f}s total)")
+    write_report()
+
+
+if __name__ == "__main__":
+    main()
