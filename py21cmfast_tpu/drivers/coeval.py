@@ -184,12 +184,21 @@ def generate_coeval(
                 z, inputs, pt_halos,
                 previous_spin_temp=prev_ts, previous_ionized_box=prev_ion,
                 lagrangian_delta=initial_conditions.lowres_density,
+                lowres_vcb=initial_conditions.lowres_vcb,
             )
         elif mo.SOURCE_MODEL == "L-INTEGRAL":
             from ..models import halobox as halobox_module
+            from ..models.hmf import set_scaling_constants
 
+            mt_a_grid = mt_m_grid = None
+            if ao.USE_MINI_HALOS:
+                mt_a_grid, mt_m_grid = halobox_module._mcrit_grids(
+                    z, inputs, set_scaling_constants(z, inputs),
+                    prev_ts, prev_ion, initial_conditions.lowres_vcb,
+                )
             halobox = halobox_module.compute_fixed_halo_grid(
-                z, inputs, initial_conditions.lowres_density
+                z, inputs, initial_conditions.lowres_density,
+                mt_a_grid=mt_a_grid, mt_m_grid=mt_m_grid,
             )
 
         ts = None
@@ -201,7 +210,9 @@ def generate_coeval(
                 halobox_nodes.append((z, halobox))
                 ts_started = ts_state is not None and z < inputs.simulation_options.Z_HEAT_MAX
                 if ts_started:
-                    source_box = compute_xray_source_field(z, inputs, halobox_nodes)
+                    source_box = compute_xray_source_field(
+                        z, inputs, halobox_nodes, previous_ionized_box=prev_ion
+                    )
             ts, ts_state = spintemp_module.compute_spin_temperature(
                 z,
                 inputs,

@@ -202,7 +202,14 @@ class SimulationOptions:
     # keep-the-overshoot sampling bias (Stochasticity.c:376-381); our sampler
     # stops with an exactly-unbiased probabilistic crossing rule, so no
     # correction is needed by default.
-    HALOMASS_CORRECTION: float = field(default=1.0, converter=float)
+    # multiplies the expected mass of mass-limited halo sampling; the
+    # reference default 0.89 compensates the sampling loop's overshoot bias
+    # (reference inputs.py:953-1050, Stochasticity.c:377-380)
+    HALOMASS_CORRECTION: float = field(default=0.89, converter=float)
+    # Parkinson+08 EPS-correction parameters for SAMPLE_METHOD='BINARY-SPLIT'
+    PARKINSON_G0: float = field(default=1.0, converter=float)
+    PARKINSON_y1: float = field(default=0.0, converter=float)
+    PARKINSON_y2: float = field(default=0.0, converter=float)
     PARKINSON_G0: float = field(default=1.0, converter=float)
     PARKINSON_y1: float = field(default=0.0, converter=float)
     PARKINSON_y2: float = field(default=0.0, converter=float)
@@ -304,6 +311,10 @@ class AstroOptions:
     USE_EXP_FILTER: bool = field(default=True, converter=bool)
     CELL_RECOMB: bool = field(default=True, converter=bool)
     USE_UPPER_STELLAR_TURNOVER: bool = field(default=True, converter=bool)
+    # Lya multiple-scattering window (filter 5, arXiv:2601.14360) for the
+    # XraySourceBox SFR shells; only meaningful for Lagrangian source models
+    # (reference _inputparams_wrapper.h:150, SpinTemperatureBox.c:753)
+    LYA_MULTIPLE_SCATTERING: bool = field(default=False, converter=bool)
     M_MIN_in_Mass: bool = field(default=True, converter=bool)
     HALO_SCALING_RELATIONS_MEDIAN: bool = field(default=False, converter=bool)
     IONISE_ENTIRE_SPHERE: bool = field(default=False, converter=bool)

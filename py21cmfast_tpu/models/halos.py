@@ -141,9 +141,182 @@ def _sigma_table(inputs):
     return _get_sigma_table(inputs)
 
 
+def _fix_mass_keep(m, m_tgt, key):
+    """Reference fix_mass_sample (Stochasticity.c:341-411), fully vectorized.
+
+    `m` holds (B, K) iid inverse-CMF draws per condition.  The sampled set is
+    the minimal prefix whose cumulative mass crosses the target (the
+    reference's draw-until-exceeded loop); the overshoot is then corrected
+    two-sidedly: with probability 1/2 the final (crossing) halo is dropped iff
+    that lands closer to the target; otherwise sampled halos are removed in
+    uniformly-random order until the total drops below the target, re-adding
+    the last removal iff that is closer.  The two branches have opposite
+    biases (the crossing halo is larger than average), which preserves the
+    high-mass tail of the sampled CMF.  Returns the keep mask.
+    """
+    B, K = m.shape
+    csum = jnp.cumsum(m, axis=1)
+    csum_excl = csum - m
+    inside = csum <= m_tgt[:, None]
+    crossing = (csum_excl < m_tgt[:, None]) & ~inside  # at most one True per row
+    sampled = inside | crossing
+    total = jnp.sum(jnp.where(sampled, m, 0.0), axis=1)
+
+    k1, k2 = jax.random.split(key)
+    sel = jax.random.bernoulli(k1, 0.5, (B,))
+
+    # branch A: drop the crossing halo iff dropping is closer to the target
+    m_last = jnp.sum(jnp.where(crossing, m, 0.0), axis=1)
+    drop_last = jnp.abs(total - m_last - m_tgt) < jnp.abs(total - m_tgt)
+    keep_a = sampled & ~(crossing & drop_last[:, None])
+
+    # branch B: remove sampled halos in uniform-random order until <= target
+    u = jax.random.uniform(k2, (B, K))
+    priority = jnp.where(sampled, u, jnp.inf)
+    order = jnp.argsort(priority, axis=1)  # removal order among sampled
+    m_ord = jnp.where(
+        jnp.take_along_axis(sampled, order, axis=1),
+        jnp.take_along_axis(m, order, axis=1),
+        0.0,
+    )
+    after = total[:, None] - jnp.cumsum(m_ord, axis=1)  # total after t removals
+    t_idx = jnp.argmax(after <= m_tgt[:, None], axis=1)  # 0-based last removal
+    last_removed = jnp.take_along_axis(m_ord, t_idx[:, None], axis=1)[:, 0]
+    after_final = jnp.take_along_axis(after, t_idx[:, None], axis=1)[:, 0]
+    readd = jnp.abs(after_final + last_removed - m_tgt) < jnp.abs(after_final - m_tgt)
+    rank = jnp.argsort(order, axis=1)  # each slot's position in removal order
+    removed = rank <= t_idx[:, None]
+    keep_b = sampled & (~removed | ((rank == t_idx[:, None]) & readd[:, None]))
+    # rows that never crossed the target (k_max exhausted / empty) need no fix
+    keep_b = jnp.where((total > m_tgt)[:, None], keep_b, sampled)
+
+    return jnp.where(sel[:, None], keep_a, keep_b)
+
+
+def _gaussian_tail(key, nu_min):
+    """Sample from the standard normal conditioned on X > nu_min (vectorized
+    replacement for gsl_ran_ugaussian_tail).  Inverse-CDF for small nu_min,
+    Devroye's exact tail method (X = sqrt(a^2 - 2 ln U), accept w.p. a/X) for
+    large nu_min where the float32 inverse CDF saturates."""
+    k1, k2 = jax.random.split(key)
+    shape = nu_min.shape
+    # inverse-CDF branch
+    u = jax.random.uniform(k1, shape, minval=1e-7, maxval=1.0)
+    q = 0.5 * jax.scipy.special.erfc(nu_min / jnp.sqrt(2.0))
+    x_inv = jnp.sqrt(2.0) * jax.scipy.special.erfinv(
+        jnp.clip(1.0 - 2.0 * q * u, -0.999999, 0.999999)
+    )
+    # Devroye branch: 4 attempts, keep the first accepted (acceptance >= ~0.8)
+    u1 = jax.random.uniform(k2, (4,) + shape, minval=1e-12, maxval=1.0)
+    u2 = jax.random.uniform(jax.random.fold_in(k2, 1), (4,) + shape)
+    x_try = jnp.sqrt(nu_min**2 - 2.0 * jnp.log(u1))
+    acc = u2 < nu_min / jnp.maximum(x_try, 1e-10)
+    first = jnp.argmax(acc, axis=0)
+    x_dev = jnp.take_along_axis(x_try, first[None], axis=0)[0]
+    any_acc = jnp.any(acc, axis=0)
+    x_dev = jnp.where(any_acc, x_dev, nu_min + 0.1)  # fallback: near the edge
+    return jnp.where(nu_min > 2.0, x_dev, jnp.maximum(x_inv, nu_min))
+
+
+def _st_taylor_dev(sig, sig_cond, growth):
+    """Device port of hmf._st_taylor_factor (moving ST barrier, hmf.c:234-267)."""
+    a, alpha, beta = hmf.JENKINS_a, hmf.JENKINS_c, hmf.JENKINS_b
+    del_ = physconst.delta_c_sph / growth
+    sigsq = sig * sig
+    sigsq_inv = 1.0 / sigsq
+    sigdiff = jnp.where(jnp.abs(sig - sig_cond) < 1e-9, 1e-6, sigsq - sig_cond**2)
+    t = jnp.ones_like(sig)
+    result = jnp.ones_like(sig)
+    for i in range(1, 6):
+        t = t * (-sigdiff) / i * (alpha - i + 1) * sigsq_inv
+        result = result + t
+    pre1 = jnp.sqrt(a) * del_
+    pre2 = beta * (sigsq_inv * (a * del_ * del_)) ** -alpha
+    return pre1 * (1 + pre2 * result)
+
+
+@partial(jax.jit, static_argnames=("t_max", "use_st"))
+def _partition_kernel(
+    key,
+    delta_cond,  # (B,) condition delta at z (linear, z-scaled)
+    ln_m_cond,  # (B,)
+    active0,  # (B,) bool
+    ln_m_axis,  # uniform lnM axis of the sigma table
+    sigma_tab,
+    sig_axis,  # uniform sigma axis of the inverse table
+    lnm_of_sig_tab,
+    sigma_min,
+    m_min_sample,
+    growth,
+    corr_fudge,
+    *,
+    t_max,
+    use_st,
+):
+    """Sheth & Lemson 1999 partition sampling (stoc_partition_sample,
+    Stochasticity.c:437-486): repeatedly split the remaining condition mass by
+    drawing nu from the truncated Gaussian (with the ST moving-barrier
+    rejection when HMF='ST'), until the remainder falls below the sampler
+    floor.  One lax.scan step = one progenitor draw across all conditions."""
+    from ..ops.grids import uniform_lerp
+
+    lnm0 = ln_m_axis[0]
+    inv_dlnm = (ln_m_axis.shape[0] - 1) / (ln_m_axis[-1] - ln_m_axis[0])
+    sig0 = sig_axis[0]
+    inv_dsig = (sig_axis.shape[0] - 1) / (sig_axis[-1] - sig_axis[0])
+
+    m_cond = jnp.exp(ln_m_cond)
+
+    def step(carry, t):
+        m_rem, active = carry
+        kt = jax.random.fold_in(key, t)
+        lnm_rem = jnp.log(jnp.maximum(m_rem, 1.0))
+        sig_r = uniform_lerp(lnm_rem, lnm0, inv_dlnm, sigma_tab)
+        if use_st:
+            # ST barrier at sig_r: sheth_delc_fixed(delta_c/growth, sig)*growth
+            a = hmf.JENKINS_a
+            dc = physconst.delta_c_sph / growth
+            dcrit_r = (
+                jnp.sqrt(a) * dc
+                * (1.0 + hmf.JENKINS_b * (sig_r**2 / (a * dc * dc)) ** hmf.JENKINS_c)
+            ) * growth
+        else:
+            dcrit_r = jnp.full_like(sig_r, physconst.delta_c_sph)
+        delta_cur = (dcrit_r - delta_cond) / (m_rem / m_cond)
+        del_term = (delta_cur / growth) ** 2
+        sigdiff_min = jnp.maximum(sigma_min**2 - sig_r**2, 1e-12)
+        nu_min = jnp.sqrt(del_term / sigdiff_min)
+
+        nu = _gaussian_tail(jax.random.fold_in(kt, 0), nu_min) * corr_fudge
+        sig_samp = jnp.sqrt(del_term / jnp.maximum(nu, 1e-10) ** 2 + sig_r**2)
+        if use_st:
+            del_c = delta_cur / growth
+            t1 = _st_taylor_dev(sig_samp, sig_r, growth) - del_c
+            t2 = _st_taylor_dev(jnp.full_like(sig_r, sigma_min), sig_r, growth) - del_c
+            accept = jax.random.uniform(jax.random.fold_in(kt, 1), sig_r.shape) <= (
+                t2 / jnp.maximum(t1, 1e-30)
+            )
+        else:
+            accept = jnp.ones_like(active)
+
+        sig_c = jnp.clip(sig_samp, sig_axis[0], sig_axis[-1])
+        m_samp = jnp.exp(uniform_lerp(sig_c, sig0, inv_dsig, lnm_of_sig_tab))
+        m_samp = jnp.minimum(m_samp, m_rem)
+        emit = active & accept
+        m_rem_new = jnp.where(emit, m_rem - m_samp, m_rem)
+        active_new = active & (m_rem_new > m_min_sample)
+        return (m_rem_new, active_new), (jnp.where(emit, m_samp, 0.0), emit)
+
+    (m_rem, _), (masses, keep) = jax.lax.scan(
+        step, (m_cond, active0), jnp.arange(t_max)
+    )
+    return masses.T, keep.T  # (B, t_max)
+
+
 @partial(
     jax.jit,
-    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape", "number_limited"),
+    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape", "number_limited",
+                     "rare_cond"),
 )
 def _sample_cells_kernel(
     key,
@@ -163,10 +336,16 @@ def _sample_cells_kernel(
     n_chunks,
     lo_shape,
     number_limited=False,
+    rare_cond=False,
 ):
     """Mass- or number-limited sampling of all cells, compacted into a fixed
     buffer (reference stoc_mass_sample / stoc_halo_sample,
-    Stochasticity.c:259-276, 374-411)."""
+    Stochasticity.c:259-276, 374-411).
+
+    `rare_cond` marks the whole grid as a many-sigma condition
+    (sigma_cond*7*growth < delta_crit, Stochasticity.c:385-392): every cell
+    then receives exactly one halo carrying the expected mass instead of a
+    stochastic sample — at z >~ 10 with ~2 Mpc cells this is the common case."""
     n_cells = delta_cells.shape[0]
     chunk = n_cells // n_chunks
     n_cond, n_prob = inv_table.shape
@@ -181,7 +360,6 @@ def _sample_cells_kernel(
         m_tgt = jnp.where(excl, 0.0, m_tgt)
 
         u = jax.random.uniform(key_c, (chunk, k_max), minval=1e-12, maxval=1.0)
-        u_keep = jax.random.uniform(jax.random.fold_in(key_c, 1), (chunk, k_max))
         # bilinear gather from the inverse CMF table
         tc = jnp.clip((d - d_lo) / (d_hi - d_lo) * (n_cond - 1), 0.0, n_cond - 1.001)
         ic0 = tc.astype(jnp.int32)
@@ -209,13 +387,14 @@ def _sample_cells_kernel(
             n_cell = jnp.where(excl, 0.0, n_cell)
             n_draw = jax.random.poisson(jax.random.fold_in(key_c, 2), n_cell)
             keep = (jnp.arange(k_max)[None, :] < n_draw[:, None]) & (m >= m_min)
+        elif rare_cond:
+            # single halo with the expected mass per cell (if above the
+            # sampler floor) — Stochasticity.c:385-392
+            keep = (jnp.arange(k_max)[None, :] == 0) & (m_tgt[:, None] >= m_min)
+            m = jnp.where(keep, m_tgt[:, None], m)
         else:
-            csum_excl = jnp.cumsum(m, axis=1) - m
-            csum_incl = csum_excl + m
-            inside = csum_incl <= m_tgt[:, None]
-            crossing = (csum_excl < m_tgt[:, None]) & (~inside)
-            p_keep = (m_tgt[:, None] - csum_excl) / m
-            keep = (inside | (crossing & (u_keep < p_keep))) & (m >= m_min)
+            keep = _fix_mass_keep(m, m_tgt, jax.random.fold_in(key_c, 3))
+            keep = keep & (m >= m_min)
 
         # compact into the global buffer
         keep_flat = keep.reshape(-1)
@@ -259,11 +438,13 @@ def sample_halo_grid(
     """Sample the conditional MF in every lowres cell between SAMPLER_MIN_MASS
     and the cell mass (reference sample_halo_grids, Stochasticity.c:761-941)."""
     method = inputs.matter_options.SAMPLE_METHOD
-    if method in ("PARTITION", "BINARY-SPLIT"):
+    if method == "BINARY-SPLIT":
         raise NotImplementedError(
-            f"SAMPLE_METHOD={method!r} (sequential split-tree samplers) is not "
-            "implemented in the TPU port yet; use MASS-LIMITED or NUMBER-LIMITED"
+            "SAMPLE_METHOD='BINARY-SPLIT' (Parkinson+08 tree) is not implemented "
+            "in the TPU port yet; use MASS-LIMITED, NUMBER-LIMITED or PARTITION"
         )
+    if method == "PARTITION":
+        return _partition_grid(redshift, inputs, lagrangian_delta, exclude_mask, key)
     so = inputs.simulation_options
     cosmo = inputs.cosmology
     sigma_table = _sigma_table(inputs)
@@ -305,9 +486,17 @@ def sample_halo_grid(
         n_exp = np.where(excl, 0.0, n_exp)
         m_tgt = np.where(excl, 0.0, m_tgt)
 
+    # many-sigma grid condition: every cell degenerates to a single
+    # expected-mass halo (Stochasticity.c:385-392)
+    rare_cond = bool(sigma_cell * 7.0 * growth < dcrit)
+
     n_cells = delta_z.size
     capacity = int(so.SAMPLER_BUFFER_FACTOR * np.sum(n_exp) + 1024)
-    k_max = int(np.clip(3 * n_exp.max() + 8, 16, 4096))
+    if rare_cond:
+        capacity = n_cells + 1024
+        k_max = 1
+    else:
+        k_max = int(np.clip(3 * n_exp.max() + 8, 16, 4096))
     # chunk so the (chunk, k_max) draws stay ~ 2^22
     n_chunks = max(1, int(n_cells * k_max / 2**22))
     while n_cells % n_chunks:
@@ -337,8 +526,100 @@ def sample_halo_grid(
         n_chunks=n_chunks,
         lo_shape=so.lowres_shape,
         number_limited=method == "NUMBER-LIMITED",
+        rare_cond=rare_cond and method != "NUMBER-LIMITED",
     )
     return masses, pos, total
+
+
+def _partition_tables(sigma_table, m_lo, m_hi, n=512):
+    """Uniform lnM sigma table + uniform-sigma inverse table for the device."""
+    ln_axis = np.linspace(np.log(m_lo), np.log(m_hi), n)
+    sig_vals = sigma_table.sigma_of_lnm(ln_axis)  # decreasing in lnM
+    sig_axis = np.linspace(sig_vals[-1], sig_vals[0], n)
+    lnm_of_sig = np.interp(sig_axis, sig_vals[::-1], ln_axis[::-1])
+    return (
+        jnp.asarray(ln_axis, jnp.float32),
+        jnp.asarray(sig_vals, jnp.float32),
+        jnp.asarray(sig_axis, jnp.float32),
+        jnp.asarray(lnm_of_sig, jnp.float32),
+    )
+
+
+def _partition_grid(redshift, inputs, lagrangian_delta, exclude_mask, key):
+    """PARTITION grid sampling: split each cell's mass via the Sheth-Lemson
+    scheme (reference stoc_partition_sample path of sample_halo_grids)."""
+    so = inputs.simulation_options
+    cosmo = inputs.cosmology
+    sigma_table = _sigma_table(inputs)
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST):
+        raise ValueError("PARTITION sampling requires HMF='PS' or 'ST' "
+                         "(reference partition_rejection, Stochasticity.c:412-429)")
+
+    cell_len = so.box_len / so.HII_DIM
+    m_cell = cosmo.rho_mean * cell_len**3
+    m_min = so.SAMPLER_MIN_MASS
+    ln_mcell = np.log(m_cell)
+    sigma_min = float(sigma_table.sigma_of_lnm(np.log(m_min)))
+
+    ln_axis, sig_tab, sig_axis, lnm_of_sig = _partition_tables(
+        sigma_table, m_min * 0.25, m_cell * 1.05
+    )
+
+    delta_z = np.asarray(lagrangian_delta, dtype=np.float64).reshape(-1) * growth
+    n_cells = delta_z.size
+    excl = (
+        np.asarray(exclude_mask).reshape(-1)
+        if exclude_mask is not None
+        else np.zeros(n_cells, bool)
+    )
+    if key is None:
+        key = jax.random.PRNGKey(inputs.random_seed + 17)
+
+    t_max = int(np.clip(4 * m_cell / m_min, 64, 2048))
+    chunk = max(1, int(2**22 // t_max))
+    masses_out, pos_out = [], []
+    lo_shape = so.lowres_shape
+    for c0 in range(0, n_cells, chunk):
+        c1 = min(c0 + chunk, n_cells)
+        sl = slice(c0, c1)
+        kc = jax.random.fold_in(key, c0)
+        masses, keep = _partition_kernel(
+            kc,
+            jnp.asarray(delta_z[sl], jnp.float32),
+            jnp.full(c1 - c0, jnp.float32(ln_mcell)),
+            jnp.asarray(~excl[sl]),
+            ln_axis, sig_tab, sig_axis, lnm_of_sig,
+            jnp.float32(sigma_min),
+            jnp.float32(m_min),
+            jnp.float32(growth),
+            jnp.float32(so.HALOMASS_CORRECTION),
+            t_max=t_max,
+            use_st=hmf_int == hmf.HMF_ST,
+        )
+        keep_np = np.asarray(keep) & (np.asarray(masses) >= m_min)
+        m_np = np.asarray(masses)
+        rows, cols = np.nonzero(keep_np)
+        masses_out.append(m_np[rows, cols])
+        cell_ids = c0 + rows
+        iz = cell_ids % lo_shape[2]
+        iy = (cell_ids // lo_shape[2]) % lo_shape[1]
+        ix = cell_ids // (lo_shape[1] * lo_shape[2])
+        rng = np.random.default_rng(inputs.random_seed + 23 + c0)
+        jitter = rng.uniform(size=(len(rows), 3))
+        pos_out.append(
+            (np.stack([ix, iy, iz], axis=-1).astype(np.float64) + jitter) * cell_len
+        )
+    all_m = np.concatenate(masses_out) if masses_out else np.zeros(0, np.float32)
+    all_p = (
+        np.concatenate(pos_out) if pos_out else np.zeros((0, 3), np.float32)
+    )
+    return (
+        jnp.asarray(all_m, jnp.float32),
+        jnp.asarray(all_p, jnp.float32),
+        len(all_m),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -465,32 +746,61 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     m_tgt = np.pad(m_tgt, (0, pad))
     n_exp_d = np.pad(n_exp_d, (0, pad))
 
-    # rare-halo truncation (Stochasticity.c:385-392): descendants whose
-    # condition is a many-sigma peak refuse to split stochastically — hand
-    # them a single progenitor carrying the expected mass
+    method = inputs.matter_options.SAMPLE_METHOD
+    # rare-halo truncation (Stochasticity.c:385-392, MASS-LIMITED only):
+    # descendants whose condition is a many-sigma peak refuse to split
+    # stochastically — hand them a single progenitor with the expected mass
     sig_d = np.interp(ln_md, ln_mbins, sig_bins)
     dcrit_d = hmf.get_delta_crit(
         hmf_int if hmf_int in (0, 1, 4) else 0, sig_d, growth
     )
-    rare = (sig_d * 7.0 * growth < dcrit_d)[:n] if n else np.zeros(0, bool)
+    if method == "MASS-LIMITED" and n:
+        rare = (sig_d * 7.0 * growth < dcrit_d)[:n]
+    else:
+        rare = np.zeros(n, bool)
     m_tgt_full = m_tgt.copy()
     m_tgt[: n][rare] = 0.0  # excluded from the stochastic path
     n_exp_d[: n][rare] = 0.0
 
-    u = jax.random.uniform(key, (n + pad, k_max), minval=1e-12, maxval=1.0)
-    u_keep = jax.random.uniform(jax.random.fold_in(key, 11), (n + pad, k_max))
-    masses_p, keep = _progenitor_draws(
-        jnp.asarray(cond_t, jnp.float32),
-        jnp.asarray(m_tgt, jnp.float32),
-        u,
-        u_keep,
-        jnp.asarray(inv_tab, jnp.float32),
-        jnp.float32(so.MIN_LOGPROB),
-        jnp.float32(m_min),
-        n_exp=jnp.asarray(n_exp_d, jnp.float32),
-        key=jax.random.fold_in(key, 13),
-        number_limited=inputs.matter_options.SAMPLE_METHOD == "NUMBER-LIMITED",
-    )
+    if method == "PARTITION":
+        if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST):
+            raise ValueError("PARTITION sampling requires HMF='PS' or 'ST'")
+        delta_d = np.interp(ln_md, ln_mbins, delta_bins)
+        delta_d = np.pad(delta_d, (0, pad))
+        ln_md_p = np.pad(ln_md, (0, pad))
+        sigma_min_s = float(sigma_table.sigma_of_lnm(np.log(m_min)))
+        ln_axis, sig_tab, sig_axis, lnm_of_sig = _partition_tables(
+            sigma_table, m_min * 0.25, float(np.exp(ln_mbins[-1])) * 1.05
+        )
+        masses_p, keep = _partition_kernel(
+            jax.random.fold_in(key, 13),
+            jnp.asarray(delta_d, jnp.float32),
+            jnp.asarray(ln_md_p, jnp.float32),
+            jnp.asarray(np.pad(m_tgt[: n + pad] > 0, (0, 0))),
+            ln_axis, sig_tab, sig_axis, lnm_of_sig,
+            jnp.float32(sigma_min_s),
+            jnp.float32(m_min),
+            jnp.float32(growth),
+            jnp.float32(so.HALOMASS_CORRECTION),
+            t_max=k_max,
+            use_st=hmf_int == hmf.HMF_ST,
+        )
+        keep = keep & (masses_p >= m_min)
+    else:
+        u = jax.random.uniform(key, (n + pad, k_max), minval=1e-12, maxval=1.0)
+        u_keep = jax.random.uniform(jax.random.fold_in(key, 11), (n + pad, k_max))
+        masses_p, keep = _progenitor_draws(
+            jnp.asarray(cond_t, jnp.float32),
+            jnp.asarray(m_tgt, jnp.float32),
+            u,
+            u_keep,
+            jnp.asarray(inv_tab, jnp.float32),
+            jnp.float32(so.MIN_LOGPROB),
+            jnp.float32(m_min),
+            n_exp=jnp.asarray(n_exp_d, jnp.float32),
+            key=jax.random.fold_in(key, 13),
+            number_limited=method == "NUMBER-LIMITED",
+        )
     masses_p = np.asarray(masses_p)[:n]
     keep = np.asarray(keep)[:n]
 
@@ -547,13 +857,9 @@ def _progenitor_draws(cond_t, m_tgt, u, u_keep, inv_table, lnp_min, m_min,
         n_draw = jax.random.poisson(key, n_exp)
         keep = (jnp.arange(k_max)[None, :] < n_draw[:, None]) & (m >= m_min)
         return m, keep
-    # debiased crossing rule (see _sample_cells_kernel)
-    csum_excl = jnp.cumsum(m, axis=1) - m
-    csum_incl = csum_excl + m
-    inside = csum_incl <= m_tgt[:, None]
-    crossing = (csum_excl < m_tgt[:, None]) & (~inside)
-    p_keep = (m_tgt[:, None] - csum_excl) / m
-    keep = (inside | (crossing & (u_keep < p_keep))) & (m >= m_min)
+    # reference two-sided overshoot correction (fix_mass_sample)
+    keep = _fix_mass_keep(m, m_tgt, jax.random.fold_in(key, 5))
+    keep = keep & (m >= m_min)
     return m, keep
 
 

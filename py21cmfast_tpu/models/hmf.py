@@ -541,6 +541,16 @@ def nion_conditional(
     return np.where(ln_lo >= ln_hi, 0.0, out)
 
 
+def dfcoll_dz(cosmo, z, delta, sigma_min, sigma_cond, dz=0.001):
+    """Redshift derivative of the conditional EPS collapsed fraction
+    (reference dfcoll_dz, hmf.c:1253-1266): central difference of
+    FgtrM_bias_fast.  Negative (fcoll falls with z); the Ts const-ion-eff
+    path multiplies by the (positive) shell dz and flips sign."""
+    fc1 = fcoll_conditional_eps(float(cosmo.dicke(z + dz)), delta, sigma_min, sigma_cond)
+    fc2 = fcoll_conditional_eps(float(cosmo.dicke(z - dz)), delta, sigma_min, sigma_cond)
+    return (fc1 - fc2) / (2.0 * dz)
+
+
 def fcoll_conditional_eps(growthf, delta, sigma_min, sigma_cond):
     """Closed-form conditional EPS collapsed fraction: the erfc expression used
     for the CONST-ION-EFF fcoll grid (reference FgtrM_bias_fast, hmf.c:1221-1241)."""

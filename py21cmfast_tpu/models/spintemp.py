@@ -276,7 +276,8 @@ def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
     jax.jit,
     static_argnames=(
         "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
-        "use_minihalos", "use_lya_heat", "use_cheby",
+        "use_minihalos", "use_minihalos_lagr", "use_lya_heat", "use_cheby",
+        "const_model",
     ),
 )
 def _ts_kernel(
@@ -286,6 +287,7 @@ def _ts_kernel(
     prev_xe,
     sfr_shells,
     xray_shells,
+    sfr_mini_shells,
     # per-R stacked arrays (largest index = largest R; loop order irrelevant for sums)
     r_values,
     do_filter,
@@ -295,6 +297,7 @@ def _ts_kernel(
     sfrd_dlo,
     sfrd_dhi,
     sfrd_tables,
+    sfrd_tables_fc,
     sfrd_caps,
     sfrd_cheby,
     sfrd_edge,
@@ -333,8 +336,10 @@ def _ts_kernel(
     use_cmb_heat,
     lagrangian,
     use_minihalos,
+    use_minihalos_lagr,
     use_lya_heat,
     use_cheby,
+    const_model,
 ):
     kmag = grids.kmag_grid(shape, box_lens)
     d_k = fft.rfft3(density_pf * inv_growth_pf)
@@ -360,8 +365,9 @@ def _ts_kernel(
 
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
-        (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, cap, cheb_c, cheb_e,
-         msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh,
+        (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, table_fc, cap,
+         cheb_c, cheb_e,
+         msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, sfr_mini_sh,
          table_mini, msfrd_mini, p_star_mini, p_cont_mini, p_inj_mini,
          p_lw, p_lw_mini) = xs
 
@@ -392,9 +398,12 @@ def _ts_kernel(
 
         if lagrangian:
             # halo-model shells already filtered (XraySourceBox); units folded
-            # on host: sfr_term dimensionless, xray_sfr in table units
+            # on host: sfr_term dimensionless, xray_sfr in table units.
+            # MCG X-rays are already inside halo_xray (get_halo_xray sums the
+            # ACG + MCG luminosities), so only the Lya/LW SFR splits out.
             sfr_term = sfr_sh * zfac
             xray_sfr = xray_sh * (zfac * xr_fac)
+            sfr_term_mini = sfr_mini_sh * zfac if use_minihalos_lagr else 0.0
         else:
             delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
             delta_zpp = delta0 * growth
@@ -421,7 +430,15 @@ def _ts_kernel(
             fcoll = jnp.where(delta_zpp >= dhi, cap, fcoll)
             fcoll = jnp.maximum(fcoll, 1e-40)
 
-            ave_fcoll = jnp.maximum(jnp.mean(fcoll), 1e-40)
+            if const_model:
+                # `table` holds -dfcoll/dz (the SFRD proxy); the mean fix uses
+                # the plain fcoll grid vs Fcoll_General (calculate_sfrd_from_
+                # grid:1061-1073: ave_sfrd accumulates fcoll, grid holds dfcoll)
+                fc = table_fc[i0] * (1 - frac) + table_fc[i0 + 1] * frac
+                fc = jnp.where(delta_zpp >= dhi, 1.0, fc)
+                ave_fcoll = jnp.maximum(jnp.mean(fc), 1e-40)
+            else:
+                ave_fcoll = jnp.maximum(jnp.mean(fcoll), 1e-40)
             avg_fix = msfrd / ave_fcoll
             sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
             # L_X * s/yr and the unit conversions are folded into the tables (host)
@@ -472,10 +489,10 @@ def _ts_kernel(
             # both ACG and MCG flux (reference SpinTemperatureBox.c:1730-1737)
             dlya_cont = dlya_cont + sfr_term * p_cont
             dlya_inj = dlya_inj + sfr_term * p_inj
-            if use_minihalos:
+            if use_minihalos or use_minihalos_lagr:
                 dlya_cont = dlya_cont + sfr_term_mini * p_cont_mini
                 dlya_inj = dlya_inj + sfr_term_mini * p_inj_mini
-        if use_minihalos:
+        if use_minihalos or use_minihalos_lagr:
             dstarlya = dstarlya + sfr_term_mini * p_star_mini
             dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
         return (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), None
@@ -486,10 +503,11 @@ def _ts_kernel(
         (zero, zero, zero, zero, zero, zero, zero),
         (
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
-            sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_caps, sfrd_cheby, sfrd_edge,
+            sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_tables_fc, sfrd_caps,
+            sfrd_cheby, sfrd_edge,
             mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
-            sfr_shells, xray_shells,
+            sfr_shells, xray_shells, sfr_mini_shells,
             sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini,
             pref_lya_cont_mini, pref_lya_inj_mini, pref_lw, pref_lw_mini,
         ),
@@ -757,6 +775,13 @@ def compute_spin_temperature(
         prev_redshift = (1 + redshift) * so.ZPRIME_STEP_FACTOR - 1
 
     lagrangian = source_box is not None
+    # CONST-ION-EFF: SFRD from the fcoll redshift derivative, not the
+    # scaling-relation Nion integrals (reference calculate_sfrd_from_grid:
+    # 1061-1067, global_reion_properties:927-943)
+    const_model = (
+        not lagrangian
+        and inputs.matter_options.SOURCE_MODEL == "CONST-ION-EFF"
+    )
 
     # ---------------- host-side setup ----------------
     ladder = setup_z_edges(redshift, inputs)
@@ -780,30 +805,56 @@ def compute_spin_temperature(
     z_grid = np.linspace(redshift * 0.999, ladder.zpp[-1] * 1.001, 128)
     ln_mmin_zp = np.log(hmf.minimum_source_mass(redshift, inputs, xray=True))
     ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
-    nion_vals = np.array(
-        [
-            hmf.nion_general(sigma_table, cosmo, hmf_int, z, ln_mmin_zp, ln_mmax,
-                             sc_zp.mturn_a_nofb, sc_zp)
-            for z in z_grid
-        ]
-    )
+    if const_model:
+        # constant ionizing efficiency: Nion == fcoll, zeta == HII_EFF_FACTOR
+        # (reference global_reion_properties:985-991)
+        nion_vals = np.array(
+            [
+                hmf.fcoll_general(sigma_table, cosmo, hmf_int, z, ln_mmin_zp, ln_mmax)
+                for z in z_grid
+            ]
+        )
+    else:
+        nion_vals = np.array(
+            [
+                hmf.nion_general(sigma_table, cosmo, hmf_int, z, ln_mmin_zp, ln_mmax,
+                                 sc_zp.mturn_a_nofb, sc_zp)
+                for z in z_grid
+            ]
+        )
 
     def nion_of_z(z):
         return np.interp(z, z_grid, nion_vals)
 
-    mean_sfrd = np.array(
-        [
-            hmf.nion_general(
-                sigma_table, cosmo, hmf_int, ladder.zpp[i],
-                float(np.log(ladder.m_min[i])), ln_mmax,
-                sc_sfrd.mturn_a_nofb, sc_sfrd,
-            )
-            for i in range(n_r)
-        ]
-    )
+    if const_model:
+        # EvaluateSFRD for SOURCE_MODEL=CONST-ION-EFF is Fcoll_General over
+        # [minimum_source_mass(zpp, xray), M_MAX] (interp_tables.c:923-943)
+        mean_sfrd = np.array(
+            [
+                hmf.fcoll_general(
+                    sigma_table, cosmo, hmf_int, ladder.zpp[i],
+                    float(np.log(ladder.m_min[i])), ln_mmax,
+                )
+                for i in range(n_r)
+            ]
+        )
+    else:
+        mean_sfrd = np.array(
+            [
+                hmf.nion_general(
+                    sigma_table, cosmo, hmf_int, ladder.zpp[i],
+                    float(np.log(ladder.m_min[i])), ln_mmax,
+                    sc_sfrd.mturn_a_nofb, sc_sfrd,
+                )
+                for i in range(n_r)
+            ]
+        )
 
     x_e_ave = float(jnp.mean(prev_state.xray_ionised_fraction))
-    ion_eff = sc_zp.pop2_ion * sc_zp.fstar_10 * sc_zp.fesc_10
+    if const_model:
+        ion_eff = float(inputs.astro_params.HII_EFF_FACTOR)
+    else:
+        ion_eff = sc_zp.pop2_ion * sc_zp.fstar_10 * sc_zp.fesc_10
 
     # tau_X = 1 horizons and frequency-integral tables
     nu_th = ap.NU_X_THRESH * physconst.eV_to_Hz
@@ -827,6 +878,7 @@ def compute_spin_temperature(
     use_cheby = False
     sfrd_cheby = np.zeros((n_r, 17))
     sfrd_edge = np.zeros(n_r)
+    sfrd_tables_fc = np.zeros((n_r, 2))
     if lagrangian:
         d_lo = np.zeros(n_r)
         d_hi = np.ones(n_r)
@@ -835,6 +887,28 @@ def compute_spin_temperature(
         mean_sfrd = np.zeros(n_r)
         # Lagrangian shells carry SFR density directly (ts_main:1570-1572)
         z_edge_factor = np.abs(ladder.dzpp * ladder.dtdz)
+    elif const_model:
+        # CONST-ION-EFF: per-shell closed-form EPS tables of fcoll (for the
+        # mean fix) and -dfcoll/dz (the SFRD; calculate_sfrd_from_grid:
+        # 1061-1067); z_edge_factor is just the shell dz (ts_main:1566-1567)
+        d_lo = np.full(n_r, -1.0 + 1e-6)
+        d_hi = np.empty(n_r)
+        sfrd_tables = np.empty((n_r, N_DELTA_SFRD))
+        sfrd_tables_fc = np.empty((n_r, N_DELTA_SFRD))
+        sfrd_caps = np.empty(n_r)
+        sigma_cond_r = sigma_table.sigma_of_lnm(np.log(ladder.m_max))
+        sigma_min_r = sigma_table.sigma_of_lnm(np.log(ladder.m_min))
+        for i in range(n_r):
+            d_hi[i] = physconst.delta_c_sph * hmf.MAX_DELTAC_FRAC
+            deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_SFRD)
+            sfrd_tables[i] = -hmf.dfcoll_dz(
+                cosmo, float(ladder.zpp[i]), deltas, sigma_min_r[i], sigma_cond_r[i]
+            )
+            sfrd_tables_fc[i] = hmf.fcoll_conditional_eps(
+                float(ladder.growth[i]), deltas, sigma_min_r[i], sigma_cond_r[i]
+            )
+            sfrd_caps[i] = sfrd_tables[i][-1]
+        z_edge_factor = np.abs(ladder.dzpp)
     else:
         d_lo, d_hi, sfrd_tables, sfrd_caps = _build_sfrd_tables(
             inputs, ladder, sigma_table, sc_zp
@@ -1036,12 +1110,19 @@ def compute_spin_temperature(
     cell_R = physconst.l_factor * so.box_len / so.HII_DIM
     do_filter = ladder.R > cell_R
 
+    use_minihalos_lagr = False
     if lagrangian:
         sfr_shells = source_box.filtered_sfr
         xray_shells = source_box.filtered_xray
+        if ao.USE_MINI_HALOS and source_box.filtered_sfr_mini is not None:
+            use_minihalos_lagr = True
+            sfr_mini_shells = source_box.filtered_sfr_mini
+        else:
+            sfr_mini_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
     else:
         sfr_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
         xray_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+        sfr_mini_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
 
     ts, tk, x_e, j_lya, j_lw = _ts_kernel(
         perturbed_field.density,
@@ -1050,6 +1131,7 @@ def compute_spin_temperature(
         prev_state.xray_ionised_fraction,
         sfr_shells,
         xray_shells,
+        sfr_mini_shells,
         jnp.asarray(ladder.R, jnp.float32),
         jnp.asarray(do_filter),
         jnp.asarray(ladder.growth, jnp.float32),
@@ -1058,6 +1140,7 @@ def compute_spin_temperature(
         jnp.asarray(d_lo, jnp.float32),
         jnp.asarray(d_hi, jnp.float32),
         jnp.asarray(sfrd_tables, jnp.float32),
+        jnp.asarray(sfrd_tables_fc, jnp.float32),
         jnp.asarray(sfrd_caps, jnp.float32),
         jnp.asarray(sfrd_cheby, jnp.float32),
         jnp.asarray(sfrd_edge, jnp.float32),
@@ -1093,8 +1176,10 @@ def compute_spin_temperature(
         use_cmb_heat=ao.USE_CMB_HEATING,
         lagrangian=lagrangian,
         use_minihalos=use_minihalos,
+        use_minihalos_lagr=use_minihalos_lagr,
         use_lya_heat=use_lya_heat,
         use_cheby=use_cheby,
+        const_model=const_model,
     )
 
     box = TsBox(

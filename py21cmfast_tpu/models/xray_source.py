@@ -4,9 +4,12 @@ TPU-native equivalent of reference UpdateXraySourceBox + one_annular_filter
 (SpinTemperatureBox.c:647-804) and the Python-side shell loop
 (single_field.py:473-640): for each of the N_STEP_TS concentric shells, the
 halo SFR/X-ray grids are interpolated to the shell's emission redshift z''(R)
-from the bracketing node HaloBoxes, annulus-filtered (filter type 4), and
-stacked.  One `lax.scan` over shells; the interpolation is a gather from the
-stacked node grids.
+from the bracketing node HaloBoxes, annulus-filtered (filter type 4; type 5 —
+the Lya multiple-scattering window — for the SFR shells when
+LYA_MULTIPLE_SCATTERING, SpinTemperatureBox.c:753), and stacked.  One
+`lax.scan` over shells; the interpolation is a gather from the stacked node
+grids; the per-shell MS windows are host-tabulated 2F3 curves gathered on
+device (ops/filters.py).
 """
 
 from __future__ import annotations
@@ -17,27 +20,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..cosmology.constants import H0_PER_h, physconst
 from ..inputs import InputParameters
 from ..ops import fft, filters, grids
 from ..outputs import HaloBox, XraySourceBox
 from .spintemp import setup_z_edges
 
-__all__ = ["compute_xray_source_field"]
+__all__ = ["compute_xray_source_field", "lya_diffusion_scale"]
 
 
-@partial(jax.jit, static_argnames=("shape", "box_lens"))
-def _annulus_scan(sfr_nodes, xray_nodes, idx_lo, idx_hi, weights, r_inner, r_outer,
-                  do_filter, *, shape, box_lens):
+def lya_diffusion_scale(redshift: float, inputs: InputParameters, x_HI: float) -> float:
+    """Comoving Lya diffusion scale R_star in Mpc (arXiv:2601.14360 Eq. 24;
+    reference single_field.py:558-574).  Proportional to the global neutral
+    fraction — 0 after reionization (the MS window then degenerates to the
+    straight-line annulus, filtering.c:166-172)."""
+    cp = inputs.cosmo_params
+    cosmo = inputs.cosmology
+    A_alpha = 6.25e8  # Hz, Lya Einstein-A
+    nu_lya = 2.46606727e15  # Hz
+    n_H_z0 = (1.0 - cosmo.Y_He) * cosmo.rho_crit_cgs * cp.OMb / physconst.m_p  # cm^-3
+    H0 = cp.hlittle * H0_PER_h  # s^-1
+    r_cm = (
+        3.0 * physconst.c_cms**4 * A_alpha**2 * n_H_z0 * x_HI * (1.0 + redshift)
+    ) / (32.0 * np.pi**3 * nu_lya**4 * H0**2 * cp.OMm)
+    return r_cm / physconst.cm_per_Mpc
+
+
+@partial(jax.jit, static_argnames=("shape", "box_lens", "use_ms", "use_mini"))
+def _annulus_scan(sfr_nodes, xray_nodes, sfr_mini_nodes, idx_lo, idx_hi, weights,
+                  r_inner, r_outer, do_filter, ms_k_table, ms_w_tables, *,
+                  shape, box_lens, use_ms, use_mini):
     kmag = grids.kmag_grid(shape, box_lens)
 
     def shell(_, xs):
-        i0, i1, w, r_in, r_out, do_f = xs
+        i0, i1, w, r_in, r_out, do_f, ms_w = xs
 
-        def one(nodes):
+        def one(nodes, ms: bool):
             grid = nodes[i0] * (1.0 - w) + nodes[i1] * w
             g_k = fft.rfft3(grid)
 
             def filt():
+                if ms:
+                    win = filters.w_multiple_scattering(kmag, ms_k_table, ms_w)
+                    return fft.irfft3(g_k * win.astype(g_k.real.dtype), shape)
                 return fft.irfft3(
                     filters.filter_kbox(g_k, kmag, filters.SHELL, r_in, r_out), shape
                 )
@@ -45,25 +70,35 @@ def _annulus_scan(sfr_nodes, xray_nodes, idx_lo, idx_hi, weights, r_inner, r_out
             out = jax.lax.cond(do_f, filt, lambda: grid)
             return jnp.maximum(out, 0.0)
 
-        return None, (one(sfr_nodes), one(xray_nodes))
+        ys = (
+            one(sfr_nodes, use_ms),
+            one(xray_nodes, False),
+            one(sfr_mini_nodes, use_ms) if use_mini else jnp.zeros((1, 1, 1)),
+        )
+        return None, ys
 
-    _, (sfr_shells, xray_shells) = jax.lax.scan(
-        shell, None, (idx_lo, idx_hi, weights, r_inner, r_outer, do_filter)
+    _, (sfr_shells, xray_shells, sfr_mini_shells) = jax.lax.scan(
+        shell, None,
+        (idx_lo, idx_hi, weights, r_inner, r_outer, do_filter, ms_w_tables),
     )
-    return sfr_shells, xray_shells
+    return sfr_shells, xray_shells, sfr_mini_shells
 
 
 def compute_xray_source_field(
     redshift: float,
     inputs: InputParameters,
     halobox_nodes: list,
+    previous_ionized_box=None,
 ) -> XraySourceBox:
     """Build the filtered source shells.
 
     halobox_nodes: list of (z_node, HaloBox) with z_node >= redshift (earlier
     snapshots), in any order; shells interpolate between the bracketing nodes
-    (reference interp_halo_boxes, single_field.py:382)."""
+    (reference interp_halo_boxes, single_field.py:382).  previous_ionized_box
+    sets the global x_HI entering the Lya diffusion scale when
+    LYA_MULTIPLE_SCATTERING (reference single_field.py:549-574)."""
     so = inputs.simulation_options
+    ao = inputs.astro_options
     shape = so.lowres_shape
     ladder = setup_z_edges(redshift, inputs)
     n_r = len(ladder.R)
@@ -72,6 +107,16 @@ def compute_xray_source_field(
     z_nodes = np.array([t[0] for t in nodes])
     sfr_nodes = jnp.stack([t[1].halo_sfr for t in nodes])
     xray_nodes = jnp.stack([t[1].halo_xray for t in nodes])
+    use_mini = bool(ao.USE_MINI_HALOS) and all(
+        t[1].halo_sfr_mini is not None for t in nodes
+    )
+    if use_mini:
+        sfr_mini_nodes = jnp.stack([t[1].halo_sfr_mini for t in nodes])
+        mcrit_nodes = np.array(
+            [float(t[1].log10_Mcrit_MCG_ave) for t in nodes]
+        )
+    else:
+        sfr_mini_nodes = jnp.zeros((len(nodes), 1, 1, 1), jnp.float32)
 
     idx_lo = np.searchsorted(z_nodes, ladder.zpp) - 1
     idx_lo = np.clip(idx_lo, 0, len(z_nodes) - 1)
@@ -79,23 +124,62 @@ def compute_xray_source_field(
     denom = np.where(idx_hi > idx_lo, z_nodes[idx_hi] - z_nodes[idx_lo], 1.0)
     w = np.clip((ladder.zpp - z_nodes[idx_lo]) / denom, 0.0, 1.0)
 
-    cell_r = 0.620350491 * so.box_len / so.HII_DIM
     do_filter = ladder.R_inner > 0
 
-    sfr_shells, xray_shells = _annulus_scan(
+    use_ms = bool(ao.LYA_MULTIPLE_SCATTERING)
+    n_k = 2048
+    if use_ms:
+        if previous_ionized_box is not None:
+            x_HI = float(np.mean(np.asarray(previous_ionized_box.neutral_fraction)))
+        else:
+            x_HI = 1.0
+        r_star = lya_diffusion_scale(redshift, inputs, x_HI)
+        k_max = float(np.sqrt(3.0) * np.pi * max(
+            s / l for s, l in zip(shape, so.box_lens)
+        ))
+        ms_w = np.ones((n_r, n_k), np.float32)
+        for i in range(n_r):
+            if ladder.R_inner[i] > 0:
+                k_tab, w_tab = filters.ms_filter_table(
+                    k_max, float(ladder.R_inner[i]), float(ladder.R[i]), r_star, n_k
+                )
+                ms_w[i] = w_tab
+        ms_k_table = jnp.asarray(
+            np.linspace(0.0, k_max, n_k, dtype=np.float32)
+        )
+        ms_w_tables = jnp.asarray(ms_w)
+    else:
+        ms_k_table = jnp.zeros(2, jnp.float32)
+        ms_w_tables = jnp.zeros((n_r, 2), jnp.float32)
+
+    sfr_shells, xray_shells, sfr_mini_shells = _annulus_scan(
         sfr_nodes,
         xray_nodes,
+        sfr_mini_nodes,
         jnp.asarray(idx_lo, jnp.int32),
         jnp.asarray(idx_hi, jnp.int32),
         jnp.asarray(w, jnp.float32),
         jnp.asarray(ladder.R_inner, jnp.float32),
         jnp.asarray(ladder.R, jnp.float32),
         jnp.asarray(do_filter),
+        ms_k_table,
+        ms_w_tables,
         shape=shape,
         box_lens=so.box_lens,
+        use_ms=use_ms,
+        use_mini=use_mini,
     )
+    mean_mcrit = None
+    if use_mini:
+        # per-shell mean log10 MCG turnover, z-interpolated between nodes
+        # (reference single_field.py:580-640, mean_log10_Mcrit_LW)
+        mean_mcrit = jnp.asarray(
+            mcrit_nodes[idx_lo] * (1.0 - w) + mcrit_nodes[idx_hi] * w, jnp.float32
+        )
     return XraySourceBox(
         redshift=np.float32(redshift),
         filtered_sfr=sfr_shells,
+        filtered_sfr_mini=sfr_mini_shells if use_mini else None,
         filtered_xray=xray_shells,
+        mean_log10_Mcrit_LW=mean_mcrit,
     )
