@@ -119,12 +119,37 @@ def evaluate_inverse_table(inputs: InputParameters, redshift, cond_mass, deltas,
     return np.exp(out)
 
 
-def sample_halos_from_conditions(inputs: InputParameters, redshift, deltas, seed=1234):
-    """Draw halo samples for given cell overdensities; returns dict with masses
+def sample_halos_from_conditions(inputs: InputParameters, redshift, deltas,
+                                 seed=1234, redshift_prev=None):
+    """Draw halo samples for given conditions; returns dict with masses
     per condition (reference sample_halos_from_conditions:1053 /
-    single_test_sample, Stochasticity.c:1168)."""
+    single_test_sample, Stochasticity.c:1168).
+
+    With `redshift_prev`, `deltas` is instead interpreted as DESCENDANT HALO
+    MASSES at `redshift_prev` and progenitors are sampled down to `redshift`
+    with the configured SAMPLE_METHOD (grid conditions always sample
+    number-limited, matching stoc_sample)."""
     import jax
     import jax.numpy as jnp
+
+    if redshift_prev is not None:
+        from .models.halos import _property_rng, _sample_progenitors
+        from .outputs import HaloCatalog
+
+        masses_d = np.asarray(deltas, dtype=np.float32)
+        n = len(masses_d)
+        key = jax.random.PRNGKey(seed)
+        rng3 = _property_rng(jax.random.fold_in(key, 1), n)
+        cat = HaloCatalog(
+            redshift=np.float32(redshift_prev),
+            halo_masses=jnp.asarray(masses_d),
+            halo_coords=jnp.zeros((n, 3), jnp.float32),
+            star_rng=rng3[0], sfr_rng=rng3[1], xray_rng=rng3[2],
+            n_halos=np.int32(n),
+        )
+        out = _sample_progenitors(redshift, inputs, cat, jax.random.fold_in(key, 2))
+        m = np.asarray(out.halo_masses)
+        return {"halo_masses": m[m > 0], "n_halos": int(out.n_halos)}
 
     from .models.halos import sample_halo_grid
 
@@ -140,8 +165,10 @@ def sample_halos_from_conditions(inputs: InputParameters, redshift, deltas, seed
         HII_DIM=side, DIM=2 * side,
         BOX_LEN=side * inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM,
     )
+    pad_mask = np.arange(side**3) >= n  # padding cells sample nothing
     masses, pos, total = sample_halo_grid(
         redshift, inputs_grid, jnp.asarray(grid.reshape(side, side, side), jnp.float32),
+        exclude_mask=pad_mask.reshape(side, side, side),
         key=jax.random.PRNGKey(seed),
     )
     m = np.asarray(masses)

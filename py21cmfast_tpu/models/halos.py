@@ -315,8 +315,7 @@ def _partition_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape", "number_limited",
-                     "rare_cond"),
+    static_argnames=("k_max", "capacity", "n_chunks", "lo_shape", "number_limited"),
 )
 def _sample_cells_kernel(
     key,
@@ -336,16 +335,10 @@ def _sample_cells_kernel(
     n_chunks,
     lo_shape,
     number_limited=False,
-    rare_cond=False,
 ):
     """Mass- or number-limited sampling of all cells, compacted into a fixed
     buffer (reference stoc_mass_sample / stoc_halo_sample,
-    Stochasticity.c:259-276, 374-411).
-
-    `rare_cond` marks the whole grid as a many-sigma condition
-    (sigma_cond*7*growth < delta_crit, Stochasticity.c:385-392): every cell
-    then receives exactly one halo carrying the expected mass instead of a
-    stochastic sample — at z >~ 10 with ~2 Mpc cells this is the common case."""
+    Stochasticity.c:259-276, 374-411)."""
     n_cells = delta_cells.shape[0]
     chunk = n_cells // n_chunks
     n_cond, n_prob = inv_table.shape
@@ -387,11 +380,6 @@ def _sample_cells_kernel(
             n_cell = jnp.where(excl, 0.0, n_cell)
             n_draw = jax.random.poisson(jax.random.fold_in(key_c, 2), n_cell)
             keep = (jnp.arange(k_max)[None, :] < n_draw[:, None]) & (m >= m_min)
-        elif rare_cond:
-            # single halo with the expected mass per cell (if above the
-            # sampler floor) — Stochasticity.c:385-392
-            keep = (jnp.arange(k_max)[None, :] == 0) & (m_tgt[:, None] >= m_min)
-            m = jnp.where(keep, m_tgt[:, None], m)
         else:
             keep = _fix_mass_keep(m, m_tgt, jax.random.fold_in(key_c, 3))
             keep = keep & (m >= m_min)
@@ -437,14 +425,10 @@ def sample_halo_grid(
 ):
     """Sample the conditional MF in every lowres cell between SAMPLER_MIN_MASS
     and the cell mass (reference sample_halo_grids, Stochasticity.c:761-941)."""
-    method = inputs.matter_options.SAMPLE_METHOD
-    if method == "BINARY-SPLIT":
-        raise NotImplementedError(
-            "SAMPLE_METHOD='BINARY-SPLIT' (Parkinson+08 tree) is not implemented "
-            "in the TPU port yet; use MASS-LIMITED, NUMBER-LIMITED or PARTITION"
-        )
-    if method == "PARTITION":
-        return _partition_grid(redshift, inputs, lagrangian_delta, exclude_mask, key)
+    # Grid-based conditions ALWAYS sample number-limited, regardless of
+    # SAMPLE_METHOD (reference stoc_sample, Stochasticity.c:696-699:
+    # "We always use Number-Limited sampling for grid-based cases"); the
+    # method choice only affects progenitor sampling from catalogs.
     so = inputs.simulation_options
     cosmo = inputs.cosmology
     sigma_table = _sigma_table(inputs)
@@ -477,26 +461,23 @@ def sample_halo_grid(
     )
 
     # per-cell targets (host: lowres grids are small)
-    delta_z = np.asarray(lagrangian_delta, dtype=np.float64) * growth
-    delta_z = np.clip(delta_z, d_lo, d_hi)
-    n_exp = np.interp(delta_z, deltas, nhalo_tab).reshape(-1)
-    m_tgt = np.interp(delta_z, deltas, mcoll_tab).reshape(-1) * so.HALOMASS_CORRECTION
-    if exclude_mask is not None:
-        excl = np.asarray(exclude_mask).reshape(-1)
-        n_exp = np.where(excl, 0.0, n_exp)
-        m_tgt = np.where(excl, 0.0, m_tgt)
-
-    # many-sigma grid condition: every cell degenerates to a single
-    # expected-mass halo (Stochasticity.c:385-392)
-    rare_cond = bool(sigma_cell * 7.0 * growth < dcrit)
+    delta_raw = np.asarray(lagrangian_delta, dtype=np.float64).reshape(-1) * growth
+    delta_z = np.clip(delta_raw, d_lo, d_hi)
+    n_exp = np.interp(delta_z, deltas, nhalo_tab)
+    m_tgt = np.interp(delta_z, deltas, mcoll_tab)
+    excl = (
+        np.asarray(exclude_mask).reshape(-1)
+        if exclude_mask is not None
+        else np.zeros(delta_z.size, bool)
+    )
+    # collapsed cells (delta above 0.99 delta_crit) form one expected-mass halo
+    # (stoc_sample, Stochasticity.c:686-694)
+    collapsed = (delta_raw >= d_hi) & ~excl
+    n_exp = np.where(excl | collapsed, 0.0, n_exp)
 
     n_cells = delta_z.size
     capacity = int(so.SAMPLER_BUFFER_FACTOR * np.sum(n_exp) + 1024)
-    if rare_cond:
-        capacity = n_cells + 1024
-        k_max = 1
-    else:
-        k_max = int(np.clip(3 * n_exp.max() + 8, 16, 4096))
+    k_max = int(np.clip(3 * n_exp.max() + 8, 16, 4096))
     # chunk so the (chunk, k_max) draws stay ~ 2^22
     n_chunks = max(1, int(n_cells * k_max / 2**22))
     while n_cells % n_chunks:
@@ -507,15 +488,11 @@ def sample_halo_grid(
 
     masses, pos, total = _sample_cells_kernel(
         key,
-        jnp.asarray(delta_z.reshape(-1), jnp.float32),
-        jnp.asarray(
-            exclude_mask.reshape(-1)
-            if exclude_mask is not None
-            else np.zeros(n_cells, bool)
-        ),
+        jnp.asarray(delta_z, jnp.float32),
+        jnp.asarray(excl | collapsed),
         jnp.asarray(inv_tab, jnp.float32),
-        jnp.asarray(n_exp.reshape(-1), jnp.float32),
-        jnp.asarray(m_tgt.reshape(-1), jnp.float32),
+        jnp.asarray(n_exp, jnp.float32),
+        jnp.asarray(m_tgt, jnp.float32),
         jnp.float32(d_lo),
         jnp.float32(d_hi),
         jnp.float32(so.MIN_LOGPROB),
@@ -525,9 +502,24 @@ def sample_halo_grid(
         capacity=capacity,
         n_chunks=n_chunks,
         lo_shape=so.lowres_shape,
-        number_limited=method == "NUMBER-LIMITED",
-        rare_cond=rare_cond and method != "NUMBER-LIMITED",
+        number_limited=True,
     )
+    if collapsed.any():
+        lo_shape = so.lowres_shape
+        ids = np.nonzero(collapsed)[0]
+        iz = ids % lo_shape[2]
+        iy = (ids // lo_shape[2]) % lo_shape[1]
+        ix = ids // (lo_shape[1] * lo_shape[2])
+        rng = np.random.default_rng(inputs.random_seed + 29)
+        cpos = (
+            np.stack([ix, iy, iz], axis=-1).astype(np.float64)
+            + rng.uniform(size=(len(ids), 3))
+        ) * cell_len
+        masses = jnp.concatenate(
+            [masses, jnp.asarray(m_tgt[ids], jnp.float32)]
+        )
+        pos = jnp.concatenate([pos, jnp.asarray(cpos, jnp.float32)])
+        total = total + len(ids)
     return masses, pos, total
 
 
@@ -542,83 +534,6 @@ def _partition_tables(sigma_table, m_lo, m_hi, n=512):
         jnp.asarray(sig_vals, jnp.float32),
         jnp.asarray(sig_axis, jnp.float32),
         jnp.asarray(lnm_of_sig, jnp.float32),
-    )
-
-
-def _partition_grid(redshift, inputs, lagrangian_delta, exclude_mask, key):
-    """PARTITION grid sampling: split each cell's mass via the Sheth-Lemson
-    scheme (reference stoc_partition_sample path of sample_halo_grids)."""
-    so = inputs.simulation_options
-    cosmo = inputs.cosmology
-    sigma_table = _sigma_table(inputs)
-    growth = float(cosmo.dicke(redshift))
-    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
-    if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST):
-        raise ValueError("PARTITION sampling requires HMF='PS' or 'ST' "
-                         "(reference partition_rejection, Stochasticity.c:412-429)")
-
-    cell_len = so.box_len / so.HII_DIM
-    m_cell = cosmo.rho_mean * cell_len**3
-    m_min = so.SAMPLER_MIN_MASS
-    ln_mcell = np.log(m_cell)
-    sigma_min = float(sigma_table.sigma_of_lnm(np.log(m_min)))
-
-    ln_axis, sig_tab, sig_axis, lnm_of_sig = _partition_tables(
-        sigma_table, m_min * 0.25, m_cell * 1.05
-    )
-
-    delta_z = np.asarray(lagrangian_delta, dtype=np.float64).reshape(-1) * growth
-    n_cells = delta_z.size
-    excl = (
-        np.asarray(exclude_mask).reshape(-1)
-        if exclude_mask is not None
-        else np.zeros(n_cells, bool)
-    )
-    if key is None:
-        key = jax.random.PRNGKey(inputs.random_seed + 17)
-
-    t_max = int(np.clip(4 * m_cell / m_min, 64, 2048))
-    chunk = max(1, int(2**22 // t_max))
-    masses_out, pos_out = [], []
-    lo_shape = so.lowres_shape
-    for c0 in range(0, n_cells, chunk):
-        c1 = min(c0 + chunk, n_cells)
-        sl = slice(c0, c1)
-        kc = jax.random.fold_in(key, c0)
-        masses, keep = _partition_kernel(
-            kc,
-            jnp.asarray(delta_z[sl], jnp.float32),
-            jnp.full(c1 - c0, jnp.float32(ln_mcell)),
-            jnp.asarray(~excl[sl]),
-            ln_axis, sig_tab, sig_axis, lnm_of_sig,
-            jnp.float32(sigma_min),
-            jnp.float32(m_min),
-            jnp.float32(growth),
-            jnp.float32(so.HALOMASS_CORRECTION),
-            t_max=t_max,
-            use_st=hmf_int == hmf.HMF_ST,
-        )
-        keep_np = np.asarray(keep) & (np.asarray(masses) >= m_min)
-        m_np = np.asarray(masses)
-        rows, cols = np.nonzero(keep_np)
-        masses_out.append(m_np[rows, cols])
-        cell_ids = c0 + rows
-        iz = cell_ids % lo_shape[2]
-        iy = (cell_ids // lo_shape[2]) % lo_shape[1]
-        ix = cell_ids // (lo_shape[1] * lo_shape[2])
-        rng = np.random.default_rng(inputs.random_seed + 23 + c0)
-        jitter = rng.uniform(size=(len(rows), 3))
-        pos_out.append(
-            (np.stack([ix, iy, iz], axis=-1).astype(np.float64) + jitter) * cell_len
-        )
-    all_m = np.concatenate(masses_out) if masses_out else np.zeros(0, np.float32)
-    all_p = (
-        np.concatenate(pos_out) if pos_out else np.zeros((0, 3), np.float32)
-    )
-    return (
-        jnp.asarray(all_m, jnp.float32),
-        jnp.asarray(all_p, jnp.float32),
-        len(all_m),
     )
 
 
@@ -747,6 +662,11 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     n_exp_d = np.pad(n_exp_d, (0, pad))
 
     method = inputs.matter_options.SAMPLE_METHOD
+    if method == "BINARY-SPLIT":
+        raise NotImplementedError(
+            "SAMPLE_METHOD='BINARY-SPLIT' (Parkinson+08 tree) is not implemented "
+            "in the TPU port yet; use MASS-LIMITED, NUMBER-LIMITED or PARTITION"
+        )
     # rare-halo truncation (Stochasticity.c:385-392, MASS-LIMITED only):
     # descendants whose condition is a many-sigma peak refuse to split
     # stochastically — hand them a single progenitor with the expected mass

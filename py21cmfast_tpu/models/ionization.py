@@ -26,6 +26,7 @@ from ..cosmology.constants import FRACT_FLOAT_ERR, TINY, physconst
 from ..cosmology.recombination import RecombinationHistory
 from ..inputs import InputParameters
 from ..ops import fft, filters, grids
+from ..ops.gridops import SINGLE, GridOps
 from ..outputs import HaloBox, IonizedBox, PerturbedField, TsBox
 from . import hmf
 
@@ -180,6 +181,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "track_nion",
         "use_cheby",
         "paint_spheres",
+        "gops",
     ),
 )
 def _ionize_scan(
@@ -241,6 +243,7 @@ def _ionize_scan(
     track_nion,
     use_cheby,
     paint_spheres,
+    gops: GridOps = SINGLE,
 ):
     """Descending-R excursion-set scan.  All per-R inputs are stacked arrays
     ordered largest R first (index 0 == largest).
@@ -248,23 +251,23 @@ def _ionize_scan(
     `lagrangian` selects the halo-model source path: fcoll comes from the
     filtered n_ion grid (pre-normalized by 1/(rho_crit OMb)) with the
     exponential-MFP filter (IonisationBox.c:615-621, 1054-1067)."""
-    kmag = grids.kmag_grid(shape, box_lens)
+    kmag = gops.kmag(shape, box_lens)
     delta_adj = delta * photoncons_factor
-    d_k = fft.rfft3(delta_adj)
-    xe_k = fft.rfft3(xe_box) if use_ts else None
-    stars_k = fft.rfft3(stars_box) if lagrangian else None
-    wsfr_k = fft.rfft3(wsfr_box) if (lagrangian and track_gamma) else None
-    rec_k = fft.rfft3(rec_box) if filter_recomb else None
+    d_k = gops.rfft3(delta_adj)
+    xe_k = gops.rfft3(xe_box) if use_ts else None
+    stars_k = gops.rfft3(stars_box) if lagrangian else None
+    wsfr_k = gops.rfft3(wsfr_box) if (lagrangian and track_gamma) else None
+    rec_k = gops.rfft3(rec_box) if filter_recomb else None
     source_filter = filters.EXP_MFP if use_exp_filter else hii_filter
     n_r = r_values.shape[0]
     cell_len_paint = np.float32(box_lens[0] / shape[0])
 
     if use_minihalos:
-        mta_k = fft.rfft3(mturn_a_box)
-        mtm_k = fft.rfft3(mturn_m_box)
+        mta_k = gops.rfft3(mturn_a_box)
+        mtm_k = gops.rfft3(mturn_m_box)
     if track_nion:
         prev_adj = prev_delta * prev_pc_factor
-        pd_k = fft.rfft3(prev_adj)
+        pd_k = gops.rfft3(prev_adj)
 
     def step(carry, xs):
         xh, gamma, mfp = carry
@@ -297,11 +300,11 @@ def _ionize_scan(
         # for every field (copy_filter_transform, IonisationBox.c:606-633).
         def _filtered(k_box, unfiltered, ftype, r_param=0.0):
             if last_filtered:
-                return fft.irfft3(filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape)
+                return gops.irfft3(filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape)
             return jax.lax.cond(
                 is_last,
                 lambda: unfiltered,
-                lambda: fft.irfft3(
+                lambda: gops.irfft3(
                     filters.filter_kbox(k_box, kmag, ftype, r, r_param), shape
                 ),
             )
@@ -326,7 +329,7 @@ def _ionize_scan(
             # (no mean-fix: the sampled halos already realize the HMF)
             stars_r = jnp.maximum(stars_r, 0.0)
             fcoll = stars_r / (1.0 + delta_r)
-            grid_mean = jnp.mean(fcoll)
+            grid_mean = gops.mean(fcoll, shape)
             if track_gamma:
                 sfr_r = jnp.maximum(sfr_r, 0.0)
         elif use_minihalos:
@@ -408,12 +411,12 @@ def _ionize_scan(
             # for the next snapshot's trapezoidal smoothing
         if not lagrangian:
             # mean fix: normalize the grid mean to the global unconditional value
-            grid_mean = jnp.maximum(jnp.mean(fcoll), f_limit)
+            grid_mean = jnp.maximum(gops.mean(fcoll, shape), f_limit)
             fcoll = fcoll * (mean_fcoll_global / grid_mean)
             if mass_dep:
                 fcoll = jnp.maximum(fcoll, f_limit)
         if use_minihalos:
-            grid_mean_mini = jnp.maximum(jnp.mean(fcoll_mini), f_limit_mini)
+            grid_mean_mini = jnp.maximum(gops.mean(fcoll_mini, shape), f_limit_mini)
             fcoll_mini = jnp.maximum(
                 fcoll_mini * (mean_fcoll_mini / grid_mean_mini), f_limit_mini
             )
@@ -456,8 +459,8 @@ def _ionize_scan(
             # has (flags (*) K) >= 1/N_sphere_cells (FFT sidelobes are ~1e-2
             # of that, so the half threshold is safe).
             flags = (ionized & (xh > FRACT_FLOAT_ERR)).astype(jnp.float32)
-            m_k = fft.rfft3(flags)
-            painted = fft.irfft3(
+            m_k = gops.rfft3(flags)
+            painted = gops.irfft3(
                 filters.filter_kbox(m_k, kmag, filters.TOPHAT, r), shape
             )
             n_sph = jnp.maximum(
@@ -531,6 +534,7 @@ def compute_ionization_field(
     prev_redshift: float | None = None,
     photoncons_state=None,
     vcb_box=None,
+    mesh=None,
 ) -> IonizedBox:
     so = inputs.simulation_options
     mo = inputs.matter_options
@@ -827,7 +831,7 @@ def compute_ionization_field(
         prev_pf_density = jnp.zeros((1, 1, 1), jnp.float32)
         prev_nion_stack = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
         prev_nion_mini_stack = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
-    xh, gamma, mfp, z_reion, _, nion_stack, nion_mini_stack = _ionize_scan(
+    _scan_args = (
         perturbed_field.density,
         spin_temp.xray_ionised_fraction if spin_temp is not None else jnp.zeros(shape, jnp.float32),
         rec_box,
@@ -870,6 +874,8 @@ def compute_ionization_field(
         prev_z_reion,
         jnp.float32(redshift),
         jnp.float32(photoncons_factor),
+    )
+    _scan_static = dict(
         shape=shape,
         box_lens=box_lens,
         hii_filter=ao.hii_filter_int,
@@ -886,6 +892,14 @@ def compute_ionization_field(
         use_cheby=use_cheby,
         paint_spheres=ao.IONISE_ENTIRE_SPHERE,
     )
+    if mesh is not None:
+        from ..parallel.shardcall import sharded_kernel_call
+
+        (xh, gamma, mfp, z_reion, _, nion_stack, nion_mini_stack
+         ) = sharded_kernel_call(mesh, _ionize_scan, _scan_args, _scan_static, shape)
+    else:
+        (xh, gamma, mfp, z_reion, _, nion_stack, nion_mini_stack
+         ) = _ionize_scan(*_scan_args, **_scan_static)
 
     # --- cumulative recombination update (set_recombination_rates:1258-1342) ---
     cumulative_rec = None

@@ -35,6 +35,7 @@ from ..cosmology.constants import FRACT_FLOAT_ERR, physconst
 from ..cosmology.recombination import RecombinationHistory
 from ..inputs import InputParameters
 from ..ops import fft, filters, grids
+from ..ops.gridops import SINGLE, GridOps
 from ..outputs import PerturbedField, TsBox, XraySourceBox
 from . import heating, hmf
 
@@ -277,7 +278,7 @@ def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
     static_argnames=(
         "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
         "use_minihalos", "use_minihalos_lagr", "use_lya_heat", "use_cheby",
-        "const_model",
+        "const_model", "gops",
     ),
 )
 def _ts_kernel(
@@ -340,9 +341,10 @@ def _ts_kernel(
     use_lya_heat,
     use_cheby,
     const_model,
+    gops: GridOps = SINGLE,
 ):
-    kmag = grids.kmag_grid(shape, box_lens)
-    d_k = fft.rfft3(density_pf * inv_growth_pf)
+    kmag = gops.kmag(shape, box_lens)
+    d_k = gops.rfft3(density_pf * inv_growth_pf)
     n_r = r_values.shape[0]
 
     # per-cell x_e interpolation index into the 14-point deposition-fraction axis
@@ -361,7 +363,7 @@ def _ts_kernel(
     # (SpinTemperatureBox.c:1583-1609), adopted unconditionally — on TPU it is
     # also faster than hoisting, which round-trips each shell through HBM.
     if use_minihalos and not lagrangian:
-        mc_k = fft.rfft3(mcrit_box)
+        mc_k = gops.rfft3(mcrit_box)
 
     def shell_step(carry, xs):
         dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
@@ -372,7 +374,7 @@ def _ts_kernel(
          p_lw, p_lw_mini) = xs
 
         if not lagrangian:
-            delta0 = fft.irfft3(
+            delta0 = gops.irfft3(
                 jax.lax.cond(
                     do_f,
                     lambda: filters.filter_kbox(d_k, kmag, heat_filter, r),
@@ -385,7 +387,7 @@ def _ts_kernel(
             # log10_Mcrit_LW, SpinTemperatureBox.c:1464-1473; clipped below at
             # the no-feedback LW threshold)
             mc_r = jnp.maximum(
-                fft.irfft3(
+                gops.irfft3(
                     jax.lax.cond(
                         do_f,
                         lambda: filters.filter_kbox(mc_k, kmag, heat_filter, r),
@@ -436,9 +438,9 @@ def _ts_kernel(
                 # grid:1061-1073: ave_sfrd accumulates fcoll, grid holds dfcoll)
                 fc = table_fc[i0] * (1 - frac) + table_fc[i0 + 1] * frac
                 fc = jnp.where(delta_zpp >= dhi, 1.0, fc)
-                ave_fcoll = jnp.maximum(jnp.mean(fc), 1e-40)
+                ave_fcoll = jnp.maximum(gops.mean(fc, shape), 1e-40)
             else:
-                ave_fcoll = jnp.maximum(jnp.mean(fcoll), 1e-40)
+                ave_fcoll = jnp.maximum(gops.mean(fcoll, shape), 1e-40)
             avg_fix = msfrd / ave_fcoll
             sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
             # L_X * s/yr and the unit conversions are folded into the tables (host)
@@ -464,7 +466,7 @@ def _ts_kernel(
                     v10 * (1 - frac) + v11 * frac
                 ) * fm
                 fcoll_mini = jnp.maximum(fcoll_mini, 1e-40)
-                ave_mini = jnp.maximum(jnp.mean(fcoll_mini), 1e-40)
+                ave_mini = jnp.maximum(gops.mean(fcoll_mini, shape), 1e-40)
                 sfr_term_mini = (
                     (1.0 + delta_zpp) * fcoll_mini
                     * (zfac * (msfrd_mini / ave_mini) * fstar7)
@@ -497,7 +499,7 @@ def _ts_kernel(
             dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
         return (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), None
 
-    zero = jnp.zeros(shape, jnp.float32)
+    zero = jnp.zeros_like(density_pf)  # local shard shape under shard_map
     (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), _ = jax.lax.scan(
         shell_step,
         (zero, zero, zero, zero, zero, zero, zero),
@@ -687,7 +689,7 @@ def _ts_kernel(
         )
         return ts_new, None
 
-    ts_wf, _ = jax.lax.scan(wf_iteration, jnp.full(shape, trad, jnp.float32), None, length=10)
+    ts_wf, _ = jax.lax.scan(wf_iteration, jnp.full_like(density_pf, trad), None, length=10)
     ts_coll = (xcmb + xc) / (xcmb / trad + xc * t_inv)
     ts = jnp.where(j_alpha > 1e-20, ts_wf, ts_coll)
     ts = jnp.abs(ts)
@@ -757,6 +759,7 @@ def compute_spin_temperature(
     initial_conditions=None,
     source_box: XraySourceBox | None = None,
     previous_ionized_box=None,
+    mesh=None,
 ):
     """Compute the TsBox at `redshift`, evolving from the previous snapshot.
 
@@ -1124,7 +1127,7 @@ def compute_spin_temperature(
         xray_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
         sfr_mini_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
 
-    ts, tk, x_e, j_lya, j_lw = _ts_kernel(
+    _ts_args = (
         perturbed_field.density,
         prev_state.spin_temperature,
         prev_state.kinetic_temp_neutral,
@@ -1169,6 +1172,8 @@ def compute_spin_temperature(
         jnp.float32(ap.l_x_mini / max(ap.l_x, 1e-30)),
         consts,
         kappa_knots,
+    )
+    _ts_static = dict(
         shape=shape,
         box_lens=box_lens,
         heat_filter=ao.heat_filter_int,
@@ -1181,6 +1186,13 @@ def compute_spin_temperature(
         use_cheby=use_cheby,
         const_model=const_model,
     )
+    if mesh is not None:
+        from ..parallel.shardcall import sharded_kernel_call
+
+        ts, tk, x_e, j_lya, j_lw = sharded_kernel_call(
+            mesh, _ts_kernel, _ts_args, _ts_static, shape)
+    else:
+        ts, tk, x_e, j_lya, j_lw = _ts_kernel(*_ts_args, **_ts_static)
 
     box = TsBox(
         redshift=np.float32(redshift),

@@ -23,6 +23,7 @@ import numpy as np
 from ..cosmology.constants import H0_PER_h, physconst
 from ..inputs import InputParameters
 from ..ops import fft, filters, grids
+from ..ops.gridops import SINGLE, GridOps
 from ..outputs import HaloBox, XraySourceBox
 from .spintemp import setup_z_edges
 
@@ -46,24 +47,24 @@ def lya_diffusion_scale(redshift: float, inputs: InputParameters, x_HI: float) -
     return r_cm / physconst.cm_per_Mpc
 
 
-@partial(jax.jit, static_argnames=("shape", "box_lens", "use_ms", "use_mini"))
+@partial(jax.jit, static_argnames=("shape", "box_lens", "use_ms", "use_mini", "gops"))
 def _annulus_scan(sfr_nodes, xray_nodes, sfr_mini_nodes, idx_lo, idx_hi, weights,
                   r_inner, r_outer, do_filter, ms_k_table, ms_w_tables, *,
-                  shape, box_lens, use_ms, use_mini):
-    kmag = grids.kmag_grid(shape, box_lens)
+                  shape, box_lens, use_ms, use_mini, gops: GridOps = SINGLE):
+    kmag = gops.kmag(shape, box_lens)
 
     def shell(_, xs):
         i0, i1, w, r_in, r_out, do_f, ms_w = xs
 
         def one(nodes, ms: bool):
             grid = nodes[i0] * (1.0 - w) + nodes[i1] * w
-            g_k = fft.rfft3(grid)
+            g_k = gops.rfft3(grid)
 
             def filt():
                 if ms:
                     win = filters.w_multiple_scattering(kmag, ms_k_table, ms_w)
-                    return fft.irfft3(g_k * win.astype(g_k.real.dtype), shape)
-                return fft.irfft3(
+                    return gops.irfft3(g_k * win.astype(g_k.real.dtype), shape)
+                return gops.irfft3(
                     filters.filter_kbox(g_k, kmag, filters.SHELL, r_in, r_out), shape
                 )
 
@@ -89,6 +90,7 @@ def compute_xray_source_field(
     inputs: InputParameters,
     halobox_nodes: list,
     previous_ionized_box=None,
+    mesh=None,
 ) -> XraySourceBox:
     """Build the filtered source shells.
 
@@ -152,7 +154,7 @@ def compute_xray_source_field(
         ms_k_table = jnp.zeros(2, jnp.float32)
         ms_w_tables = jnp.zeros((n_r, 2), jnp.float32)
 
-    sfr_shells, xray_shells, sfr_mini_shells = _annulus_scan(
+    _ann_args = (
         sfr_nodes,
         xray_nodes,
         sfr_mini_nodes,
@@ -164,11 +166,21 @@ def compute_xray_source_field(
         jnp.asarray(do_filter),
         ms_k_table,
         ms_w_tables,
+    )
+    _ann_static = dict(
         shape=shape,
         box_lens=so.box_lens,
         use_ms=use_ms,
         use_mini=use_mini,
     )
+    if mesh is not None:
+        from ..parallel.shardcall import sharded_kernel_call
+
+        sfr_shells, xray_shells, sfr_mini_shells = sharded_kernel_call(
+            mesh, _annulus_scan, _ann_args, _ann_static, shape)
+    else:
+        sfr_shells, xray_shells, sfr_mini_shells = _annulus_scan(
+            *_ann_args, **_ann_static)
     mean_mcrit = None
     if use_mini:
         # per-shell mean log10 MCG turnover, z-interpolated between nodes

@@ -157,3 +157,76 @@ def test_sharded_coeval_matches_single_device():
     assert abs(xh_sh.mean() - xh1.mean()) < 1e-3
     # threshold cells may flip from FFT roundoff; require < 0.5% mismatch
     assert np.mean(np.round(xh_sh, 3) != np.round(xh1, 3)) < 5e-3
+
+
+def test_sharded_ts_recomb_matches_single_device():
+    """The Ts shell ladder + inhomogeneous recombinations + ionization produce
+    the same snapshot under shard_map (GridOps seam) as on a single device,
+    given identical inputs (round-2 north-star coverage: USE_TS_FLUCT +
+    INHOMO_RECO on the mesh)."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models.ionization import compute_ionization_field
+    from py21cmfast_tpu.models.spintemp import compute_spin_temperature
+    from py21cmfast_tpu.parallel.mesh import make_mesh
+
+    inputs = p21.InputParameters(random_seed=4).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=32.0, SOURCE_MODEL="E-INTEGRAL",
+        USE_TS_FLUCT=True, RECOMB_MODEL="inhomogeneous", R_BUBBLE_MAX=16.0,
+        USE_EXP_FILTER=False, CELL_RECOMB=False,
+        ZPRIME_STEP_FACTOR=1.3, Z_HEAT_MAX=12.0,
+    ).with_logspaced_redshifts(8.0)
+    mesh = make_mesh(8)
+
+    ics = p21.compute_initial_conditions(inputs)
+    pf = p21.perturb_field(8.0, inputs, ics)
+
+    results = {}
+    for label, m in (("single", None), ("sharded", mesh)):
+        ts, _ = compute_spin_temperature(
+            8.0, inputs, pf,
+            prev_state=compute_spin_temperature(12.5, inputs, pf)[1],
+            prev_redshift=12.5, mesh=m,
+        )
+        ion = compute_ionization_field(8.0, inputs, pf, spin_temp=ts, mesh=m)
+        results[label] = (ts, ion)
+
+    ts1, ion1 = results["single"]
+    ts8, ion8 = results["sharded"]
+    np.testing.assert_allclose(
+        np.asarray(ts8.spin_temperature), np.asarray(ts1.spin_temperature),
+        rtol=2e-3, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ts8.kinetic_temp_neutral), np.asarray(ts1.kinetic_temp_neutral),
+        rtol=2e-3, atol=1e-2,
+    )
+    xh1 = np.asarray(ion1.neutral_fraction)
+    xh8 = np.asarray(ion8.neutral_fraction)
+    mismatched = np.abs(xh8 - xh1) > 2e-3
+    assert mismatched.mean() < 0.005
+    rec1 = np.asarray(ion1.cumulative_recombinations)
+    rec8 = np.asarray(ion8.cumulative_recombinations)
+    np.testing.assert_allclose(rec8, rec1, rtol=5e-3, atol=1e-5)
+
+
+def test_sharded_driver_full_ts_recomb_pipeline():
+    """run_sharded_coeval scrolls the node ladder with Ts + recombinations,
+    producing finite x-slab-sharded outputs."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.parallel.driver import run_sharded_coeval
+    from py21cmfast_tpu.parallel.mesh import make_mesh
+
+    inputs = p21.InputParameters(random_seed=7).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=32.0, SOURCE_MODEL="E-INTEGRAL",
+        USE_TS_FLUCT=True, RECOMB_MODEL="inhomogeneous", R_BUBBLE_MAX=16.0,
+        USE_EXP_FILTER=False, CELL_RECOMB=False, PERTURB_ALGORITHM="ZELDOVICH",
+        ZPRIME_STEP_FACTOR=1.4, Z_HEAT_MAX=14.0,
+    ).with_logspaced_redshifts(8.0)
+    mesh = make_mesh(8)
+    o = run_sharded_coeval(inputs, [8.0], mesh=mesh)[-1]
+    xh = np.asarray(o.neutral_fraction)
+    tb = np.asarray(o.brightness_temp)
+    ts = np.asarray(o.spin_temperature)
+    assert np.isfinite(tb).all() and np.isfinite(ts).all()
+    assert 0.0 <= xh.min() and xh.max() <= 1.0
+    assert "x" in str(o.neutral_fraction.sharding.spec)
