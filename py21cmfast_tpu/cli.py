@@ -48,6 +48,16 @@ def cmd_template_show(args):
     print(json.dumps(serialize_inputs(inputs), indent=2))
 
 
+def cmd_template_create(args):
+    """Write a new run-template TOML from a base template plus overrides
+    (reference cli.py `template create`, :227-420)."""
+    from .input_serialization import write_inputs_to_toml
+
+    inputs = _build_inputs(args)
+    write_inputs_to_toml(inputs, args.out)
+    print(f"wrote {args.out}")
+
+
 def cmd_run_coeval(args):
     from .drivers.coeval import run_coeval
     from .io.caching import OutputCache
@@ -138,6 +148,12 @@ def main(argv=None):
     tsh = tsub.add_parser("show", help="show resolved parameters")
     common(tsh)
     tsh.set_defaults(func=cmd_template_show)
+    tcr = tsub.add_parser(
+        "create", help="write a new template TOML from a base + overrides"
+    )
+    common(tcr)
+    tcr.add_argument("out", help="output TOML path")
+    tcr.set_defaults(func=cmd_template_create)
 
     r = sub.add_parser("run", help="run simulations")
     rsub = r.add_subparsers(dest="rcmd", required=True)

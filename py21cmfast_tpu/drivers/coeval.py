@@ -185,6 +185,7 @@ def generate_coeval(
                 previous_spin_temp=prev_ts, previous_ionized_box=prev_ion,
                 lagrangian_delta=initial_conditions.lowres_density,
                 lowres_vcb=initial_conditions.lowres_vcb,
+                ics=initial_conditions,
             )
         elif mo.SOURCE_MODEL == "L-INTEGRAL":
             from ..models import halobox as halobox_module
@@ -199,6 +200,7 @@ def generate_coeval(
             halobox = halobox_module.compute_fixed_halo_grid(
                 z, inputs, initial_conditions.lowres_density,
                 mt_a_grid=mt_a_grid, mt_m_grid=mt_m_grid,
+                ics=initial_conditions,
             )
 
         ts = None

@@ -9,11 +9,10 @@ X-rays).  With USE_MINI_HALOS, per-cell feedback turnover grids (LW +
 streaming + reionization feedback; get_log10_turnovers, HaloBox.c:465-517)
 are CIC-read at each halo position to set the halo's ACG/MCG turnover masses.
 
-Remaining scope note: the sub-resolution source contribution
-(set_fixed_grids:297-436, halos below SAMPLER_MIN_MASS) is conditioned at
-Lagrangian cell positions (not velocity-displaced as in move_grid_galprops);
-this preserves means and large-scale power but softens small-scale
-source-density cross power.
+The sub-resolution source contribution (halos below SAMPLER_MIN_MASS, and
+the L-INTEGRAL fixed grids) is conditioned on the Lagrangian cell density and
+then velocity-displaced to Eulerian positions with the same CIC machinery
+(move_grid_galprops, map_mass.c:215-344) when the ICs are passed.
 """
 
 from __future__ import annotations
@@ -169,6 +168,33 @@ def _cic_deposit(masses, pos_cells, props, *, shape):
     return out
 
 
+@partial(jax.jit, static_argnames=("shape", "use_2lpt"))
+def _displace_grids(props, vx, vy, vz, v2x, v2y, v2z, fac_za, fac_2lpt,
+                    disp_to_cells, *, shape, use_2lpt):
+    """Move per-cell property grids from Lagrangian to Eulerian positions
+    (reference move_grid_galprops, map_mass.c:215-344): each cell's value is
+    carried to `index + psi(cell) * factor` and CIC-deposited.  The velocity
+    grids must be at the same resolution as the property grids."""
+    nx, ny, nz = shape
+    ii = jnp.arange(nx, dtype=jnp.float32)[:, None, None]
+    jj = jnp.arange(ny, dtype=jnp.float32)[None, :, None]
+    kk = jnp.arange(nz, dtype=jnp.float32)[None, None, :]
+    dx = vx * fac_za
+    dy = vy * fac_za
+    dz = vz * fac_za
+    if use_2lpt:
+        dx = dx + v2x * fac_2lpt
+        dy = dy + v2y * fac_2lpt
+        dz = dz + v2z * fac_2lpt
+    px = (ii + dx * disp_to_cells).reshape(-1)
+    py = (jj + dy * disp_to_cells).reshape(-1)
+    pz = (kk + dz * disp_to_cells).reshape(-1)
+    pos_cells = jnp.stack([px, py, pz], axis=-1)
+    flat_props = tuple(p.reshape(-1) for p in props)
+    ones = jnp.ones(nx * ny * nz, jnp.float32)
+    return _cic_deposit(ones, pos_cells, flat_props, shape=shape)
+
+
 @partial(jax.jit, static_argnames=("shape",))
 def _cic_read(grid, pos_cells, *, shape):
     """CIC (trilinear) read of a grid at scattered positions (cic_read_float)."""
@@ -242,6 +268,7 @@ def compute_halo_grid(
     previous_ionized_box=None,
     lagrangian_delta=None,
     lowres_vcb=None,
+    ics=None,
 ) -> HaloBox:
     """Grid the halo catalog into source fields (reference ComputeHaloBox:563).
 
@@ -319,7 +346,7 @@ def compute_halo_grid(
     if lagrangian_delta is not None:
         sub = compute_fixed_halo_grid(
             redshift, inputs, lagrangian_delta, m_max=so.SAMPLER_MIN_MASS,
-            mt_a_grid=mt_a_grid, mt_m_grid=mt_m_grid,
+            mt_a_grid=mt_a_grid, mt_m_grid=mt_m_grid, ics=ics,
         )
         if sub is not None:
             box = dataclasses.replace(
@@ -373,6 +400,7 @@ def compute_fixed_halo_grid(
     m_max: float | None = None,
     mt_a_grid=None,
     mt_m_grid=None,
+    ics=None,
 ) -> HaloBox | None:
     """Deterministic (expectation-value) source grids
     (reference set_fixed_grids:297-436): per-cell conditional Nion/SFR
@@ -560,6 +588,37 @@ def compute_fixed_halo_grid(
         halo_xray = halo_xray + sfrd_rel_mini * jnp.float32(prefactor_xray_mini)
         halo_sfr_mini = sfrd_rel_mini * jnp.float32(prefactor_sfr_mini)
         halo_stars_mini = sfrd_rel_mini * jnp.float32(prefactor_stars_mini)
+
+    # velocity-displace the expectation grids to Eulerian positions
+    # (reference move_grid_galprops, map_mass.c:215-344) when the ICs are
+    # available; sub-grid sources then track the matter flow instead of
+    # sitting at Lagrangian cell centres
+    if ics is not None and ics.vx is not None and ics.vx.shape == so.lowres_shape:
+        from .perturb import _displacement_factors
+
+        _, _, fac_za, fac_2lpt = _displacement_factors(inputs, redshift)
+        use_2lpt = (
+            inputs.matter_options.PERTURB_ALGORITHM == "2LPT"
+            and ics.vx_2LPT is not None
+        )
+        props = [n_ion, halo_sfr, whalo_sfr, halo_xray, halo_stars]
+        if use_mini:
+            props += [halo_sfr_mini, halo_stars_mini]
+        zero_v = jnp.zeros(so.lowres_shape, jnp.float32)
+        moved = _displace_grids(
+            tuple(props),
+            ics.vx, ics.vy, ics.vz,
+            ics.vx_2LPT if use_2lpt else zero_v,
+            ics.vy_2LPT if use_2lpt else zero_v,
+            ics.vz_2LPT if use_2lpt else zero_v,
+            jnp.float32(fac_za), jnp.float32(fac_2lpt),
+            jnp.float32(so.HII_DIM / so.box_len),
+            shape=so.lowres_shape,
+            use_2lpt=use_2lpt,
+        )
+        n_ion, halo_sfr, whalo_sfr, halo_xray, halo_stars = moved[:5]
+        if use_mini:
+            halo_sfr_mini, halo_stars_mini = moved[5:]
 
     return HaloBox(
         redshift=np.float32(redshift),

@@ -936,6 +936,27 @@ def compute_ionization_field(
             )
             cumulative_rec = rec_box + jnp.float32(d_nrec)
 
+    # kinetic temperature of the (partially) ionized IGM (reference
+    # set_ionized_temperatures + ComputeFully/PartiallyIonizedTemperature,
+    # IonisationBox.c:1203-1257, thermochem.c:31-64).  MINIMIZE_MEMORY drops
+    # this optional field and the per-cell mean free path, matching the
+    # reference's memory-model (IonisationBox.c:543,1137,1589).
+    kinetic_temperature = None
+    minimize_memory = inputs.matter_options.MINIMIZE_MEMORY
+    if not minimize_memory:
+        if spin_temp is not None:
+            tk_neutral = spin_temp.kinetic_temp_neutral
+        else:
+            rec_hist = RecombinationHistory(cosmo)
+            tk_neutral = jnp.float32(float(rec_hist.Tk(redshift))) * (
+                1.0 + jnp.float32(float(rec_hist.cT_approx(redshift)))
+                * perturbed_field.density
+            )
+        kinetic_temperature = _ionized_temperature(
+            xh, z_reion, perturbed_field.density, tk_neutral,
+            jnp.float32(ap.T_RE), jnp.float32(stored_redshift),
+        )
+
     return IonizedBox(
         redshift=np.float32(stored_redshift),
         neutral_fraction=xh,
@@ -947,11 +968,34 @@ def compute_ionization_field(
         log10_Mturnover_MINI_ave=np.float32(
             log10_mturn_m_ave if use_minihalos else 0.0
         ),
-        mean_free_path=mfp,
+        kinetic_temperature=kinetic_temperature,
+        mean_free_path=None if minimize_memory else mfp,
         cumulative_recombinations=cumulative_rec,
         unnormalised_nion=nion_stack if use_minihalos else None,
         unnormalised_nion_mini=nion_mini_stack if use_minihalos else None,
     )
+
+
+@jax.jit
+def _ionized_temperature(xh, z_reion, density, tk_neutral, t_re, redshift):
+    """Kinetic temperature incl. ionized regions (thermochem.c:31-64):
+    fully ionized cells follow the McQuinn 2015 evolving-ionized-gas fit from
+    their reionization redshift; partially ionized cells mix the neutral and
+    reionization temperatures linearly in the residual neutral fraction."""
+    delta = jnp.maximum(density, -1.0 + 1e-9)
+    z_re = jnp.maximum(z_reion, redshift)
+    delta_re = jnp.maximum(delta * (1.0 + redshift) / (1.0 + z_re), -1.0 + 1e-9)
+    res = (
+        ((1.0 + delta) / (1.0 + delta_re)) ** 1.1333
+        * ((1.0 + redshift) / (1.0 + z_re)) ** 3.4
+        * jnp.exp(((1.0 + redshift) / 7.1) ** 2.5 - ((1.0 + z_re) / 7.1) ** 2.5)
+    )
+    res = jnp.where(jnp.abs(redshift - z_re) < 1e-4, 1.0, res)
+    res = res * t_re**1.7 + (1e4 * (1.0 + redshift) / 4.0) ** 1.7 * (1.0 + delta)
+    t_full = jnp.maximum(res**0.5882, tk_neutral)
+    t_partial = tk_neutral * xh + t_re * (1.0 - xh)
+    fully = (z_reion > 0) & (xh < TINY)
+    return jnp.where(fully, t_full, t_partial)
 
 
 @jax.jit

@@ -51,14 +51,27 @@ def compute_luminosity_function(
         growth = float(cosmo.dicke(float(z)))
 
         # mean stellar mass & SFR per halo (median relations, no scatter)
-        fstar = sc.fstar_10 * (m / 1e10) ** sc.alpha_star
-        if inputs.astro_options.USE_UPPER_STELLAR_TURNOVER and sc.alpha_star > sc.alpha_upper:
-            fstar = sc.fstar_10 * sc.upper_pivot_ratio / (
-                (m / sc.pivot_upper) ** (-sc.alpha_star)
-                + (m / sc.pivot_upper) ** (-sc.alpha_upper)
+        if component.lower() in ("mcg", "mini", "2"):
+            # molecularly-cooled (Pop III) component
+            # (LuminosityFunction.c:111-126 + atomic-threshold upper cutoff)
+            mturn = (
+                sc.mturn_m_nofb
+                if mturnovers is None
+                else float(np.atleast_1d(mturnovers)[i])
             )
-        mturn = sc.mturn_a_nofb if mturnovers is None else float(np.atleast_1d(mturnovers)[i])
-        fstar = np.minimum(fstar * np.exp(-mturn / m), 1.0)
+            fstar = sc.fstar_7 * (m / 1e7) ** sc.alpha_star_mini
+            fstar = np.minimum(
+                fstar * np.exp(-mturn / m - m / sc.acg_thresh), 1.0
+            )
+        else:
+            fstar = sc.fstar_10 * (m / 1e10) ** sc.alpha_star
+            if inputs.astro_options.USE_UPPER_STELLAR_TURNOVER and sc.alpha_star > sc.alpha_upper:
+                fstar = sc.fstar_10 * sc.upper_pivot_ratio / (
+                    (m / sc.pivot_upper) ** (-sc.alpha_star)
+                    + (m / sc.pivot_upper) ** (-sc.alpha_upper)
+                )
+            mturn = sc.mturn_a_nofb if mturnovers is None else float(np.atleast_1d(mturnovers)[i])
+            fstar = np.minimum(fstar * np.exp(-mturn / m), 1.0)
         stellar = fstar * m * cosmo.OMb / cosmo.OMm
         sfr_yr = stellar / (sc.t_star * sc.t_h) * physconst.s_per_yr  # Msun/yr
 

@@ -300,3 +300,44 @@ def test_dexm_no_overlap_semantics(inputs):
     inp_opt = inp.evolve_input_structs(DEXM_OPTIMIZE=True)
     grid_o, _ = dexm_halo_grid(9.0, inp_opt, ics)
     assert np.sum(np.asarray(grid_o) > 0) >= np.sum(grid > 0)
+
+
+def test_fixed_grids_velocity_displaced():
+    """Sub-resolution source grids are displaced to Eulerian positions
+    (move_grid_galprops): their small-scale cross-correlation with the evolved
+    density must exceed the Lagrangian-fixed version's."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models import halobox
+    from py21cmfast_tpu.ops.ps import reference_binned_power
+
+    inp = p21.InputParameters(random_seed=12).evolve_input_structs(
+        HII_DIM=24, DIM=48, BOX_LEN=36.0, SOURCE_MODEL="L-INTEGRAL",
+    )
+    z = 8.0
+    ics = p21.compute_initial_conditions(inp)
+    pf = p21.perturb_field(z, inp, ics)
+    fixed = halobox.compute_fixed_halo_grid(z, inp, ics.lowres_density)
+    moved = halobox.compute_fixed_halo_grid(z, inp, ics.lowres_density, ics=ics)
+
+    # means preserved by the CIC transport
+    m_fix = float(np.mean(np.asarray(fixed.halo_sfr)))
+    m_mov = float(np.mean(np.asarray(moved.halo_sfr)))
+    assert abs(m_mov / m_fix - 1) < 1e-4
+
+    d = np.asarray(pf.density, np.float64)
+    box_lens = inp.simulation_options.box_lens
+
+    def cross(a):
+        a = np.asarray(a, np.float64)
+        _, p_sum, _ = reference_binned_power(
+            (a / a.mean() - 1) + (d - d.mean()), box_lens
+        )
+        _, p_a, _ = reference_binned_power(a / a.mean() - 1, box_lens)
+        _, p_d, _ = reference_binned_power(d - d.mean(), box_lens)
+        return (p_sum - p_a - p_d) / 2  # cross power
+
+    cx_moved = cross(moved.halo_sfr)
+    cx_fixed = cross(fixed.halo_sfr)
+    # small-scale (upper half of k bins) cross power strengthens
+    hi = slice(len(cx_moved) // 2, None)
+    assert np.sum(cx_moved[hi]) > np.sum(cx_fixed[hi]) * 1.02
