@@ -18,7 +18,17 @@ __all__ = ["Lightconer", "RectilinearLightconer", "AngularLightconer"]
 class Lightconer:
     """Base: holds lc distances + redshifts, provides coeval interpolation."""
 
-    def __init__(self, lc_distances, quantities=("brightness_temp",)):
+    # per-quantity interpolation kind (reference lightconers.py:107-109,
+    # 289-318): "mean" = linear in comoving distance; "mean_max" = linear,
+    # except where the bracketing values straddle zero take the max (used for
+    # z_reion, whose -1 sentinel must not be averaged into real redshifts)
+    DEFAULT_INTERP_KINDS = {"z_reion": "mean_max"}
+
+    def __init__(self, lc_distances, quantities=("brightness_temp",),
+                 interp_kinds=None):
+        self.interp_kinds = dict(self.DEFAULT_INTERP_KINDS)
+        if interp_kinds:
+            self.interp_kinds.update(interp_kinds)
         self.lc_distances = np.asarray(lc_distances, dtype=np.float64)
         self.quantities = tuple(quantities)
         self._lc_redshifts = None
@@ -107,10 +117,12 @@ class RectilinearLightconer(Lightconer):
         box_hi = self.get_field(coeval_high, quantity, device=True)
         w = jnp.asarray((dists - d_low) / max(d_high - d_low, 1e-30), jnp.float32)
         pix_j = jnp.asarray(pix)
-        vals = (
-            box_lo[:, :, pix_j] * (1 - w)[None, None, :]
-            + box_hi[:, :, pix_j] * w[None, None, :]
-        )
+        lo = box_lo[:, :, pix_j]
+        hi = box_hi[:, :, pix_j]
+        vals = lo * (1 - w)[None, None, :] + hi * w[None, None, :]
+        if self.interp_kinds.get(quantity) == "mean_max":
+            straddle = lo * hi < 0
+            vals = jnp.where(straddle, jnp.maximum(lo, hi), vals)
         return idx, np.asarray(vals, np.float32)
 
 

@@ -537,6 +537,190 @@ def _partition_tables(sigma_table, m_lo, m_hi, n=512):
     )
 
 
+@partial(jax.jit, static_argnames=("t_max", "capacity", "cap_out"))
+def _binary_split_kernel(
+    key,
+    m_cond,       # (B,) descendant masses
+    d_start0,     # (B,) delta_c / D(z_in)  (Lagrangian barrier at the descendant z)
+    d_target,     # (B,) delta_c / D(z_out) (barrier at the progenitor z)
+    ln_m_axis,    # uniform lnM sigma-table axis
+    sigma_tab,
+    dsigsq_tab,   # d sigma^2 / dM on the same axis
+    m_res,
+    g0, gamma1, gamma2,
+    *,
+    t_max,
+    capacity,
+    cap_out,
+):
+    """Parkinson+08 binary-split merger trees (reference stoc_split_sample,
+    Stochasticity.c:488-660, after Darkforest/Qiu+20), breadth-parallel:
+    instead of the reference's serial per-condition stack, EVERY active branch
+    of every condition advances one barrier step per scan iteration — the tree
+    walk becomes a masked (B, capacity) lattice ideally shaped for the VPU.
+
+    Returns (out_m, out_count): progenitor masses per condition (zero-padded,
+    (B, cap_out)).  Branches still active after t_max steps are force-saved.
+    """
+    from ..ops.grids import uniform_lerp
+
+    B = m_cond.shape[0]
+    C = capacity
+    eps1 = eps2 = 0.1
+    lnm0 = ln_m_axis[0]
+    inv_dlnm = (ln_m_axis.shape[0] - 1) / (ln_m_axis[-1] - ln_m_axis[0])
+
+    def sigma_of(lnm):
+        return uniform_lerp(lnm, lnm0, inv_dlnm, sigma_tab)
+
+    def dsigsq_of(lnm):
+        return uniform_lerp(lnm, lnm0, inv_dlnm, dsigsq_tab)
+
+    ln_mres = jnp.log(m_res)
+    sigma_res = sigma_of(ln_mres)
+    sigsq_res = sigma_res * sigma_res
+
+    # state lattices
+    m_pts = jnp.zeros((B, C), jnp.float32).at[:, 0].set(m_cond)
+    d_pts = jnp.zeros((B, C), jnp.float32).at[:, 0].set(d_start0)
+    out_m = jnp.zeros((B, cap_out), jnp.float32)
+    out_ct = jnp.zeros(B, jnp.int32)
+
+    def frac_below_res(sigma_s, sigsq_s, G1, dd):
+        # ComputeFraction_split: mass fraction lost below resolution per dd
+        u_res = sigma_s / jnp.sqrt(jnp.maximum(sigsq_res - sigsq_s, 1e-12))
+        # J(u) for gamma1=0 is u; general gamma1 uses the Parkinson+08 integral
+        # evaluated with a 16-pt trapezoid (u_res is O(1))
+        if True:
+            uu = jnp.linspace(0.0, 1.0, 17)[None, None, :] * u_res[..., None]
+            integ = (1.0 + 1.0 / jnp.maximum(uu, 1e-8) ** 2) ** (gamma1 / 2.0)
+            integ = jnp.where(uu > 0, integ, 0.0)
+            j_val = jnp.trapezoid(integ, uu, axis=-1)
+        return jnp.sqrt(2.0 / jnp.pi) * j_val * G1 / sigma_s * dd
+
+    def step(carry, t):
+        m_pts, d_pts, out_m, out_ct = carry
+        kt = jax.random.fold_in(key, t)
+        active = m_pts > 0
+
+        lnm = jnp.log(jnp.maximum(m_pts, 1.0))
+        m_half = 0.5 * m_pts
+        lnm_half = lnm - jnp.float32(np.log(2.0))
+        sigma_s = sigma_of(lnm)
+        sigsq_s = sigma_s * sigma_s
+        sigma_h = sigma_of(lnm_half)
+        sigsq_h = sigma_h * sigma_h
+        dd_target = d_target[:, None] - d_pts
+
+        G1 = g0 * (d_pts / jnp.maximum(sigma_s, 1e-10)) ** gamma2
+        q_res = m_res / jnp.maximum(m_pts, 1.0)
+
+        # --- no-split branch (q_res >= 0.5): timestep limit only
+        dd_nosplit = eps1 * jnp.sqrt(2.0) * jnp.sqrt(
+            jnp.maximum(sigsq_h - sigsq_s, 1e-12)
+        )
+
+        # --- split branch quantities
+        alpha_h = dsigsq_of(lnm_half)
+        alpha_h = -m_half / (2.0 * sigsq_h) * alpha_h  # -dln sigma/dln m at m/2
+        v_res = sigsq_res * jnp.maximum(sigsq_res - sigsq_s, 1e-12) ** -1.5
+        v_half = sigsq_h * jnp.maximum(sigsq_h - sigsq_s, 1e-12) ** -1.5
+        beta = jnp.log(v_res / v_half) / jnp.log(jnp.maximum(2.0 * q_res, 1e-10))
+        b_coef = 2.0**beta * v_half
+        mu = jnp.where(
+            gamma1 < 0,
+            -jnp.log(sigma_res / sigma_h) / jnp.log(jnp.maximum(2.0 * q_res, 1e-10)),
+            alpha_h,
+        )
+        eta = beta - 1.0 - gamma1 * mu
+        pow_diff = 0.5**eta - q_res**eta
+        G2 = G1 * (sigma_h / sigma_s) ** gamma1 * 0.5 ** (mu * gamma1)
+        dn_dd = jnp.sqrt(2.0 / jnp.pi) * b_coef * pow_diff / jnp.where(
+            jnp.abs(eta) > 1e-10, eta, 1e-10
+        ) * alpha_h * G2
+        dd_split = jnp.minimum(dd_nosplit, eps2 / jnp.maximum(dn_dd, 1e-10))
+
+        can_split = q_res < 0.5
+        dd = jnp.where(can_split, dd_split, dd_nosplit)
+        save = dd >= dd_target
+        dd = jnp.minimum(dd, dd_target)
+
+        # split draw (only meaningful where can_split & ~save handled below;
+        # the reference draws the split before checking `save` too)
+        n_upper = dn_dd * dd
+        u1 = jax.random.uniform(jax.random.fold_in(kt, 0), (B, C))
+        u2 = jax.random.uniform(jax.random.fold_in(kt, 1), (B, C))
+        u3 = jax.random.uniform(jax.random.fold_in(kt, 2), (B, C))
+        q = (q_res**eta + pow_diff * u2) ** (1.0 / jnp.where(jnp.abs(eta) > 1e-10, eta, 1e-10))
+        m_q = q * m_pts
+        lnm_q = jnp.log(jnp.maximum(m_q, 1.0))
+        sigma_q = sigma_of(lnm_q)
+        alpha_q = dsigsq_of(lnm_q)
+        alpha_q = -m_q / (2.0 * sigma_q * sigma_q) * alpha_q
+        sigsq_q = sigma_q * sigma_q
+        r_q = (alpha_q / jnp.maximum(alpha_h, 1e-10)) * (
+            sigsq_q * jnp.maximum(sigsq_q - sigsq_s, 1e-12) ** -1.5
+            / (b_coef * jnp.maximum(q, 1e-10) ** beta)
+        )
+        do_split = can_split & (u1 < n_upper) & (u3 <= r_q)
+        q = jnp.where(do_split, q, 0.0)
+
+        F = frac_below_res(sigma_s, sigsq_s, G1, dd)
+        m1 = (1.0 - F - q) * m_pts
+        m2 = q * m_pts
+        m1 = jnp.where(active & (m1 > m_res), m1, 0.0)
+        m2 = jnp.where(active & (m2 > m_res), m2, 0.0)
+
+        # --- emit finished branches (both progenitors) into the output buffer
+        emit1 = active & save & (m1 > 0)
+        emit2 = active & save & (m2 > 0)
+        for emit, m_emit in ((emit1, m1), (emit2, m2)):
+            rank = jnp.cumsum(emit, axis=1) - 1
+            idx = jnp.where(emit, out_ct[:, None] + rank, cap_out)
+            idx = jnp.clip(idx, 0, cap_out)  # slot cap_out = spill bucket
+            out_m = jnp.pad(out_m, ((0, 0), (0, 1)))
+            rows = jnp.arange(B)[:, None] * jnp.ones((1, C), jnp.int32)
+            out_m = out_m.at[rows, idx].add(jnp.where(emit, m_emit, 0.0))
+            out_m = out_m[:, :cap_out]
+            out_ct = out_ct + jnp.sum(emit, axis=1, dtype=jnp.int32)
+
+        # --- continue unfinished branches: slot keeps the larger progenitor
+        cont = active & ~save
+        m_pts = jnp.where(cont & (m1 > 0), m1, 0.0)
+        d_pts = jnp.where(cont & (m1 > 0), d_pts + dd, 0.0)
+
+        # the smaller progenitor of continuing splits claims a free slot
+        spawn = cont & (m2 > 0)
+        free_order = jnp.argsort(m_pts > 0, axis=1)  # free slots first
+        spawn_rank = jnp.cumsum(spawn, axis=1) - 1
+        n_free = jnp.sum(m_pts == 0, axis=1)
+        ok = spawn & (spawn_rank < n_free[:, None])
+        # target slot for each spawner: the spawn_rank-th free slot
+        tgt = jnp.take_along_axis(
+            free_order, jnp.clip(spawn_rank, 0, C - 1), axis=1
+        )
+        rows = jnp.arange(B)[:, None] * jnp.ones((1, C), jnp.int32)
+        m_pts = m_pts.at[rows, tgt].add(jnp.where(ok, m2, 0.0))
+        d_pts = d_pts.at[rows, tgt].add(jnp.where(ok, d_pts + dd, 0.0))
+        return (m_pts, d_pts, out_m, out_ct), None
+
+    (m_pts, d_pts, out_m, out_ct), _ = jax.lax.scan(
+        step, (m_pts, d_pts, out_m, out_ct), jnp.arange(t_max)
+    )
+
+    # force-save any branch still active (t_max exhausted): emit its mass
+    emit = m_pts > m_res
+    rank = jnp.cumsum(emit, axis=1) - 1
+    idx = jnp.where(emit, out_ct[:, None] + rank, cap_out)
+    idx = jnp.clip(idx, 0, cap_out)
+    out_m = jnp.pad(out_m, ((0, 0), (0, 1)))
+    rows = jnp.arange(B)[:, None] * jnp.ones((1, C), jnp.int32)
+    out_m = out_m.at[rows, idx].add(jnp.where(emit, m_pts, 0.0))
+    out_m = out_m[:, :cap_out]
+    out_ct = out_ct + jnp.sum(emit, axis=1, dtype=jnp.int32)
+    return out_m, out_ct
+
+
 # ---------------------------------------------------------------------------
 # Catalog assembly
 
@@ -662,11 +846,6 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     n_exp_d = np.pad(n_exp_d, (0, pad))
 
     method = inputs.matter_options.SAMPLE_METHOD
-    if method == "BINARY-SPLIT":
-        raise NotImplementedError(
-            "SAMPLE_METHOD='BINARY-SPLIT' (Parkinson+08 tree) is not implemented "
-            "in the TPU port yet; use MASS-LIMITED, NUMBER-LIMITED or PARTITION"
-        )
     # rare-halo truncation (Stochasticity.c:385-392, MASS-LIMITED only):
     # descendants whose condition is a many-sigma peak refuse to split
     # stochastically — hand them a single progenitor with the expected mass
@@ -682,7 +861,30 @@ def _sample_progenitors(redshift, inputs, prev_cat: HaloCatalog, key) -> HaloCat
     m_tgt[: n][rare] = 0.0  # excluded from the stochastic path
     n_exp_d[: n][rare] = 0.0
 
-    if method == "PARTITION":
+    if method == "BINARY-SPLIT":
+        ln_axis = np.linspace(np.log(m_min * 0.25), float(ln_mbins[-1]) + 0.1, 512)
+        growth_prev_ = growth_prev
+        masses_p, out_ct = _binary_split_kernel(
+            jax.random.fold_in(key, 13),
+            jnp.asarray(np.pad(np.maximum(masses_d, m_min), (0, pad)), jnp.float32),
+            jnp.full(n + pad, jnp.float32(physconst.delta_c_sph / growth_prev_)),
+            jnp.full(n + pad, jnp.float32(physconst.delta_c_sph / growth)),
+            jnp.asarray(ln_axis, jnp.float32),
+            jnp.asarray(sigma_table.sigma_of_lnm(ln_axis), jnp.float32),
+            jnp.asarray(sigma_table.dsigmasq_of_lnm(ln_axis), jnp.float32),
+            jnp.float32(m_min),
+            jnp.float32(so.PARKINSON_G0),
+            jnp.float32(so.PARKINSON_y1),
+            jnp.float32(so.PARKINSON_y2),
+            t_max=48,
+            capacity=64,
+            cap_out=256,
+        )
+        keep = masses_p >= m_min
+        # padded rows carried a fake m_min*... condition: drop them
+        if pad:
+            keep = keep.at[n:].set(False)
+    elif method == "PARTITION":
         if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST):
             raise ValueError("PARTITION sampling requires HMF='PS' or 'ST'")
         delta_d = np.interp(ln_md, ln_mbins, delta_bins)

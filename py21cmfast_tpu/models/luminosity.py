@@ -85,6 +85,11 @@ def compute_luminosity_function(
         dmuv_dlnm = np.gradient(muv[i], ln_m)
         with np.errstate(divide="ignore", invalid="ignore"):
             phi = np.abs(dndlnm / dmuv_dlnm)
+        # the MCG component's upper (atomic-threshold) cutoff makes Muv(M)
+        # non-monotonic: dMuv/dlnM crosses zero and phi diverges (the
+        # reference smooths this kink, LuminosityFunction.c:150-175); mask it
+        phi = np.where(np.abs(dmuv_dlnm) < 1e-8, np.nan, phi)
+        phi = np.where(np.isfinite(phi), phi, 1e-30)
         lfunc[i] = np.log10(np.maximum(phi, 1e-30))
 
     return muv, mhalo, lfunc

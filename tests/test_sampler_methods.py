@@ -114,12 +114,16 @@ def test_grid_collapsed_cells_form_single_halo():
     assert np.allclose(m, m[0], rtol=1e-5)
 
 
-@pytest.mark.parametrize("method", ["MASS-LIMITED", "NUMBER-LIMITED", "PARTITION"])
+@pytest.mark.parametrize(
+    "method", ["MASS-LIMITED", "NUMBER-LIMITED", "PARTITION", "BINARY-SPLIT"]
+)
 def test_progenitor_sampling_matches_cmf(method):
     """Progenitor N(M) per octave vs the progenitor CMF for each method.
 
     PARTITION is known to overproduce small progenitors (McQuinn+07; noted in
-    Stochasticity.c:431-434), so its octave gate is looser."""
+    Stochasticity.c:431-434) and BINARY-SPLIT follows the Parkinson+08
+    EPS-corrected merger rate rather than the CMF integral, so their octave
+    gates are looser."""
     # progenitors are sampled at HIGHER z than the descendant catalog
     # (evolve_halos ascends the node ladder, coeval.py:435)
     z_prev, z = 6.0, 6.3
@@ -133,7 +137,10 @@ def test_progenitor_sampling_matches_cmf(method):
     assert len(m) > 500, f"{method}: only {len(m)} progenitors"
     exp_counts, exp_mass = _expected_prog_octaves(inputs, z, z_prev, m_desc, EDGES)
     got_counts = np.histogram(m, bins=EDGES)[0] / n_cond
-    tol = 0.75 if method == "PARTITION" else 0.35
+    # plain-EPS binary trees (PARKINSON_G0=1, y1=y2=0 defaults) undershoot
+    # small progenitors — the Parkinson+08 G0/gamma corrections exist to fix
+    # exactly this; the gate only guards against order-unity breakage
+    tol = {"PARTITION": 0.75, "BINARY-SPLIT": 0.85}.get(method, 0.35)
     for i, (g, e) in enumerate(zip(got_counts, exp_counts)):
         if e * n_cond < 200:
             continue
@@ -143,8 +150,10 @@ def test_progenitor_sampling_matches_cmf(method):
     # total progenitor mass: the descendant's mass is (nearly) conserved for
     # MASS-LIMITED (0.89 corrected) and PARTITION (full partition of m_desc)
     got_mass = m.sum() / n_cond
-    if method == "PARTITION":
-        assert got_mass / m_desc > 0.5  # resolved fraction of the full split
+    if method in ("PARTITION", "BINARY-SPLIT"):
+        # both methods partition the descendant itself: (nearly) all of its
+        # mass must land in resolved progenitors + the sub-resolution fraction
+        assert got_mass / m_desc > 0.5
     else:
         assert abs(got_mass / exp_mass - 1) < 0.13, (
             f"{method}: mean progenitor mass {got_mass:.3e} vs {exp_mass:.3e}"
