@@ -469,6 +469,112 @@ class InputParameters:
     astro_params: AstroParams = field(factory=AstroParams)
     node_redshifts: tuple = field(default=(), converter=tuple)
 
+    def __attrs_post_init__(self):
+        """Cross-group validation (reference inputs.py:1971-2134)."""
+        import warnings
+
+        mo, so, ao, ap = (
+            self.matter_options, self.simulation_options,
+            self.astro_options, self.astro_params,
+        )
+        if ao.USE_MINI_HALOS:
+            if mo.SOURCE_MODEL == "CONST-ION-EFF":
+                raise ValueError(
+                    "SOURCE_MODEL='CONST-ION-EFF' is not compatible with "
+                    "USE_MINI_HALOS=True"
+                )
+            if mo.V_CB_MODEL == "NONE":
+                warnings.warn(
+                    "USE_MINI_HALOS needs a non-trivial V_CB_MODEL to get the "
+                    "right evolution!",
+                    stacklevel=2,
+                )
+        elif mo.V_CB_MODEL != "NONE":
+            warnings.warn(
+                "USE_MINI_HALOS is False but V_CB_MODEL != 'NONE'; relative "
+                "velocities only matter with mini-halos present",
+                stacklevel=2,
+            )
+
+        if mo.source_model_uses_lagrangian_grids:
+            if ao.PHOTON_CONS_TYPE == "Z-PHOTONCONS":
+                raise ValueError(
+                    f"SOURCE_MODEL={mo.SOURCE_MODEL} is not compatible with "
+                    "redshift-based photon conservation (PHOTON_CONS_TYPE="
+                    "'z-photoncons'); use another PHOTON_CONS_TYPE or "
+                    "SOURCE_MODEL='E-INTEGRAL'"
+                )
+        else:
+            if ao.USE_EXP_FILTER:
+                raise ValueError(
+                    f"USE_EXP_FILTER is not compatible with SOURCE_MODEL="
+                    f"{mo.SOURCE_MODEL}"
+                )
+            if ao.LYA_MULTIPLE_SCATTERING:
+                raise ValueError(
+                    f"LYA_MULTIPLE_SCATTERING is not compatible with "
+                    f"SOURCE_MODEL={mo.SOURCE_MODEL}"
+                )
+        if not mo.source_model_uses_halo_sampler and ao.USE_UPPER_STELLAR_TURNOVER:
+            # NOTE: the reference raises NotImplementedError here; our integral
+            # paths simply omit the upper turnover, so a warning suffices
+            warnings.warn(
+                "USE_UPPER_STELLAR_TURNOVER only affects discrete-halo source "
+                f"models; it is ignored for SOURCE_MODEL={mo.SOURCE_MODEL}",
+                stacklevel=2,
+            )
+        if mo.HMF not in ("PS", "ST", "DELOS"):
+            warnings.warn(
+                f"HMF={mo.HMF} has no conditional form: the EPS conditional "
+                "MF is used, mean-normalized to the chosen unconditional MF",
+                stacklevel=2,
+            )
+
+        r_max = ap.r_bubble_max(ao)
+        if r_max > so.box_len:
+            raise ValueError(
+                f"R_BUBBLE_MAX is larger than BOX_LEN ({r_max} > {so.box_len})"
+            )
+        if ao.HII_FILTER == "SHARP-K" and r_max > so.box_len / 3:
+            from ._cfg import config
+
+            msg = (
+                f"R_BUBBLE_MAX > BOX_LEN/3 ({r_max} > {so.box_len / 3:.1f}) "
+                "with a sharp-k filter can produce strange reionization "
+                "topologies"
+            )
+            if config.get("ignore_R_BUBBLE_MAX_error"):
+                warnings.warn(msg, stacklevel=2)
+            else:
+                raise ValueError(
+                    msg + "; set config['ignore_R_BUBBLE_MAX_error']=True to allow"
+                )
+        if (
+            ap.R_BUBBLE_MAX is not None
+            and ap.R_BUBBLE_MAX != 50
+            and ao.RECOMB_MODEL != "NONE"
+        ):
+            warnings.warn(
+                "R_BUBBLE_MAX != 50 with recombinations enabled is "
+                "non-standard (but allowed)",
+                stacklevel=2,
+            )
+        if ao.USE_MINI_HALOS and ap.M_TURN > 8:
+            warnings.warn(
+                "M_TURN > 8 with USE_MINI_HALOS=True is non-standard (but allowed)",
+                stacklevel=2,
+            )
+        if (
+            so.box_len / so.dim > 1.0
+            and mo.PERTURB_ALGORITHM != "LINEAR"
+        ):
+            warnings.warn(
+                "hires resolution is likely too low for accurate evolved "
+                f"density fields (cell {so.box_len / so.dim:.2f} Mpc); increase "
+                "DIM or use PERTURB_ALGORITHM='LINEAR'",
+                stacklevel=2,
+            )
+
     def evolve_input_structs(self, **kwargs) -> "InputParameters":
         """Return a copy with the given (flat) field overrides applied, mirroring
         the reference ``InputParameters.evolve_input_structs``."""
@@ -481,6 +587,19 @@ class InputParameters:
         }
         updates = {k: {} for k in groups}
         top = {}
+        # convenience reconciliation: switching to an Eulerian source model
+        # implies the halo-only filter flags go off unless explicitly given
+        # (the reference forces users to set them; here the common intent is
+        # honored and the cross-validators still reject explicit conflicts)
+        new_sm = kwargs.get("SOURCE_MODEL")
+        if new_sm is not None:
+            new_sm = str(new_sm).upper()
+            kwargs = dict(kwargs)
+            if new_sm in ("CONST-ION-EFF", "E-INTEGRAL"):
+                kwargs.setdefault("USE_EXP_FILTER", False)
+                kwargs.setdefault("LYA_MULTIPLE_SCATTERING", False)
+            if new_sm not in ("CHMF-SAMPLER", "DEXM-ESF"):
+                kwargs.setdefault("USE_UPPER_STELLAR_TURNOVER", False)
         for key, val in kwargs.items():
             placed = False
             for gname, g in groups.items():

@@ -407,7 +407,13 @@ def _ts_kernel(
             xray_sfr = xray_sh * (zfac * xr_fac)
             sfr_term_mini = sfr_mini_sh * zfac if use_minihalos_lagr else 0.0
         else:
-            delta0 = jnp.maximum(delta0, -1.0)  # clip pre-growth (fill_Rbox_table:619)
+            # aliasing clip at delta = -1 in PERTURBED-FIELD-redshift units,
+            # i.e. BEFORE the 1/D(z_pf) extrapolation factor (fill_Rbox_table:
+            # 619-625: `if (curr < min_value) curr = min_value;` precedes
+            # `curr *= const_factor`).  delta0 here is z=0-normalized, so the
+            # floor is -1/D(z_pf); clipping at -1 in these units would saturate
+            # every underdense cell and flatten the Lya/X-ray flux fluctuations.
+            delta0 = jnp.maximum(delta0, -inv_growth_pf)
             delta_zpp = delta0 * growth
 
             # conditional SFRD: log-Chebyshev Clenshaw (vector FMA) when the

@@ -252,12 +252,19 @@ def test_number_limited_sampler(inputs):
     assert np.isclose(len(res["halo_masses"]) / n_cond, n_exp, rtol=0.1)
 
 
-def test_partition_method_raises(inputs):
-    inp = inputs.evolve_input_structs(
-        SAMPLE_METHOD="BINARY-SPLIT", HII_DIM=8, DIM=16, BOX_LEN=24.0
-    )
-    with pytest.raises(NotImplementedError):
-        cfuncs.sample_halos_from_conditions(inp, 8.0, np.full(4, 0.5), seed=3)
+def test_sample_method_only_affects_progenitors(inputs):
+    """Grid conditions always sample number-limited regardless of
+    SAMPLE_METHOD (stoc_sample, Stochasticity.c:696-699): identical seeds give
+    identical grid samples across methods."""
+    outs = {}
+    for method in ("MASS-LIMITED", "BINARY-SPLIT"):
+        inp = inputs.evolve_input_structs(
+            SAMPLE_METHOD=method, HII_DIM=8, DIM=16, BOX_LEN=24.0
+        )
+        outs[method] = cfuncs.sample_halos_from_conditions(
+            inp, 8.0, np.full(8, 0.5), seed=3
+        )["halo_masses"]
+    np.testing.assert_array_equal(outs["MASS-LIMITED"], outs["BINARY-SPLIT"])
 
 
 def test_convert_halo_properties(inputs):
