@@ -161,9 +161,15 @@ def sample_halos_from_conditions(inputs: InputParameters, redshift, deltas,
     side = int(np.ceil(n ** (1 / 3)))
     grid = np.zeros(side**3)
     grid[:n] = deltas / growth
+    box_len = side * inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM
     inputs_grid = inputs.evolve_input_structs(
         HII_DIM=side, DIM=2 * side,
-        BOX_LEN=side * inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM,
+        BOX_LEN=box_len,
+        # the synthetic condition grid can be tiny; keep the (unused here)
+        # bubble radius inside it so cross-validation passes
+        R_BUBBLE_MAX=min(
+            inputs.astro_params.r_bubble_max(inputs.astro_options), box_len / 4
+        ),
     )
     pad_mask = np.arange(side**3) >= n  # padding cells sample nothing
     masses, pos, total = sample_halo_grid(
