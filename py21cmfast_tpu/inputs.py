@@ -531,11 +531,11 @@ class InputParameters:
             )
 
         r_max = ap.r_bubble_max(ao)
-        if r_max > so.box_len:
+        if so.HII_DIM > 1 and r_max > so.box_len:
             raise ValueError(
                 f"R_BUBBLE_MAX is larger than BOX_LEN ({r_max} > {so.box_len})"
             )
-        if ao.HII_FILTER == "SHARP-K" and r_max > so.box_len / 3:
+        if so.HII_DIM > 1 and ao.HII_FILTER == "SHARP-K" and r_max > so.box_len / 3:
             from ._cfg import config
 
             msg = (

@@ -985,13 +985,14 @@ def compute_spin_temperature(
             sc_pp = hmf.set_scaling_constants(zpp, inputs).without_esc()
             sigma_cond = float(sigma_table.sigma_of_lnm(np.log(ladder.m_max[i])))
             deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_SFRD)
-            for j, mt in enumerate(mturn_axis):
-                sfrd_tables_mini[i, j] = hmf.nion_conditional(
-                    sigma_table, hmf_i, ladder.growth[i],
-                    float(np.log(ladder.m_min[i])),
-                    float(np.log(ladder.m_max[i])), sigma_cond, deltas,
-                    10.0 ** mt, sc_pp, mini=True,
-                )
+            # single CMF evaluation matmul'd against the Mturn weight matrix
+            # (see hmf.build_nion_mturn_tables) — the round-1 host bottleneck
+            sfrd_tables_mini[i] = hmf.build_nion_mturn_tables(
+                sigma_table, hmf_i, ladder.growth[i],
+                float(np.log(ladder.m_min[i])),
+                float(np.log(ladder.m_max[i])), sigma_cond, deltas,
+                mturn_axis, sc_pp, mini=True,
+            )
             mean_sfrd_mini[i] = hmf.nion_general_mini(
                 sigma_table, cosmo, hmf_i, zpp,
                 float(np.log(ladder.m_min[i])), np.log(hmf.M_MAX_INTEGRAL),

@@ -10,7 +10,8 @@ from py21cmfast_tpu.models import hmf
 @pytest.fixture(scope="module")
 def inputs():
     return p21.create_params_from_template("minihalos", random_seed=3).evolve_input_structs(
-        HII_DIM=10, DIM=20, BOX_LEN=15.0, ZPRIME_STEP_FACTOR=1.35, Z_HEAT_MAX=20.0,
+        HII_DIM=10, DIM=20, BOX_LEN=15.0, R_BUBBLE_MAX=7.0,
+        ZPRIME_STEP_FACTOR=1.35, Z_HEAT_MAX=20.0,
         N_STEP_TS=15,
     ).with_logspaced_redshifts(8.5, 20.0)
 
