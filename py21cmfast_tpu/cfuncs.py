@@ -85,6 +85,7 @@ def evaluate_SFRD_cond(inputs: InputParameters, redshift, cond_mass, deltas):
     return hmf.nion_conditional(
         t, hmf_int, growth, np.log(m_min), float(np.log(cond_mass)), sig,
         np.asarray(deltas), sc.mturn_a_nofb, sc,
+        method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
     )
 
 
@@ -100,6 +101,7 @@ def evaluate_Nion_cond(inputs: InputParameters, redshift, cond_mass, deltas):
     return hmf.nion_conditional(
         t, hmf_int, growth, np.log(m_min), float(np.log(cond_mass)), sig,
         np.asarray(deltas), sc.mturn_a_nofb, sc,
+        method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
     )
 
 

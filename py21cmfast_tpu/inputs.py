@@ -529,6 +529,16 @@ class InputParameters:
                 "MF is used, mean-normalized to the chosen unconditional MF",
                 stacklevel=2,
             )
+        if (
+            "GAMMA-APPROX" in (ao.INTEGRATION_METHOD_ATOMIC, ao.INTEGRATION_METHOD_MINI)
+            and mo.HMF != "PS"
+        ):
+            # reference inputs.py:2053-2063: the gamma approximation is EPS-only
+            warnings.warn(
+                "INTEGRATION_METHOD GAMMA-APPROX uses the EPS conditional mass "
+                f"function even though HMF={mo.HMF}",
+                stacklevel=2,
+            )
 
         r_max = ap.r_bubble_max(ao)
         if so.HII_DIM > 1 and r_max > so.box_len:

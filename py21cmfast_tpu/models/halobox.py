@@ -452,6 +452,7 @@ def compute_fixed_halo_grid(
             hmf.nion_conditional(
                 sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell,
                 deltas, 10.0**mt, sc, ln_hi=ln_hi,
+                method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
             )
             for mt in mturn_axis
         ])
@@ -459,6 +460,7 @@ def compute_fixed_halo_grid(
             hmf.nion_conditional(
                 sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell,
                 deltas, 10.0**mt, sc_sfrd, ln_hi=ln_hi,
+                method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
             )
             for mt in mturn_axis
         ])
@@ -466,6 +468,7 @@ def compute_fixed_halo_grid(
             hmf.nion_conditional(
                 sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell,
                 deltas, 10.0**mt, sc, mini=True, ln_hi=ln_hi,
+                method=inputs.astro_options.INTEGRATION_METHOD_MINI,
             )
             for mt in mturn_axis
         ])
@@ -473,6 +476,7 @@ def compute_fixed_halo_grid(
             hmf.nion_conditional(
                 sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell,
                 deltas, 10.0**mt, sc_sfrd, mini=True, ln_hi=ln_hi,
+                method=inputs.astro_options.INTEGRATION_METHOD_MINI,
             )
             for mt in mturn_axis
         ])
@@ -488,10 +492,12 @@ def compute_fixed_halo_grid(
         nion_tab = hmf.nion_conditional(
             sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas,
             sc.mturn_a_nofb, sc, ln_hi=ln_hi,
+            method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
         )
         sfrd_tab = hmf.nion_conditional(
             sigma_table, hmf_int, growth, ln_mmin, ln_mcell, sigma_cell, deltas,
             sc_sfrd.mturn_a_nofb, sc_sfrd, ln_hi=ln_hi,
+            method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
         )
 
     prefactor_nion = cosmo.rho_crit * cosmo.OMb * sc.fstar_10 * sc.fesc_10 * sc.pop2_ion

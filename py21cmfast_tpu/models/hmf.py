@@ -479,17 +479,34 @@ def nhalo_general(table, cosmo, hmf, z, ln_lo, ln_hi):
     return integrate_umf(table, cosmo, hmf, z, ln_lo, ln_hi)
 
 
-def nion_general(table, cosmo, hmf, z, ln_lo, ln_hi, mturn_acg, sc: ScalingConstants):
+def nion_general(table, cosmo, hmf, z, ln_lo, ln_hi, mturn_acg, sc: ScalingConstants,
+                 method="GAUSS-LEGENDRE"):
     """Global ionizing emissivity integral (reference Nion_General, hmf.c:955-971).
 
     Returns the *relative* Nion (normalized s.t. scaling relations are 1 at the
     pivots); multiply by pop2_ion*fstar_10*fesc_10 for the efficiency."""
+    if method == "GAMMA-APPROX":
+        return mf_integral_approx(
+            table, float(cosmo.dicke(z)), ln_lo, ln_hi, 0.0, 0.0,
+            sc.alpha_star + sc.alpha_esc,
+            ln_mturn_l=np.log(np.maximum(np.asarray(mturn_acg, dtype=np.float64), 1.0)),
+            ln_pivot_norm=np.log(1e10),
+        )
     return integrate_umf(
         table, cosmo, hmf, z, ln_lo, ln_hi, weight_fn=lambda x: nion_weight(x, sc, mturn_acg)
     )
 
 
-def nion_general_mini(table, cosmo, hmf, z, ln_lo, ln_hi, mturn_mcg, sc: ScalingConstants):
+def nion_general_mini(table, cosmo, hmf, z, ln_lo, ln_hi, mturn_mcg, sc: ScalingConstants,
+                      method="GAUSS-LEGENDRE"):
+    if method == "GAMMA-APPROX":
+        return mf_integral_approx(
+            table, float(cosmo.dicke(z)), ln_lo, ln_hi, 0.0, 0.0,
+            sc.alpha_star_mini + sc.alpha_esc, mini=True,
+            ln_mturn_l=np.log(np.maximum(np.asarray(mturn_mcg, dtype=np.float64), 1.0)),
+            ln_mturn_u=np.log(sc.acg_thresh),
+            ln_pivot_norm=np.log(1e7),
+        )
     return integrate_umf(
         table, cosmo, hmf, z, ln_lo, ln_hi,
         weight_fn=lambda x: nion_weight_mini(x, sc, mturn_mcg),
@@ -510,7 +527,7 @@ def integrate_cmf(table, hmf, growthf, ln_lo, ln_hi, delta, sigma_cond, weight_f
 
 def nion_conditional(
     table, hmf, growthf, ln_lo, ln_m_cond, sigma_cond, delta, mturn_acg,
-    sc: ScalingConstants, mini=False, ln_hi=None,
+    sc: ScalingConstants, mini=False, ln_hi=None, method="GAUSS-LEGENDRE",
 ):
     """Conditional Nion per condition (reference Nion_ConditionalM, hmf.c:1106-1140),
     vectorized over `delta`.  Handles the delta > 0.99*delta_crit cap by returning
@@ -528,9 +545,19 @@ def nion_conditional(
     weight = (lambda x: nion_weight_mini(x, sc, mturn_acg)) if mini else (
         lambda x: nion_weight(x, sc, mturn_acg)
     )
-    out = integrate_cmf(
-        table, hmf, growthf, ln_lo, ln_hi, delta, sigma_cond, weight_fn=weight
-    )
+    if method == "GAMMA-APPROX":
+        index_base = (sc.alpha_star_mini if mini else sc.alpha_star) + sc.alpha_esc
+        out = mf_integral_approx(
+            table, growthf, ln_lo, ln_hi, delta, sigma_cond, index_base,
+            mini=mini,
+            ln_mturn_l=np.log(np.maximum(np.asarray(mturn_acg, dtype=np.float64), 1.0)),
+            ln_mturn_u=np.log(sc.acg_thresh) if mini else None,
+            ln_pivot_norm=np.log(1e7) if mini else np.log(1e10),
+        )
+    else:
+        out = integrate_cmf(
+            table, hmf, growthf, ln_lo, ln_hi, delta, sigma_cond, weight_fn=weight
+        )
     delta_crit = get_delta_crit(hmf, sigma_cond, growthf)
     cap_value = (
         weight(np.asarray([ln_m_cond]))[0] / np.exp(ln_m_cond)
@@ -539,6 +566,156 @@ def nion_conditional(
     )
     out = np.where(np.asarray(delta) > MAX_DELTAC_FRAC * delta_crit, cap_value, out)
     return np.where(ln_lo >= ln_hi, 0.0, out)
+
+
+# ---------------------------------------------------------------------------
+# GAMMA-APPROX integration (Munoz+22 2110.13919 app. B; reference
+# MFIntegral_Approx, hmf.c:728-895).  EPS-only: assumes sharp turnover cutoffs
+# and a triple power-law nu(M), so each mass segment integrates to an upper
+# incomplete gamma function.  Valid for single-power-law scaling relations
+# (Nhalo/Fcoll/Nion/Nion_MINI) — exactly the integrals the reference's
+# INTEGRATION_METHOD_ATOMIC/MINI flags gate.
+
+MPIVOT1 = 1.5e9  # nu(M) power-law pivot masses (hmf.c:97-101)
+MPIVOT2 = 5.3e5
+AINDEX1 = 9.0  # d lnM / d ln nu * 2 above MPIVOT1
+AINDEX2 = 13.6  # between MPIVOT2 and MPIVOT1
+AINDEX3 = 21.0  # below MPIVOT2
+
+
+def _upper_gamma(a: float, x):
+    """Unregularized upper incomplete gamma Γ(a, x), scalar `a` (any real,
+    gsl_sf_gamma_inc semantics: negative non-integer a allowed), array x>0."""
+    from scipy.special import gamma as _gammafn, gammaincc
+
+    x = np.asarray(x, dtype=np.float64)
+    n = 0
+    while a + n <= 0:
+        n += 1
+    out = gammaincc(a + n, x) * _gammafn(a + n)
+    # downward recurrence Γ(a,x) = (Γ(a+1,x) - x^a e^-x)/a
+    for k in range(n, 0, -1):
+        ak = a + k - 1
+        out = (out - x**ak * np.exp(-x)) / ak
+    return out
+
+
+def _fcoll_approx(nu_min, beta):
+    """∫_{νmin}^∞ ν^β e^{-ν/2} / sqrt(2πν) dν  (reference Fcollapprox,
+    hmf.c:732-737)."""
+    nu_min = np.maximum(np.asarray(nu_min, dtype=np.float64), 1e-14)
+    return _upper_gamma(0.5 + beta, 0.5 * nu_min) * 2.0 ** (0.5 + beta) / np.sqrt(2.0 * np.pi)
+
+
+def _fcoll_approx_condition(nu_min, nu_cond, beta):
+    """Tail above the effective condition pivot uses the β=0 (erfc) form
+    (reference Fcollapprox_condition, hmf.c:739-746)."""
+    return (
+        _fcoll_approx(nu_min, beta)
+        - _fcoll_approx(nu_cond, beta)
+        + _fcoll_approx(nu_cond, 0.0) * np.maximum(nu_cond, 1e-14) ** beta
+    )
+
+
+def mf_integral_approx(
+    table,
+    growthf,
+    ln_lo,
+    ln_hi,
+    delta,
+    sigma_cond,
+    index_base,
+    mini=False,
+    ln_mturn_l=None,
+    ln_mturn_u=None,
+    ln_pivot_norm=None,
+):
+    """Gamma-function EPS approximation to the conditional mass-weighted MF
+    integral with weight (M/M_norm)^index_base (reference MFIntegral_Approx,
+    hmf.c:752-895), vectorized over the condition arrays.
+
+    `index_base` is 0 for fcoll, -1 for nhalo, alpha_star(+_mini)+alpha_esc for
+    Nion; turnovers become sharp cutoffs (`ln_mturn_l` lower for Nion,
+    `ln_mturn_u` upper for the minihalo atomic threshold).  The unconditional
+    integral is the sigma_cond=0, delta=0 special case.
+
+    The reference normalizes the power-law weight at its own nu-pivots; since
+    every consumer mean-fixes the grids to a QAG global expectation
+    (IonisationBox.c:153 fix_mean, Ts ST_over_PS), only the delta-shape
+    matters there.  We additionally rescale by (MPIVOT1/M_norm)^index_base
+    (`ln_pivot_norm` = ln M_norm) so magnitudes are directly comparable with
+    the GAUSS-LEGENDRE path's pivot convention (1e10 ACG / 1e7 MCG)."""
+    d = np.asarray(delta, dtype=np.float64)
+    sc_ = np.asarray(sigma_cond, dtype=np.float64)
+    lo = np.broadcast_to(np.asarray(ln_lo, dtype=np.float64), np.broadcast_shapes(
+        np.shape(ln_lo), d.shape, sc_.shape, np.shape(ln_hi))).copy()
+    hi = np.broadcast_to(np.asarray(ln_hi, dtype=np.float64), lo.shape).copy()
+    d = np.broadcast_to(d, lo.shape)
+    sc_ = np.broadcast_to(sc_, lo.shape)
+    if ln_mturn_l is not None:
+        lo = np.maximum(lo, np.asarray(ln_mturn_l, dtype=np.float64))
+    if mini and ln_mturn_u is not None:
+        hi = np.minimum(hi, np.asarray(ln_mturn_u, dtype=np.float64))
+
+    sig_lo = table.sigma_of_lnm(lo)
+    sig_hi = table.sigma_of_lnm(hi)
+    sig_p1 = float(table.sigma_of_lnm(np.log(MPIVOT1)))
+    sig_p2 = float(table.sigma_of_lnm(np.log(MPIVOT2)))
+    empty = (lo >= hi) | (sig_lo <= sc_)
+
+    delta_arg = ((physconst.delta_c_sph - d) / growthf) ** 2
+    beta1 = index_base * AINDEX1 * 0.5
+    beta2 = index_base * AINDEX2 * 0.5
+    beta3 = index_base * AINDEX3 * 0.5
+
+    sc2 = sc_**2
+    tiny = 1e-20
+    # unconditional nu (no sigma_cond subtraction) for the weight normalization
+    nu_p1_umf = delta_arg / sig_p1**2
+    nu_p2_umf = delta_arg / sig_p2**2
+    nu_condition = delta_arg / np.maximum(sc2, tiny)
+    # conditional (tilde) nu at the pivots and limits
+    nu_p1 = delta_arg / np.maximum(sig_p1**2 - sc2, tiny)
+    nu_p2 = delta_arg / np.maximum(sig_p2**2 - sc2, tiny)
+    nu_lo = delta_arg / np.maximum(sig_lo**2 - sc2, tiny)
+    nu_hi = delta_arg / np.maximum(sig_hi**2 - sc2, tiny)
+
+    if mini:
+        # hmf.c:846-864: minihalos never reach the high-mass power law
+        res_below = (_fcoll_approx(nu_lo, beta3) - _fcoll_approx(nu_hi, beta3)) * nu_p2_umf ** (
+            -beta3
+        )
+        res_above = -_fcoll_approx(nu_hi, beta2) * nu_p1_umf ** (-beta2) + np.where(
+            nu_lo > nu_p2,
+            _fcoll_approx(nu_lo, beta2) * nu_p1_umf ** (-beta2),
+            _fcoll_approx(nu_p2, beta2) * nu_p1_umf ** (-beta2)
+            + (_fcoll_approx(nu_lo, beta3) - _fcoll_approx(nu_p2, beta3)) * nu_p2_umf ** (-beta3),
+        )
+        fcoll = np.where(nu_hi <= nu_p2, res_below, res_above)
+    else:
+        # hmf.c:866-889
+        res_mid = _fcoll_approx_condition(nu_p1, nu_condition, beta1) * nu_p1_umf ** (
+            -beta1
+        ) + np.where(
+            nu_lo > nu_p2,
+            (_fcoll_approx(nu_lo, beta2) - _fcoll_approx(nu_p1, beta2)) * nu_p1_umf ** (-beta2),
+            (_fcoll_approx(nu_p2, beta2) - _fcoll_approx(nu_p1, beta2)) * nu_p1_umf ** (-beta2)
+            + (_fcoll_approx(nu_lo, beta3) - _fcoll_approx(nu_p2, beta3)) * nu_p2_umf ** (-beta3),
+        )
+        fcoll = np.where(
+            nu_lo >= nu_condition,
+            _fcoll_approx(nu_lo, 0.0),
+            np.where(
+                nu_lo >= nu_p1,
+                _fcoll_approx_condition(nu_lo, nu_condition, beta1) * nu_p1_umf ** (-beta1),
+                res_mid,
+            ),
+        )
+
+    fcoll = np.where(empty, 0.0, np.maximum(fcoll, 1e-40))
+    if ln_pivot_norm is not None:
+        fcoll = fcoll * np.exp(index_base * (np.log(MPIVOT1) - ln_pivot_norm))
+    return fcoll
 
 
 def dfcoll_dz(cosmo, z, delta, sigma_min, sigma_cond, dz=0.001):
@@ -650,7 +827,7 @@ def build_inverse_cmf_table(
 
 def build_nion_mturn_tables(
     table, hmf_int, growthf, ln_mmin, ln_mcond, sigma_cond, deltas, log10_mturns,
-    sc: ScalingConstants, mini: bool = False,
+    sc: ScalingConstants, mini: bool = False, method: str = "GAUSS-LEGENDRE",
 ):
     """2D conditional-Nion table over (log10 Mturn, delta) for one condition
     mass (reference initialise_Nion_Conditional_spline with minihalos,
@@ -663,15 +840,25 @@ def build_nion_mturn_tables(
     runs)."""
     eff = hmf_int if hmf_int in (HMF_PS, HMF_ST, HMF_DELOS) else HMF_PS
     deltas = np.asarray(deltas, dtype=np.float64)
-    x, w = _gl_nodes(np.float64(ln_mmin), np.float64(ln_mcond))  # (n_gl,)
-    cmf = conditional_mf(
-        table, eff, growthf, x[None, :], deltas[:, None], sigma_cond
-    )  # (n_delta, n_gl)
-    base = (cmf * w).T  # (n_gl, n_delta)
     weight = nion_weight_mini if mini else nion_weight
     mturns = 10.0 ** np.asarray(log10_mturns, dtype=np.float64)
-    wts = np.stack([weight(x, sc, mt) for mt in mturns])  # (n_mt, n_gl)
-    out = wts @ base  # (n_mt, n_delta)
+    if method == "GAMMA-APPROX":
+        index_base = (sc.alpha_star_mini if mini else sc.alpha_star) + sc.alpha_esc
+        out = mf_integral_approx(
+            table, growthf, ln_mmin, ln_mcond,
+            deltas[None, :], sigma_cond, index_base, mini=mini,
+            ln_mturn_l=np.log(np.maximum(mturns, 1.0))[:, None],
+            ln_mturn_u=np.log(sc.acg_thresh) if mini else None,
+            ln_pivot_norm=np.log(1e7) if mini else np.log(1e10),
+        )  # (n_mt, n_delta)
+    else:
+        x, w = _gl_nodes(np.float64(ln_mmin), np.float64(ln_mcond))  # (n_gl,)
+        cmf = conditional_mf(
+            table, eff, growthf, x[None, :], deltas[:, None], sigma_cond
+        )  # (n_delta, n_gl)
+        base = (cmf * w).T  # (n_gl, n_delta)
+        wts = np.stack([weight(x, sc, mt) for mt in mturns])  # (n_mt, n_gl)
+        out = wts @ base  # (n_mt, n_delta)
 
     # collapsed-condition cap: one halo at the condition mass
     delta_crit = get_delta_crit(eff, sigma_cond, growthf)

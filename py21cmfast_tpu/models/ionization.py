@@ -151,6 +151,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
             deltas,
             sc.mturn_a_nofb,
             sc,
+            method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
         )
         d_hi[i] = dcrit * hmf.MAX_DELTAC_FRAC
     # cap value for delta > 0.99 delta_crit: one halo at the condition mass
@@ -1070,11 +1071,12 @@ def _build_nion_tables_mini(inputs, ladder, sigma_table, growth, m_min, sc, l10_
         deltas = np.linspace(d_lo[i], d_hi[i], N_DELTA_TABLE)
         ln_mc = float(np.log(ladder.M_max[i]))
         tables[i] = hmf.build_nion_mturn_tables(
-            sigma_table, hmf_int, growth, ln_m_min, ln_mc, sig, deltas, l10_mturns, sc
+            sigma_table, hmf_int, growth, ln_m_min, ln_mc, sig, deltas, l10_mturns, sc,
+            method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
         )
         tables_mini[i] = hmf.build_nion_mturn_tables(
             sigma_table, hmf_int, growth, ln_m_min, ln_mc, sig, deltas, l10_mturns,
-            sc, mini=True,
+            sc, mini=True, method=inputs.astro_options.INTEGRATION_METHOD_MINI,
         )
     caps = np.array(
         [hmf.nion_weight(np.array([np.log(m)]), sc, sc.mturn_a_nofb)[0] / m

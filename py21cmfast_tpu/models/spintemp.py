@@ -225,6 +225,7 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
             deltas,
             sc.mturn_a_nofb,
             sc,
+            method=inputs.astro_options.INTEGRATION_METHOD_ATOMIC,
         )
         caps[i] = (
             hmf.nion_weight(np.array([np.log(ladder.m_max[i])]), sc, sc.mturn_a_nofb)[0]
@@ -992,6 +993,7 @@ def compute_spin_temperature(
                 float(np.log(ladder.m_min[i])),
                 float(np.log(ladder.m_max[i])), sigma_cond, deltas,
                 mturn_axis, sc_pp, mini=True,
+                method=inputs.astro_options.INTEGRATION_METHOD_MINI,
             )
             mean_sfrd_mini[i] = hmf.nion_general_mini(
                 sigma_table, cosmo, hmf_i, zpp,

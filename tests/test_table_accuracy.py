@@ -102,3 +102,90 @@ def test_sigma_table_interp_accuracy(setup):
         direct = float(cosmo.sigma_z0(m))
         interp = float(table.sigma_of_lnm(np.log(m)))
         assert abs(interp / direct - 1) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# GAMMA-APPROX (reference MFIntegral_Approx, hmf.c:728-895)
+
+
+def test_gamma_approx_fcoll_matches_erfc(setup):
+    """index_base=0 (fcoll) reduces exactly to the closed-form conditional-EPS
+    erfc (Fcollapprox with beta=0 is erfc up to the gamma identity)."""
+    inputs, table, cosmo = setup
+    growth = float(cosmo.dicke(9.0))
+    m_cond = cosmo.RtoM(2.0)
+    sig_c = float(table.sigma_of_lnm(np.log(m_cond)))
+    deltas = np.linspace(-0.9, 1.4, 15)
+    approx = hmf.mf_integral_approx(
+        table, growth, np.log(1e5), np.log(m_cond), deltas, sig_c, 0.0
+    )
+    exact = hmf.fcoll_conditional_eps(
+        growth, deltas, float(table.sigma_of_lnm(np.log(1e5))), sig_c
+    )
+    np.testing.assert_allclose(approx, exact, rtol=5e-3)
+
+
+def test_gamma_approx_nion_tracks_gl(setup):
+    """GAMMA-APPROX conditional Nion follows the GL integral's delta-shape.
+
+    The reference never asserts GAMMA-APPROX == GL (it is an approximation;
+    test_c_interpolation_tables.py:881-886 only compares QAG vs GL); consumers
+    mean-fix the grids, so the requirement is a smooth O(10%)-level shape
+    agreement, not amplitude parity."""
+    inputs, table, cosmo = setup
+    growth = float(cosmo.dicke(9.0))
+    sc = hmf.set_scaling_constants(9.0, inputs)
+    m_cond = cosmo.RtoM(5.0)
+    sig_c = float(table.sigma_of_lnm(np.log(m_cond)))
+    deltas = np.linspace(-0.9, 1.4, 15)
+    for mini, mturn in ((False, 5e8), (True, 1e7)):
+        gl = hmf.nion_conditional(
+            table, hmf.HMF_PS, growth, np.log(1e5), np.log(m_cond), sig_c,
+            deltas, mturn, sc, mini=mini,
+        )
+        ga = hmf.nion_conditional(
+            table, hmf.HMF_PS, growth, np.log(1e5), np.log(m_cond), sig_c,
+            deltas, mturn, sc, mini=mini, method="GAMMA-APPROX",
+        )
+        assert np.all(ga > 0)
+        ratio = ga / np.maximum(gl, 1e-40)
+        # shape: after removing the mean offset (what mean-fix does), the
+        # residual delta-dependence stays within ~60%
+        norm = ratio / np.exp(np.mean(np.log(ratio)))
+        assert np.all((norm > 0.4) & (norm < 2.5)), norm
+        if not mini:
+            # ACG: monotone increasing in delta, like the GL integral (the MCG
+            # integral legitimately turns over at high delta: the sharp atomic
+            # upper cutoff removes mass that the GL exp turnover only damps)
+            assert np.all(np.diff(ga) > 0)
+
+
+def test_gamma_approx_mturn_table_monotone(setup):
+    """The factorized Mturn-axis builder supports GAMMA-APPROX: higher Mturn
+    cuts more of the integral."""
+    inputs, table, cosmo = setup
+    growth = float(cosmo.dicke(9.0))
+    sc = hmf.set_scaling_constants(9.0, inputs)
+    m_cond = cosmo.RtoM(5.0)
+    sig_c = float(table.sigma_of_lnm(np.log(m_cond)))
+    deltas = np.linspace(-0.5, 1.0, 8)
+    tab = hmf.build_nion_mturn_tables(
+        table, hmf.HMF_PS, growth, np.log(1e5), float(np.log(m_cond)), sig_c,
+        deltas, np.linspace(6.0, 9.0, 5), sc, method="GAMMA-APPROX",
+    )
+    assert tab.shape == (5, 8)
+    assert np.all(np.diff(tab, axis=0) <= 1e-12)  # decreasing with Mturn
+
+
+def test_gamma_approx_runs_in_coeval():
+    """INTEGRATION_METHOD flags actually switch code paths end-to-end."""
+    import py21cmfast_tpu as p21
+
+    inputs = p21.InputParameters.from_template(
+        "simple+size-tiny", random_seed=42,
+        INTEGRATION_METHOD_ATOMIC="GAMMA-APPROX",
+        INTEGRATION_METHOD_MINI="GAMMA-APPROX",
+    )
+    coeval = next(iter(p21.generate_coeval(inputs=inputs, out_redshifts=[8.0])))
+    xh = np.asarray(coeval.ionized_box.neutral_fraction)
+    assert np.isfinite(xh).all() and 0.0 <= xh.mean() <= 1.0
