@@ -113,6 +113,116 @@ def cmd_run_global(args):
     return ge
 
 
+def cmd_dev_feature(args):
+    """Compare a default lightcone against one with a new feature enabled
+    (reference cli.py `dev feature`, :723-920): slice plots, global-history
+    differences, and chunked power-spectrum ratio plots, saved with the
+    prefix `pr_feature` in --outdir."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from . import plotting
+    from .drivers.lightcone import run_lightcone
+    from .ops.ps import reference_binned_power
+
+    base_args = argparse.Namespace(**vars(args))
+    base_args.param = []
+    inputs_default = _build_inputs(base_args).with_logspaced_redshifts(
+        args.min_z - 0.1, args.max_z
+    )
+    inputs_new = _build_inputs(args).with_logspaced_redshifts(
+        args.min_z - 0.1, args.max_z
+    )
+    if not args.param:
+        print("warning: no --param overrides; 'new' run equals the default")
+
+    print("running default lightcone...")
+    lc_default = run_lightcone(inputs_default)
+    print("running lightcone with new feature...")
+    lc_new = run_lightcone(inputs_new)
+
+    outdir = args.outdir
+
+    # --- lightcone slices: default / new / difference ---
+    fig, ax = plt.subplots(3, 1, sharex=True, sharey=True, figsize=(12, 7))
+    plotting.lightcone_sliceplot(lc_default, ax=ax[0], fig=fig, vmin=-150, vmax=30)
+    ax[0].set_title("Default")
+    plotting.lightcone_sliceplot(lc_new, ax=ax[1], fig=fig, vmin=-150, vmax=30)
+    ax[1].set_title("New")
+    diff = lc_default.brightness_temp - lc_new.brightness_temp
+    ax[2].imshow(diff[0].T if diff.ndim == 3 else diff.T, aspect="auto", cmap="bwr")
+    ax[2].set_title("Difference")
+    fig.savefig(f"{outdir}/pr_feature_lightcone_2d_brightness_temp.pdf")
+    plt.close(fig)
+
+    # --- global history + rms differences ---
+    def rms(x, axis=None):
+        return np.sqrt(np.mean(np.asarray(x, dtype=np.float64) ** 2, axis=axis))
+
+    fig, ax = plt.subplots(4, 1, sharex=True, figsize=(8, 10),
+                           gridspec_kw={"hspace": 0.05})
+    zs_d, zs_n = lc_default.node_redshifts, lc_new.node_redshifts
+    for lc, zs, lbl in ((lc_default, zs_d, "Default"), (lc_new, zs_n, "New")):
+        ax[0].plot(zs, lc.global_quantities["neutral_fraction"], label=lbl)
+        ax[1].plot(zs, lc.global_quantities["brightness_temp"], label=lbl)
+    ax[0].set_ylabel(r"$x_{\rm HI}$")
+    ax[0].legend()
+    ax[1].set_ylabel("$T_b$ [mK]")
+    lcz = lc_default.lc_redshifts
+    rms_diff = rms(lc_default.brightness_temp, axis=(0, 1)) - rms(
+        lc_new.brightness_temp, axis=(0, 1)
+    )
+    ax[2].plot(lcz, rms_diff, label="RMS")
+    ax[2].plot(zs_d, np.asarray(lc_default.global_quantities["neutral_fraction"])
+               - np.asarray(lc_new.global_quantities["neutral_fraction"]), label="$x_{HI}$")
+    ax[2].plot(zs_d, np.asarray(lc_default.global_quantities["brightness_temp"])
+               - np.asarray(lc_new.global_quantities["brightness_temp"]), label="$T_b$")
+    ax[2].legend()
+    ax[2].set_ylabel("Differences")
+    diff_rms = rms(lc_default.brightness_temp - lc_new.brightness_temp, axis=(0, 1))
+    ax[3].plot(lcz, diff_rms)
+    ax[3].set_ylabel("RMS of Diff.")
+    ax[3].set_xlabel("z")
+    fig.savefig(f"{outdir}/pr_feature_history.pdf")
+    plt.close(fig)
+
+    # --- chunked power spectra: default vs new, with ratio ---
+    print("plotting power spectra history...")
+    n_chunks = args.n_ps_chunks
+    bt_d = np.asarray(lc_default.brightness_temp)
+    bt_n = np.asarray(lc_new.brightness_temp)
+    n_sl = min(bt_d.shape[-1], bt_n.shape[-1])
+    chunk = max(n_sl // n_chunks, 1)
+    cell = inputs_default.simulation_options.box_len / inputs_default.simulation_options.HII_DIM
+    fig, ax = plt.subplots(2, n_chunks, figsize=(4 * n_chunks, 6), sharex=True,
+                           squeeze=False, gridspec_kw={"hspace": 0.05})
+    for i in range(n_chunks):
+        sl = slice(i * chunk, min((i + 1) * chunk, n_sl))
+        box_lens = (
+            inputs_default.simulation_options.box_len,
+            inputs_default.simulation_options.box_len,
+            cell * (sl.stop - sl.start),
+        )
+        k_d, p_d, _ = reference_binned_power(bt_d[..., sl], box_lens)
+        k_n, p_n, _ = reference_binned_power(bt_n[..., sl], box_lens)
+        zmid = float(lcz[(sl.start + sl.stop) // 2])
+        ok = (p_d > 0) & (p_n > 0)
+        ax[0][i].loglog(k_d[ok], p_d[ok], label="Default")
+        ax[0][i].loglog(k_n[ok], p_n[ok], label="New")
+        ax[0][i].set_title(f"z ~ {zmid:.1f}")
+        ax[1][i].semilogx(k_d[ok], p_n[ok] / p_d[ok])
+        ax[1][i].axhline(1.0, color="k", lw=0.5)
+        ax[1][i].set_xlabel("k [1/Mpc]")
+    ax[0][0].set_ylabel("P(k)")
+    ax[0][0].legend()
+    ax[1][0].set_ylabel("New / Default")
+    fig.savefig(f"{outdir}/pr_feature_power_history.pdf")
+    plt.close(fig)
+    print(f"wrote pr_feature_*.pdf to {outdir}")
+
+
 def cmd_predict(args):
     inputs = _build_inputs(args)
     so = inputs.simulation_options
@@ -180,6 +290,19 @@ def main(argv=None):
     pr = sub.add_parser("predict", help="memory estimates")
     common(pr)
     pr.set_defaults(func=cmd_predict)
+
+    d = sub.add_parser("dev", help="developer utilities")
+    dsub = d.add_subparsers(dest="dcmd", required=True)
+    df = dsub.add_parser(
+        "feature",
+        help="compare a default lightcone against one with --param overrides",
+    )
+    common(df)
+    df.add_argument("--min-z", type=float, default=6.0)
+    df.add_argument("--max-z", type=float, default=30.0)
+    df.add_argument("--outdir", default=".")
+    df.add_argument("--n-ps-chunks", type=int, default=4)
+    df.set_defaults(func=cmd_dev_feature)
 
     args = p.parse_args(argv)
     args.func(args)

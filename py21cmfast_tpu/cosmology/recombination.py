@@ -135,7 +135,8 @@ class RecombinationHistory:
 
     def cT_approx(self, z):
         """Adiabatic-fluctuation index c_T (Munoz+23 2302.08506 approximation):
-        Tk fluctuations delta_Tk = cT * delta at z.  Fit used by the reference
-        when USE_TS_FLUCT=False (IonisationBox.c:203-205)."""
-        # smooth interpolation between tight coupling (2/3) and decoupled (~0.58 at z~20)
-        return 0.58 - 0.005 * (z - 10.0)
+        Tk fluctuations delta_Tk = cT * delta at z.  Used for the first-Ts-box
+        initialization (SpinTemperatureBox.c:900-903) and the non-Ts kinetic
+        temperature (IonisationBox.c:203-205)."""
+        # reference cT_approx (heating_helper_progs.c:197): 0.58 - 0.006 (z-10)
+        return 0.58 - 0.006 * (z - 10.0)

@@ -306,6 +306,7 @@ class AstroOptions:
     USE_MINI_HALOS: bool = field(default=False, converter=bool)
     USE_X_RAY_HEATING: bool = field(default=True, converter=bool)
     USE_CMB_HEATING: bool = field(default=True, converter=bool)
+    USE_ADIABATIC_FLUCTUATIONS: bool = field(default=True, converter=bool)
     USE_LYA_HEATING: bool = field(default=True, converter=bool)
     USE_TS_FLUCT: bool = field(default=False, converter=bool)
     USE_EXP_FILTER: bool = field(default=True, converter=bool)

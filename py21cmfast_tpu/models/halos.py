@@ -41,9 +41,18 @@ MAX_HALO_CELL = 100000  # reference Stochasticity.c:25
 # DexM: excursion-set halo finder on the hires grid
 
 
-@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "n_r", "optimize"))
-def _dexm_scan(d_k, barriers, radii, masses, loose_level, *, hi_shape, box_lens,
-               n_r, optimize=False):
+# Same-level dedup strata: candidates at one radius level are processed in
+# this many hash-assigned sub-batches so that overlapping same-mass
+# neighbours don't all become halos (the reference's raster-order first-come
+# dedup, HaloCatalog.c:227-260, is inherently sequential; random-stratum
+# sequencing reduces residual same-level over-merging by ~1/N_STRATA at the
+# cost of 2(N_STRATA-1) extra FFTs per level).
+DEXM_SAME_LEVEL_STRATA = 4
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "n_r", "optimize", "strata"))
+def _dexm_scan(d_k, barriers, radii, masses, loose_level, stratum_grid, *, hi_shape,
+               box_lens, n_r, optimize=False, strata=DEXM_SAME_LEVEL_STRATA):
     """Descending-R excursion set with FFT sphere-painted exclusion.
 
     Candidate centres must clear the reference's strict no-overlap test
@@ -52,9 +61,15 @@ def _dexm_scan(d_k, barriers, radii, masses, loose_level, *, hi_shape, box_lens,
     the in_halo mask.  With `optimize` (DEXM_OPTIMIZE), levels with
     M > DEXM_OPTIMIZE_MINMASS (`loose_level` True) use the looser
     centre-pixel-only test, mirroring the reference's forbidden-region
-    shortcut for large halos.  Same-level overlaps are not suppressed (the
-    reference's raster-order first-come dedup is inherently sequential);
-    this slightly over-merges same-mass neighbours.
+    shortcut for large halos.
+
+    Same-level overlaps are suppressed by sequencing the level's candidates
+    through `strata` hash-assigned sub-batches: each batch is tested against
+    the centres accepted in earlier batches at the strict conflict radius 2R
+    (a pixel of an equal-size halo lies within R of my centre iff the centres
+    are closer than 2R); the reference resolves these conflicts first-come in
+    raster order, here the winner within a conflict pair is the one hashed
+    into the earlier stratum — statistically equivalent for the halo field.
 
     Returns (halo_mass_grid, in_halo mask): halo_mass_grid holds the halo mass
     at each halo-centre cell (0 elsewhere)."""
@@ -74,7 +89,22 @@ def _dexm_scan(d_k, barriers, radii, masses, loose_level, *, hi_shape, box_lens,
         clear = occupied * sphere_vol_r < 0.5 * cell_vol
         if optimize:
             clear = jnp.where(loose, ~in_halo, clear)
-        new_centres = (delta_r > barrier) & (~in_halo) & clear
+        cand = (delta_r > barrier) & (~in_halo) & clear
+        if strata <= 1:
+            new_centres = cand
+        else:
+            # same-level conflict radius: 2R for the strict test, R when the
+            # loose (DEXM_OPTIMIZE) centre-pixel test applies
+            r_conf = jnp.where(loose, r, 2.0 * r) if optimize else 2.0 * r
+            vol_conf = 4.0 / 3.0 * np.pi * r_conf**3
+            new_centres = cand & (stratum_grid == 0)
+            for s in range(1, strata):
+                acc_k = fft.rfft3(new_centres.astype(jnp.float32))
+                n_near = fft.irfft3(
+                    filters.filter_kbox(acc_k, kmag, filters.TOPHAT, r_conf), hi_shape
+                )
+                ok = n_near * vol_conf < 0.5 * cell_vol
+                new_centres = new_centres | (cand & (stratum_grid == s) & ok)
         halo_grid = jnp.where(new_centres, mass, halo_grid)
         # paint exclusion spheres: convolve centres with a normalized tophat of
         # radius r; anything with weight above threshold lies inside some halo
@@ -118,12 +148,18 @@ def dexm_halo_grid(redshift: float, inputs: InputParameters, ics: InitialConditi
     d_k = jax.jit(fft.rfft3)(ics.hires_density)
     mo = inputs.matter_options
     loose = np.asarray(masses) > so.DEXM_OPTIMIZE_MINMASS
+    # deterministic per-cell stratum assignment for the same-level dedup
+    stratum_grid = jax.random.randint(
+        jax.random.PRNGKey(inputs.random_seed ^ 0x0DE3), so.hires_shape,
+        0, DEXM_SAME_LEVEL_STRATA, dtype=jnp.uint8,
+    )
     return _dexm_scan(
         d_k,
         jnp.asarray(barriers, jnp.float32),
         jnp.asarray(radii, jnp.float32),
         jnp.asarray(masses, jnp.float32),
         jnp.asarray(loose),
+        stratum_grid,
         hi_shape=so.hires_shape,
         box_lens=so.box_lens,
         n_r=len(radii),

@@ -715,7 +715,13 @@ def _init_first_ts(redshift, inputs, perturbed_field):
     rec = RecombinationHistory(cosmo)
     xe = float(rec.x_e(redshift))
     tk = float(rec.Tk(redshift))
-    ct_ad = float(rec.cT_approx(redshift))
+    # adiabatic Tk fluctuations at init, gated like the reference
+    # (init_first_Ts, SpinTemperatureBox.c:900-904)
+    ct_ad = (
+        float(rec.cT_approx(redshift))
+        if inputs.astro_options.USE_ADIABATIC_FLUCTUATIONS
+        else 0.0
+    )
     growth_zp = float(cosmo.dicke(redshift))
     inv_growth_pf = 1.0 / float(cosmo.dicke(float(perturbed_field.redshift)))
 

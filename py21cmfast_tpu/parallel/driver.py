@@ -13,9 +13,10 @@ distributed FFTs (parallel/pfft.py all_to_all transposes) and psum means
 (parallel/shardcall.py).  There is no duplicated physics.
 
 Scope: the Eulerian source models (CONST-ION-EFF / E-INTEGRAL) with
-USE_TS_FLUCT and RECOMB_MODEL=INHOMOGENEOUS; displacements are Zel'dovich.
+USE_TS_FLUCT and RECOMB_MODEL=INHOMOGENEOUS; displacements are Zel'dovich or
+2LPT (PERTURB_ALGORITHM, second-order field through the distributed FFT).
 The halo-sampler source models keep their single-device path (catalogs are
-host-compacted); 2LPT on-mesh is roadmapped.
+host-compacted).
 """
 
 from __future__ import annotations
@@ -71,8 +72,16 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     key = jax.random.PRNGKey(inputs.random_seed)
     white = jax.random.normal(key, hi_shape, dtype=jnp.float32)
     white = jax.device_put(white, NamedSharding(mesh, P(GRID_AXIS, None, None)))
-    ics_fn = build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens)
-    hires_density, lowres_density, psi_x, psi_y, psi_z = ics_fn(white, ln_k, sqrtp)
+    use_2lpt = mo.PERTURB_ALGORITHM == "2LPT"
+    ics_fn = build_sharded_lowres_ics(
+        mesh, hi_shape, lo_shape, box_lens, use_2lpt=use_2lpt
+    )
+    if use_2lpt:
+        (hires_density, lowres_density, psi_x, psi_y, psi_z,
+         psi2_x, psi2_y, psi2_z) = ics_fn(white, ln_k, sqrtp)
+    else:
+        hires_density, lowres_density, psi_x, psi_y, psi_z = ics_fn(white, ln_k, sqrtp)
+        psi2_x = psi2_y = psi2_z = jnp.zeros_like(psi_x)
 
     out_redshifts = [float(z) for z in np.atleast_1d(np.asarray(out_redshifts))]
     all_z = sorted(
@@ -85,9 +94,18 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     d_init = float(cosmo.dicke(so.INITIAL_REDSHIFT))
     max_fac = max(float(cosmo.dicke(z)) - d_init for z in all_z)
     max_psi = float(jnp.max(jnp.abs(psi_x)))
-    margin = int(np.ceil(max_psi * max_fac * lo_shape[0] / box_lens[0])) + 3
+    max_disp = max_psi * max_fac
+    if use_2lpt:
+        max_fac2 = max(
+            abs((-3.0 / 7.0) * (float(cosmo.dicke(z)) ** 2 - d_init**2))
+            for z in all_z
+        )
+        max_disp += float(jnp.max(jnp.abs(psi2_x))) * max_fac2
+    margin = int(np.ceil(max_disp * lo_shape[0] / box_lens[0])) + 3
     margin = min(margin, lo_shape[0] // n_shards)
-    perturb_fn = build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin)
+    perturb_fn = build_sharded_perturb(
+        mesh, hi_shape, lo_shape, box_lens, margin, use_2lpt=use_2lpt
+    )
     mass_factor = float(np.prod(lo_shape) / np.prod(hi_shape))
 
     prev_ion = None
@@ -98,10 +116,11 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     for z in all_z:
         D = float(cosmo.dicke(z))
         fac_za = D - d_init
+        fac_2lpt = (-3.0 / 7.0) * (D**2 - d_init**2)
         dDdt_over_D = float(cosmo.ddicke_dt(z) / D)
         delta, v_z = perturb_fn(
-            hires_density, psi_x, psi_y, psi_z,
-            jnp.float32(d_init), jnp.float32(fac_za),
+            hires_density, psi_x, psi_y, psi_z, psi2_x, psi2_y, psi2_z,
+            jnp.float32(d_init), jnp.float32(fac_za), jnp.float32(fac_2lpt),
             jnp.float32(mass_factor), jnp.float32(dDdt_over_D),
         )
         pf = PerturbedField(

@@ -28,14 +28,19 @@ from .mesh import GRID_AXIS
 __all__ = ["build_sharded_lowres_ics", "build_sharded_perturb"]
 
 
-def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens):
+def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False):
     """Sharded GRF + lowres density + lowres displacement fields.
 
     Returns jitted fn(white, ln_k, sqrtp) -> (hires_density, lowres_density,
-    psi_x, psi_y, psi_z), x-slab sharded (hires_density at the hires
-    resolution; the rest at lowres).  Matches the
+    psi_x, psi_y, psi_z[, psi2_x, psi2_y, psi2_z]), x-slab sharded
+    (hires_density at the hires resolution; the rest at lowres).  Matches the
     single-device `_filtered_sample` + `_gradient_field` pipeline: tophat
     filter at the lowres cell scale (when DIM != HII_DIM), strided subsample.
+
+    With `use_2lpt` the Scoccimarro 1998 App. D second-order displacement is
+    computed through the distributed FFT (models/ics.py:_compute_2lpt on-mesh:
+    six phi_ij transforms, the real-space source product, one forward FFT and
+    three gradients — all slab-local with all_to_all transposes in pfft).
     """
     from ..cosmology.constants import physconst
     from ..ops import filters
@@ -88,13 +93,49 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens):
         psi_x = grad(kx[:, None, None])
         psi_y = grad(ky[None, :, None])
         psi_z = grad(kz[None, None, :])
-        return hires_density, density, psi_x, psi_y, psi_z
+        if not use_2lpt:
+            return hires_density, density, psi_x, psi_y, psi_z
 
+        # --- 2LPT source: lap(phi2) = sum_{i<j} phi_ii phi_jj - phi_ij^2 ---
+        # phi_ij from the UNFILTERED field; the lowres-cell smoothing is
+        # applied to the final gradient (matching _compute_2lpt +
+        # _gradient_field ordering — filtering the input before squaring
+        # would drop the small-scale contribution to the 2LPT source)
+        kvecs = (kx[:, None, None], ky[None, :, None], kz[None, None, :])
+
+        def phi_ij(i, j):
+            return pfft.irfft3(
+                jnp.where(ksq > 0, -d_k * kvecs[i] * kvecs[j] / ksq_safe, 0.0), nz
+            )
+
+        p_xx = phi_ij(0, 0)
+        p_yy = phi_ij(1, 1)
+        p_zz = phi_ij(2, 2)
+        s2 = p_xx * p_yy + p_xx * p_zz + p_yy * p_zz
+        del p_xx, p_yy, p_zz
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            od = phi_ij(i, j)
+            s2 = s2 - od * od
+            del od
+        s2_k = pfft.rfft3(s2)
+
+        def grad2(kvec):
+            g = jnp.where(ksq > 0, s2_k * (1j * kvec / ksq_safe), 0.0)
+            if do_filter:
+                g = filters.filter_kbox(g, kmag, filters.TOPHAT, smooth_R)
+            return _subsample_local(pfft.irfft3(g, nz))
+
+        psi2_x = grad2(kvecs[0])
+        psi2_y = grad2(kvecs[1])
+        psi2_z = grad2(kvecs[2])
+        return hires_density, density, psi_x, psi_y, psi_z, psi2_x, psi2_y, psi2_z
+
+    n_out = 8 if use_2lpt else 5
     sharded = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(GRID_AXIS, None, None), P(), P()),
-        out_specs=(P(GRID_AXIS, None, None),) * 5,
+        out_specs=(P(GRID_AXIS, None, None),) * n_out,
     )
     return jax.jit(sharded)
 
@@ -127,13 +168,16 @@ def _cic_scatter_buffer(buf, px_b, py, pz, mass, n_buf_x, ny, nz):
     return buf
 
 
-def build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin: int):
-    """Return jitted fn(hires_density, psi_x, psi_y, psi_z, d_init, fac_za,
-    mass_factor, dDdt_over_D) -> (delta, v_z), x-slab sharded at lowres.
+def build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin: int,
+                          use_2lpt=False):
+    """Return jitted fn(hires_density, psi_x, psi_y, psi_z, [psi2_x, psi2_y,
+    psi2_z,] d_init, fac_za, [fac_2lpt,] mass_factor, dDdt_over_D) ->
+    (delta, v_z), x-slab sharded at lowres.
 
     `psi_*` are the lowres displacement slabs from build_sharded_lowres_ics;
     `margin` must bound the maximum |x displacement| in lowres cells (host
-    computes it from max|psi_x| * fac_za * HII/BOX + padding).
+    computes it from max|psi_x| * fac_za (+ |psi2_x| * fac_2lpt) * HII/BOX
+    + padding).
     """
     n_shards = mesh.devices.size
     nx_h, ny_h, nz_h = hi_shape
@@ -152,8 +196,8 @@ def build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin: int):
     map_y = ((np.arange(ny_h) * (ny_l / ny_h) + 0.5).astype(np.int32)) % ny_l
     map_z = ((np.arange(nz_h) * (nz_l / nz_h) + 0.5).astype(np.int32)) % nz_l
 
-    def per_shard(hires_density, psi_x, psi_y, psi_z, d_init, fac_za,
-                  mass_factor, dDdt_over_D):
+    def per_shard(hires_density, psi_x, psi_y, psi_z, psi2_x, psi2_y, psi2_z,
+                  d_init, fac_za, fac_2lpt, mass_factor, dDdt_over_D):
         sid = jax.lax.axis_index(GRID_AXIS)
         x0_glob_l = sid * nxl_loc  # this shard's first lowres row
         # extend the displacement slabs with 1 row from the right neighbor
@@ -191,6 +235,13 @@ def build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin: int):
             * jnp.float32(nz_l / nz_h)
             + g(vz) * sz
         )
+        if use_2lpt:
+            # SUBTRACTED, matching _displace_and_deposit (fac_2lpt carries the
+            # -3/7 D^2 factor; net displacement is +3/7 D^2 psi2)
+            disp2 = jnp.float32(fac_2lpt)
+            px = px - g(extend(psi2_x)) * (disp2 * nx_l / box_lens[0])
+            py = py - g(extend(psi2_y)) * (disp2 * ny_l / box_lens[1])
+            pz = pz - g(extend(psi2_z)) * (disp2 * nz_l / box_lens[2])
         mass = 1.0 + hires_density * d_init
         # into buffer coordinates (buffer row b == global row x0_glob_l - m + b)
         px_b = px - jnp.float32(x0_glob_l) + jnp.float32(margin)
@@ -228,11 +279,7 @@ def build_sharded_perturb(mesh, hi_shape, lo_shape, box_lens, margin: int):
         per_shard,
         mesh=mesh,
         in_specs=(
-            P(GRID_AXIS, None, None),
-            P(GRID_AXIS, None, None),
-            P(GRID_AXIS, None, None),
-            P(GRID_AXIS, None, None),
-            P(), P(), P(), P(),
+            (P(GRID_AXIS, None, None),) * 7 + (P(), P(), P(), P(), P())
         ),
         out_specs=(P(GRID_AXIS, None, None), P(GRID_AXIS, None, None)),
     )
