@@ -256,3 +256,19 @@ def test_sharded_coeval_2lpt_matches_single_device():
     inputs_za = inputs.evolve_input_structs(PERTURB_ALGORITHM="ZELDOVICH")
     o_za = run_sharded_coeval(inputs_za, [8.0], mesh=mesh)[0]
     assert np.sqrt(np.mean((d_sh - np.asarray(o_za.density)) ** 2)) > 1e-3
+
+
+def test_multihost_initialize_single_process():
+    """jax.distributed init path: single-process bring-up + idempotence.
+
+    (Real multi-host needs multiple processes; this validates the entry point
+    and that the sharded driver composes with an initialized runtime.)"""
+    from py21cmfast_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address="localhost:12987", num_processes=1, process_id=0
+    )
+    multihost.initialize()  # idempotent no-op
+    assert multihost.is_initialized()
+    pid, n = multihost.process_info()
+    assert (pid, n) == (0, 1)
