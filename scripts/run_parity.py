@@ -186,8 +186,15 @@ def run_one(name: str, seed: int):
     [cv] = run_coeval(inputs, [z])
     dt = time.time() - t0
 
-    box_lens = inputs.simulation_options.box_lens
+    # The reference gold spectra are computed with powerbox's SCALAR
+    # boxlength=BOX_LEN even for NON_CUBIC boxes
+    # (produce_integration_test_data.py:367-369) — i.e., the z axis is
+    # treated as BOX_LEN long regardless of NON_CUBIC_FACTOR.  Mimic that
+    # convention so noncubic configs compare apples-to-apples.
+    L = inputs.simulation_options.BOX_LEN
+    box_lens = (L, L, L)
     spectra = {}
+    means = {}
     for field, getter in FIELD_MAP.items():
         try:
             arr = getter(cv)
@@ -200,8 +207,9 @@ def run_one(name: str, seed: int):
             continue
         k, p, _ = reference_binned_power(arr, box_lens)
         spectra[field] = p
+        means[field] = float(arr.mean())
         spectra.setdefault("_k", k)
-    return spectra, dt
+    return spectra, means, dt
 
 
 def load_gold(name: str):
@@ -226,14 +234,17 @@ def load_gold(name: str):
 def run_config(name: str, seeds, verbose=True):
     gold = load_gold(name)
     runs = {}
+    mean_runs = {}
     times = []
     for seed in seeds:
         if verbose:
             print(f"[{name}] seed {seed} ...", flush=True)
-        spectra, dt = run_one(name, seed)
+        spectra, means, dt = run_one(name, seed)
         times.append(dt)
         for field, p in spectra.items():
             runs.setdefault(field, []).append(np.asarray(p))
+        for field, m in means.items():
+            mean_runs.setdefault(field, []).append(m)
         if verbose:
             print(f"[{name}] seed {seed} done in {dt:.1f}s", flush=True)
 
@@ -256,6 +267,8 @@ def run_config(name: str, seeds, verbose=True):
         }
         if gold is not None and field in gold:
             entry["gold"] = np.asarray(gold[field]).tolist()
+        if field in mean_runs:
+            entry["field_mean"] = mean_runs[field]
         result["fields"][field] = entry
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     with open(OUT_DIR / f"{name}.json", "w") as f:
