@@ -458,9 +458,15 @@ def sample_halo_grid(
     lagrangian_delta,  # lowres IC density (z=0 normalization), jnp (HII,)*3
     exclude_mask=None,
     key=None,
+    grid_shape=None,
+    origin_cells=(0, 0, 0),
 ):
     """Sample the conditional MF in every lowres cell between SAMPLER_MIN_MASS
-    and the cell mass (reference sample_halo_grids, Stochasticity.c:761-941)."""
+    and the cell mass (reference sample_halo_grids, Stochasticity.c:761-941).
+
+    `grid_shape`/`origin_cells` support slab-decomposed sampling (see
+    parallel/sampler.py): the delta array is a slab of the full grid starting
+    at `origin_cells`; returned positions are GLOBAL (origin offset applied)."""
     # Grid-based conditions ALWAYS sample number-limited, regardless of
     # SAMPLE_METHOD (reference stoc_sample, Stochasticity.c:696-699:
     # "We always use Number-Limited sampling for grid-based cases"); the
@@ -537,11 +543,13 @@ def sample_halo_grid(
         k_max=k_max,
         capacity=capacity,
         n_chunks=n_chunks,
-        lo_shape=so.lowres_shape,
+        lo_shape=grid_shape if grid_shape is not None else so.lowres_shape,
         number_limited=True,
     )
+    if any(origin_cells):
+        pos = pos + jnp.asarray(origin_cells, jnp.float32) * jnp.float32(cell_len)
     if collapsed.any():
-        lo_shape = so.lowres_shape
+        lo_shape = grid_shape if grid_shape is not None else so.lowres_shape
         ids = np.nonzero(collapsed)[0]
         iz = ids % lo_shape[2]
         iy = (ids // lo_shape[2]) % lo_shape[1]
@@ -549,6 +557,7 @@ def sample_halo_grid(
         rng = np.random.default_rng(inputs.random_seed + 29)
         cpos = (
             np.stack([ix, iy, iz], axis=-1).astype(np.float64)
+            + np.asarray(origin_cells, np.float64)
             + rng.uniform(size=(len(ids), 3))
         ) * cell_len
         masses = jnp.concatenate(

@@ -272,3 +272,63 @@ def test_multihost_initialize_single_process():
     assert multihost.is_initialized()
     pid, n = multihost.process_info()
     assert (pid, n) == (0, 1)
+
+
+def test_slab_parallel_sampler_statistics(mesh8):
+    """Slab-decomposed halo sampling reproduces the single-device statistics
+    (same CMF + stopping rules, independent streams per slab)."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models.halos import sample_halo_grid
+    from py21cmfast_tpu.parallel.sampler import sample_halo_grid_slabs
+
+    inputs = p21.InputParameters(random_seed=21).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
+        SAMPLER_MIN_MASS=5e9,
+    )
+    ics = p21.compute_initial_conditions(inputs)
+
+    m1, p1, t1 = sample_halo_grid(8.0, inputs, ics.lowres_density)
+    m1 = np.asarray(m1)
+    mass1 = m1.sum()
+    n1 = int(np.sum(m1 > 0))
+
+    cat = sample_halo_grid_slabs(8.0, inputs, ics.lowres_density)
+    m2 = np.asarray(cat.halo_masses)[: int(cat.n_halos)]
+    mass2 = m2.sum()
+    n2 = len(m2)
+
+    # Poisson-level agreement in count and total mass
+    assert abs(n2 - n1) < 6 * np.sqrt(max(n1, 1) + 1), (n1, n2)
+    assert abs(mass2 / mass1 - 1) < 0.2, (mass1, mass2)
+    # positions must span the full box (every slab contributed, global coords)
+    x = np.asarray(cat.halo_coords)[: int(cat.n_halos), 0]
+    assert x.min() < 6.0 and x.max() > 42.0
+
+
+def test_slab_parallel_progenitor_scroll(mesh8):
+    """Slab-partitioned progenitor sampling conserves the catalog's statistics
+    through one scroll step."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models.halos import determine_halo_catalog
+    from py21cmfast_tpu.parallel.sampler import (
+        determine_halo_catalog_slabs, sample_progenitors_slabs,
+    )
+
+    inputs = p21.InputParameters(random_seed=4).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
+        SAMPLER_MIN_MASS=5e9,
+    )
+    ics = p21.compute_initial_conditions(inputs)
+
+    cat0 = determine_halo_catalog_slabs(10.0, inputs, ics)
+    cat1 = determine_halo_catalog_slabs(9.0, inputs, ics, previous_catalog=cat0)
+
+    ref0 = determine_halo_catalog(10.0, inputs, ics)
+    ref1 = determine_halo_catalog(9.0, inputs, ics, previous_catalog=ref0)
+
+    m_slab = np.asarray(cat1.halo_masses)[: int(cat1.n_halos)]
+    m_ref = np.asarray(ref1.halo_masses)[: int(ref1.n_halos)]
+    assert m_slab.sum() > 0
+    assert abs(m_slab.sum() / m_ref.sum() - 1) < 0.2
+    n_s, n_r = len(m_slab), len(m_ref)
+    assert abs(n_s - n_r) < 6 * np.sqrt(max(n_r, 1) + 1), (n_s, n_r)
