@@ -30,6 +30,11 @@ __all__ = ["PhotonConsState", "PhotonConsFit", "setup_photon_cons",
 
 _state_cache: dict = {}
 
+# reference photoncons.c:66-72 (hard-coded there too)
+PHOTONCONS_START = 0.995  # xH where the correction begins
+PHOTONCONS_END = 0.3  # xH below which the exact correction is smoothed
+PHOTONCONS_ASYMPTOTE = 0.01  # final xH of the extrapolated correction
+
 
 @dataclasses.dataclass
 class PhotonConsState:
@@ -41,11 +46,15 @@ class PhotonConsState:
     deltaz_vals: np.ndarray
 
     def adjusted_redshift(self, z: float) -> float:
-        """z shifted by deltaz evaluated at the analytic xH(z)
-        (photoncons.c adjust_redshifts_for_photoncons)."""
+        """z shifted DOWN by deltaz = |z_cal - z_analytic| at the analytic
+        xH(z): the excursion set destroys photons, so the ionization box is
+        evaluated at a later effective time to compensate
+        (photoncons.c adjust_redshifts_for_photoncons:668-770)."""
         xh_ana = 1.0 - np.interp(z, self.z_analytic[::-1], self.Q_analytic[::-1])
+        if xh_ana > PHOTONCONS_START:
+            return float(z)  # ionization hasn't started: no shift (:695-699)
         dz = np.interp(xh_ana, self.deltaz_xh, self.deltaz_vals)
-        return float(max(z - dz, 2.0))
+        return float(max(z - dz, 0.0))
 
 
 def analytic_Q_history(inputs: InputParameters, z_min=4.0, z_max=None, n=512):
@@ -93,17 +102,19 @@ def analytic_Q_history(inputs: InputParameters, z_min=4.0, z_max=None, n=512):
     return zs, Q
 
 
-def calibrate_photon_cons(inputs: InputParameters, hii_dim_cal: int = 32):
-    """Run the constant-zeta calibration simulation and record global xH(z)
-    (wrapper/photoncons.py calibrate_photon_cons:270).  The calibration box can
-    be smaller than the run box (global xH converges quickly with volume)."""
-    from ..drivers.coeval import generate_coeval
+def calibrate_photon_cons(inputs: InputParameters, z_ana=None, q_ana=None):
+    """Run the calibration simulation and record global xH(z)
+    (wrapper/photoncons.py calibrate_photon_cons:270-395).
 
-    so = inputs.simulation_options
-    # same source prescription as the run (sampler -> its integral equivalent),
-    # with Ts/recombinations/minihalos off, so the calibration differs from the
-    # analytic Q(z) only by the excursion-set photon loss
-    # (reference wrapper/photoncons.py:297-316)
+    Matches the reference: SAME box size and seed as the run (the deltaz
+    correction is a same-realization comparison), Ts/recombinations/minihalos
+    off, sampler models swapped for their integral equivalent, and the
+    reference's adaptive z scroll — start at 1.1 * z(Q = 1 - PhotonConsStart),
+    step dz = 0.5 / 0.15 / 0.05 by neutral fraction, down to
+    PHOTONCONS_CALIBRATION_END."""
+    from ..drivers.single_field import compute_ionization_field, perturb_field
+    from ..models.ics import compute_initial_conditions
+
     source_map = {
         "E-INTEGRAL": "E-INTEGRAL",
         "L-INTEGRAL": "L-INTEGRAL",
@@ -121,22 +132,40 @@ def calibrate_photon_cons(inputs: InputParameters, hii_dim_cal: int = 32):
             15.0 if inputs.astro_options.uses_recombination
             else inputs.astro_params.R_BUBBLE_MAX
         ),
-        HII_DIM=min(hii_dim_cal, so.HII_DIM),
-        DIM=3 * min(hii_dim_cal, so.HII_DIM),
-        BOX_LEN=so.box_len * min(hii_dim_cal, so.HII_DIM) / so.HII_DIM,
-        ZPRIME_STEP_FACTOR=min(1.1, so.ZPRIME_STEP_FACTOR),
     )
-    # the calibration gets its own dense z grid reaching below the run's
-    # outputs (reference calibrates down to PHOTONCONS_CALIBRATION_END so the
-    # full xH(z) curve, through overlap, is measured)
-    z_end = max(float(inputs.astro_params.PHOTONCONS_CALIBRATION_END), 3.5)
-    z_top = max(float(so.Z_HEAT_MAX), 15.0)
-    cal_inputs = cal_inputs.with_logspaced_redshifts(z_end, z_top)
+
+    # starting redshift: ComputeZstart_PhotonCons (photoncons.c:312-333)
+    if z_ana is None or q_ana is None:
+        z_ana, q_ana = analytic_Q_history(inputs)
+    q_start = 1.0 - PHOTONCONS_START
+    if q_ana.max() > q_start:
+        # z_ana is descending, so Q(z) is ascending along the array
+        z = 1.1 * float(np.interp(q_start, q_ana, z_ana))
+    else:
+        z = 20.0  # reionization never starts; arbitrary high start (:318-321)
+
+    z_end = float(inputs.astro_params.PHOTONCONS_CALIBRATION_END)
+    ics = compute_initial_conditions(cal_inputs)
 
     zs, xh = [], []
-    for cv in generate_coeval(cal_inputs, out_redshifts=cal_inputs.node_redshifts):
-        zs.append(cv.redshift)
-        xh.append(float(np.mean(np.asarray(cv.neutral_fraction))))
+    ib = None
+    prev_z = None
+    while z > z_end:
+        pf = perturb_field(z, cal_inputs, ics)
+        ib = compute_ionization_field(
+            z, cal_inputs, pf, previous_ionized_box=ib, prev_redshift=prev_z
+        )
+        mean_nf = float(np.mean(np.asarray(ib.neutral_fraction)))
+        zs.append(z)
+        xh.append(mean_nf)
+        prev_z = z
+        # adaptive step (wrapper/photoncons.py:361-368)
+        if 0.3 < mean_nf <= 0.9:
+            z -= 0.15
+        elif 0.01 < mean_nf <= 0.3:
+            z -= 0.05
+        else:
+            z -= 0.5
     return np.array(zs), np.array(xh)
 
 
@@ -249,19 +278,41 @@ def setup_photon_cons(inputs: InputParameters):
         return state
 
     z_ana, q_ana = analytic_Q_history(inputs)
-    z_cal, xh_cal = calibrate_photon_cons(inputs)
+    z_cal, xh_cal = calibrate_photon_cons(inputs, z_ana, q_ana)
 
-    # deltaz(xH): z where the calibration reaches xH minus z where the analytic does
-    xh_grid = np.linspace(0.02, 0.98, 49)
+    # deltaz(xH) = |z_cal(xH) - z_analytic(xH)| on the reference's NF grid
+    # (determine_deltaz_for_photoncons, photoncons.c:335-470): 100 samples
+    # between NF_sample_min and PhotonConsStart; below PhotonConsEnd the exact
+    # correction is replaced by a smoothed extrapolation.
+    cal_min = float(np.min(xh_cal))
+    nf_min = PHOTONCONS_END if cal_min < PHOTONCONS_END else cal_min
+    xh_grid = np.linspace(nf_min, PHOTONCONS_START, 100)
     xh_ana = 1.0 - q_ana
     # both curves: xh decreasing with decreasing z; build monotone interpolants
     z_of_xh_ana = np.interp(xh_grid, xh_ana[::-1], z_ana[::-1])
     order = np.argsort(xh_cal)
     z_of_xh_cal = np.interp(xh_grid, xh_cal[order], z_cal[order])
-    deltaz = z_of_xh_cal - z_of_xh_ana
-    # smooth with a short moving average (reference smooths the curve too)
-    kernel = np.ones(7) / 7
-    deltaz_s = np.convolve(np.pad(deltaz, 3, mode="edge"), kernel, mode="valid")
+    deltaz = np.abs(z_of_xh_cal - z_of_xh_ana)
+    # reference smoothing_width=35 samples (:352)
+    w = 35
+    kernel = np.ones(w) / w
+    deltaz_s = np.convolve(np.pad(deltaz, w // 2, mode="edge"), kernel, mode="valid")
+    deltaz_s = deltaz_s[: len(xh_grid)]
+    if cal_min < PHOTONCONS_END:
+        # linear extrapolation of the correction below the threshold, ending
+        # at PhotonConsAsymptoteTo (:370-395): gradient from the first
+        # delta_NF=0.025 of the exact region
+        sel = xh_grid <= nf_min + 0.025
+        if sel.sum() >= 2:
+            grad = np.polyfit(xh_grid[sel], deltaz_s[sel], 1)[0]
+        else:
+            grad = 0.0
+        nf_lo = max(min(cal_min, nf_min), PHOTONCONS_ASYMPTOTE)
+        n_ext = max(int(99 * (nf_min - nf_lo) / (PHOTONCONS_START - nf_min)), 1)
+        xh_ext = np.linspace(nf_lo, nf_min, n_ext, endpoint=False)
+        dz_ext = deltaz_s[0] + grad * (xh_ext - xh_grid[0])
+        xh_grid = np.concatenate([xh_ext, xh_grid])
+        deltaz_s = np.concatenate([np.maximum(dz_ext, 0.0), deltaz_s])
 
     state = PhotonConsState(
         z_analytic=z_ana,
