@@ -33,7 +33,7 @@ from ..inputs import InputParameters
 from .mesh import GRID_AXIS, make_mesh
 from .perturb import build_sharded_lowres_ics, build_sharded_perturb
 
-__all__ = ["run_sharded_coeval"]
+__all__ = ["run_sharded_coeval", "run_sharded_lightcone"]
 
 
 def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
@@ -156,6 +156,92 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
                 brightness_temp=tb.brightness_temp,
                 spin_temperature=ts.spin_temperature if ts is not None else None,
                 cumulative_recombinations=ion.cumulative_recombinations,
+                # Coeval-shaped views for the Lightconer interface
+                perturbed_field=pf,
+                ionized_box=ion,
+                spin_temp=ts,
+                brightness_temperature=tb,
             ))
         prev_ion, prev_pf, prev_z = ion, pf, z
     return out
+
+
+def run_sharded_lightcone(
+    inputs: InputParameters,
+    mesh=None,
+    lightconer=None,
+    min_redshift: float | None = None,
+    max_redshift: float | None = None,
+    global_quantities=("brightness_temp", "neutral_fraction"),
+    include_dvdr_in_tau21: bool = True,
+    apply_rsds: bool = True,
+):
+    """Mesh-sharded lightcone: the node scroll runs entirely on the device
+    mesh (run_sharded_coeval), slice interpolation + global means run on the
+    sharded arrays (jnp ops propagate the sharding), and only the finished
+    (N, N, n_slices) lightcone slices come back to the host, where the same
+    dvdr/RSD finalization as the single-device driver applies."""
+    from ..drivers.lightcone import LightCone
+    from ..lightconers import RectilinearLightconer
+    from .. import rsds as rsds_module
+
+    if not inputs.node_redshifts:
+        if min_redshift is None:
+            raise ValueError("need node_redshifts or min_redshift")
+        inputs = inputs.with_logspaced_redshifts(
+            min_redshift, max_redshift or inputs.simulation_options.Z_HEAT_MAX
+        )
+    node_z = np.asarray(inputs.node_redshifts)  # descending
+    cosmo = inputs.cosmology
+
+    if lightconer is None:
+        lightconer = RectilinearLightconer.with_equal_cdist_slices(
+            min_redshift=float(node_z.min()),
+            max_redshift=float(node_z.max()),
+            inputs=inputs,
+            quantities=("brightness_temp",)
+            + (("tau_21",) if inputs.astro_options.USE_TS_FLUCT else ()),
+        )
+    quantities = set(lightconer.quantities)
+    if apply_rsds or include_dvdr_in_tau21:
+        quantities.add("velocity_z")
+    quantities = tuple(quantities)
+
+    n_slices = lightconer.n_slices
+    shape2d = inputs.simulation_options.lowres_shape[:2]
+    lightcones = {q: np.zeros(shape2d + (n_slices,), np.float32) for q in quantities}
+    gq = {q: [] for q in global_quantities}
+
+    nodes = run_sharded_coeval(inputs, list(node_z), mesh=mesh)
+    prev = None
+    for coeval in nodes:
+        for q in global_quantities:
+            gq[q].append(float(jnp.mean(lightconer.get_field(coeval, q, device=True))))
+        if prev is not None:
+            for q in quantities:
+                idx, vals = lightconer.make_lightcone_slices(
+                    coeval, prev, cosmo, inputs, q
+                )
+                if idx is not None:
+                    lightcones[q][:, :, idx] = vals
+        prev = coeval
+
+    lc_z = lightconer.lc_redshifts(cosmo)
+    if include_dvdr_in_tau21 and "brightness_temp" in lightcones:
+        tau = lightcones.get("tau_21") if inputs.astro_options.USE_TS_FLUCT else None
+        lightcones["brightness_temp"] = rsds_module.include_dvdr_in_tau21(
+            lightcones["brightness_temp"], lightcones["velocity_z"], lc_z,
+            inputs, periodic=False, tau_21=tau,
+        )
+    if apply_rsds and "brightness_temp" in lightcones:
+        lightcones["brightness_temp"] = rsds_module.apply_rsds(
+            lightcones["brightness_temp"], lightcones["velocity_z"], lc_z,
+            inputs, periodic=False,
+        )
+    return LightCone(
+        inputs=inputs,
+        lightconer=lightconer,
+        lightcones=lightcones,
+        global_quantities={q: np.array(v) for q, v in gq.items()},
+        node_redshifts=node_z,
+    )

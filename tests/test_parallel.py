@@ -332,3 +332,30 @@ def test_slab_parallel_progenitor_scroll(mesh8):
     assert abs(m_slab.sum() / m_ref.sum() - 1) < 0.2
     n_s, n_r = len(m_slab), len(m_ref)
     assert abs(n_s - n_r) < 6 * np.sqrt(max(n_r, 1) + 1), (n_s, n_r)
+
+
+def test_sharded_lightcone_matches_single_device(mesh8):
+    """run_sharded_lightcone assembles the same cone as the single-device
+    driver (same seed; float32-level tolerance)."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.drivers.lightcone import run_lightcone
+    from py21cmfast_tpu.parallel.driver import run_sharded_lightcone
+
+    inputs = p21.InputParameters(random_seed=13).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="E-INTEGRAL",
+        PERTURB_ALGORITHM="ZELDOVICH", ZPRIME_STEP_FACTOR=1.15,
+    ).with_logspaced_redshifts(8.0, 10.0)
+
+    lc_sh = run_sharded_lightcone(inputs, mesh=mesh8)
+    lc_1d = run_lightcone(inputs)
+
+    bt_sh = np.asarray(lc_sh.brightness_temp)
+    bt_1d = np.asarray(lc_1d.brightness_temp)
+    assert bt_sh.shape == bt_1d.shape
+    rms = np.sqrt(np.mean((bt_sh - bt_1d) ** 2))
+    assert rms < 0.05 * bt_1d.std() + 1e-3, (rms, bt_1d.std())
+    np.testing.assert_allclose(
+        lc_sh.global_quantities["neutral_fraction"],
+        lc_1d.global_quantities["neutral_fraction"],
+        atol=2e-3,
+    )
