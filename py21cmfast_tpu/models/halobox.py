@@ -511,6 +511,14 @@ def compute_fixed_halo_grid(
     prefactor_wsfr_mini = prefactor_sfr_mini * sc.fesc_7 * sc.pop3_ion
     prefactor_xray_mini = sc.l_x_mini * prefactor_sfr_mini * physconst.s_per_yr
 
+    # Lagrangian -> Eulerian density factor: when the expectation grids are
+    # velocity-displaced below, the Eulerian pile-up of sources comes from the
+    # CIC deposit itself and the reference deposits the BARE cell integrals
+    # (move_grid_galprops, map_mass.c:299-320 — no (1+delta)); only the
+    # undisplaced fallback needs the explicit (1+delta) conversion.
+    will_displace = (
+        ics is not None and ics.vx is not None and ics.vx.shape == so.lowres_shape
+    )
     if not use_mini:
         @jax.jit
         def kernel(delta_l):
@@ -522,7 +530,7 @@ def compute_fixed_halo_grid(
             sfrd_t = jnp.asarray(sfrd_tab, jnp.float32)
             nion = nion_t[i0] * (1 - fr) + nion_t[i0 + 1] * fr
             sfrd = sfrd_t[i0] * (1 - fr) + sfrd_t[i0 + 1] * fr
-            one_p = 1.0 + d
+            one_p = 1.0 if will_displace else 1.0 + d
             return nion * one_p, sfrd * one_p
 
         nion_rel, sfrd_rel = kernel(lagrangian_delta)
@@ -550,7 +558,7 @@ def compute_fixed_halo_grid(
                     v10 * (1 - fr) + v11 * fr
                 ) * fm
 
-            one_p = 1.0 + d
+            one_p = 1.0 if will_displace else 1.0 + d
             return (
                 gather2d(jnp.asarray(nion_tab, jnp.float32), mta) * one_p,
                 gather2d(jnp.asarray(sfrd_tab, jnp.float32), mta) * one_p,
@@ -599,7 +607,7 @@ def compute_fixed_halo_grid(
     # (reference move_grid_galprops, map_mass.c:215-344) when the ICs are
     # available; sub-grid sources then track the matter flow instead of
     # sitting at Lagrangian cell centres
-    if ics is not None and ics.vx is not None and ics.vx.shape == so.lowres_shape:
+    if will_displace:
         from .perturb import _displacement_factors
 
         _, _, fac_za, fac_2lpt = _displacement_factors(inputs, redshift)

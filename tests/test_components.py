@@ -326,25 +326,33 @@ def test_fixed_grids_velocity_displaced():
     fixed = halobox.compute_fixed_halo_grid(z, inp, ics.lowres_density)
     moved = halobox.compute_fixed_halo_grid(z, inp, ics.lowres_density, ics=ics)
 
-    # means preserved by the CIC transport
+    # The displaced deposit carries the BARE Lagrangian cell integrals (the
+    # Eulerian source pile-up comes from the CIC transport; reference
+    # move_grid_galprops deposits without (1+delta), map_mass.c:299-320),
+    # so its mean is the Lagrangian <fcoll> — BELOW the undisplaced grid's
+    # Eulerian <(1+delta) fcoll> mean, and preserved by the transport.
     m_fix = float(np.mean(np.asarray(fixed.halo_sfr)))
     m_mov = float(np.mean(np.asarray(moved.halo_sfr)))
-    assert abs(m_mov / m_fix - 1) < 1e-4
+    assert m_mov < m_fix
+    assert m_mov > 0.3 * m_fix
 
     d = np.asarray(pf.density, np.float64)
     box_lens = inp.simulation_options.box_lens
 
-    def cross(a):
+    def cross_corr(a):
+        """Normalized cross-correlation coefficient r(k) with the evolved
+        density (amplitude-free: the displaced grid intentionally has a
+        different normalization than the (1+delta)-weighted Lagrangian one)."""
         a = np.asarray(a, np.float64)
         _, p_sum, _ = reference_binned_power(
             (a / a.mean() - 1) + (d - d.mean()), box_lens
         )
         _, p_a, _ = reference_binned_power(a / a.mean() - 1, box_lens)
         _, p_d, _ = reference_binned_power(d - d.mean(), box_lens)
-        return (p_sum - p_a - p_d) / 2  # cross power
+        return (p_sum - p_a - p_d) / 2 / np.sqrt(p_a * p_d)
 
-    cx_moved = cross(moved.halo_sfr)
-    cx_fixed = cross(fixed.halo_sfr)
-    # small-scale (upper half of k bins) cross power strengthens
-    hi = slice(len(cx_moved) // 2, None)
-    assert np.sum(cx_moved[hi]) > np.sum(cx_fixed[hi]) * 1.02
+    r_moved = cross_corr(moved.halo_sfr)
+    r_fixed = cross_corr(fixed.halo_sfr)
+    # sources tracking the matter flow decorrelate less at small scales
+    hi = slice(len(r_moved) // 2, None)
+    assert np.mean(r_moved[hi]) > np.mean(r_fixed[hi])
