@@ -57,48 +57,55 @@ class PhotonConsState:
         return float(max(z - dz, 0.0))
 
 
-def analytic_Q_history(inputs: InputParameters, z_min=4.0, z_max=None, n=512):
-    """Photon-conserving global Q(z): dQ/dt = zeta dfcoll/dt - Q C alpha_B n_H
-    (InitialisePhotonCons, photoncons.c:75-293)."""
+def analytic_Q_history(inputs: InputParameters, z_min=None, z_max=None, n=512):
+    """Photon-conserving analytic filling factor Q(z)
+    (InitialisePhotonCons, photoncons.c:75-293).
+
+    The reference integrates dQ/da = dNion/da with RecombPhotonCons=False
+    (photoncons.c:66 — NO recombination sink by default), so the curve is
+    simply the cumulative ionizing photons per baryon:
+        Q(z) = ION_EFF * [Nion(z) - Nion(z_start ~ 32)].
+    For mass-dependent source models the reference integrates Nion_General
+    from M_TURN/50 with the M_TURN exponential turnover (:117-121, 169-172)
+    — NOT the run's minimum_source_mass/atomic threshold; for CONST-ION-EFF
+    it is HII_EFF_FACTOR * Fcoll over M > M(ION_Tvir_MIN)."""
     from .ionization import _get_sigma_table
 
     cosmo = inputs.cosmology
     ap = inputs.astro_params
     sigma_table = _get_sigma_table(inputs)
     hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
-    z_max = z_max or inputs.simulation_options.Z_HEAT_MAX
+    z_start = 1.0 / 0.03 - 1.0  # a_start = 0.03 (photoncons.c:95)
+    z_min = z_min if z_min is not None else float(ap.PHOTONCONS_CALIBRATION_END)
+    z_max = z_max or z_start
 
     zs = np.linspace(z_max, z_min, n)  # descending
     ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
 
-    # effective <nion>(z): use the model's own source prescription
     nion = np.empty(n)
-    for i, z in enumerate(zs):
-        sc = hmf.set_scaling_constants(float(z), inputs)
-        m_min = hmf.minimum_source_mass(float(z), inputs)
-        if inputs.matter_options.source_model_is_mass_dependent:
+    if inputs.matter_options.source_model_is_mass_dependent:
+        m_turn = 10.0 ** float(ap.M_TURN)
+        ln_mmin = np.log(m_turn / 50.0)
+        for i, z in enumerate(zs):
+            sc = hmf.set_scaling_constants(float(z), inputs)
             nion[i] = hmf.nion_general(
-                sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax,
-                sc.mturn_a_nofb, sc,
+                sigma_table, cosmo, hmf_int, float(z), ln_mmin, ln_mmax,
+                m_turn, sc,
             ) * sc.pop2_ion * sc.fstar_10 * sc.fesc_10
-        else:
+    else:
+        mu = 1.22 if ap.ION_Tvir_MIN < 9.99999e3 else 0.6
+        for i, z in enumerate(zs):
+            m_min = float(cosmo.TtoM(float(z), ap.ION_Tvir_MIN, mu))
             nion[i] = (
-                hmf.fcoll_general(sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax)
+                hmf.fcoll_general(
+                    sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax
+                )
                 * ap.HII_EFF_FACTOR
             )
 
-    no_h = cosmo.rho_crit_cgs * cosmo.OMb * (1 - cosmo.Y_He) / physconst.m_p
-    alpha_b = physconst.alpha_B_10k  # 1e4 K case-B
-    Q = np.zeros(n)
-    for i in range(1, n):
-        z0, z1 = zs[i - 1], zs[i]
-        dz = z0 - z1  # positive
-        dt = abs(float(cosmo.dtdz(0.5 * (z0 + z1)))) * dz
-        dnion_dt = (nion[i] - nion[i - 1]) / dt
-        n_h = no_h * (1 + 0.5 * (z0 + z1)) ** 3
-        t_rec_inv = ap.CLUMPING_FACTOR * alpha_b * n_h
-        Q[i] = Q[i - 1] + dt * (max(dnion_dt, 0.0) - Q[i - 1] * t_rec_inv)
-        Q[i] = np.clip(Q[i], 0.0, 1.0)
+    # monotone cumulative photons; NOT clipped at 1 (the reference keeps
+    # Q > 1 for photon-ratio diagnostics, photoncons.c:213-215)
+    Q = np.maximum.accumulate(nion - nion[0])
     return zs, Q
 
 

@@ -327,6 +327,14 @@ def write_report():
         "Configs whose gold used CLASS transfer functions (mini/sampler_mini) run",
         "with EH here — their density sector carries a known transfer systematic.",
         "",
+        "Known gaps (gated with regression ratchets in tests/test_reference_parity.py):",
+        "mini/sampler_mini inherit the CLASS-vs-EH transfer systematic (classy is",
+        "not available in this runtime); photoncons-z reproduces OUR analytic Q(z)",
+        "exactly but the gold's implied analytic is ~1.6-2x higher than an exact",
+        "evaluation of the reference's own cumulative-Nion formulas",
+        "(InitialisePhotonCons, photoncons.c:75-293) — unresolved without running",
+        "the reference's GSL binary.",
+        "",
         "`band_z` places the gold's band power inside our per-seed distribution",
         "(in log): |band_z| <~ 3 is indistinguishable from one of our own seeds.",
         "",
