@@ -256,25 +256,75 @@ def perturb_field(
         window_rows = slab_out + 2 * margin
         if window_rows >= out_shape[0] or out_shape[0] % n_slabs:
             window_rows, margin = None, 0
-        grid_1pd = _displace_and_deposit(
-            ics.hires_density,
-            (ics.vx, ics.vy, ics.vz),
-            (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
-            if mo.PERTURB_ALGORITHM == "2LPT"
-            else (ics.vx, ics.vy, ics.vz),
-            jnp.float32(D_init),
-            jnp.float32(fac_za),
-            jnp.float32(fac_2lpt),
-            hi_shape=hi_shape,
-            pt_shape=pt_shape,
-            out_shape=out_shape,
-            box_lens=box_lens,
-            use_2lpt=mo.PERTURB_ALGORITHM == "2LPT",
-            n_slabs=n_slabs,
-            window_rows=window_rows,
-            margin=margin,
+
+        ratio_int = hi_shape[0] // lo_shape[0]
+        use_swept = (
+            mo.PERTURB_DEPOSIT == "SWEPT"
+            and not mo.PERTURB_ON_HIGH_RES
+            and out_shape == lo_shape
+            and pt_shape == lo_shape
+            and all(h == ratio_int * l for h, l in zip(hi_shape, lo_shape))
         )
-        mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
+        if use_swept:
+            from ..ops.swept_deposit import deposit_plan, rolled_cic_deposit
+
+            # host-side displacement stats pick the dense support + outlier
+            # capacity (one small reduction + scalar fetch per node)
+            cells_per_mpc = tuple(out_shape[a] / box_lens[a] for a in range(3))
+
+            @jax.jit
+            def _disp_stats(vx, vy, vz, v2x, v2y, v2z):
+                tot = 0.0
+                for a, (v, v2) in enumerate(((vx, v2x), (vy, v2y), (vz, v2z))):
+                    da = jnp.abs(v * (fac_za * cells_per_mpc[a])
+                                 - (v2 * (fac_2lpt * cells_per_mpc[a])
+                                    if v2 is not None else 0.0))
+                    tot = jnp.maximum(tot, da)
+                return jnp.percentile(tot, 99.9), jnp.max(tot)
+
+            v2 = (
+                (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
+                if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None
+                else (None, None, None)
+            )
+            q999, dmax = _disp_stats(ics.vx, ics.vy, ics.vz, *v2)
+            support, cap = deposit_plan(
+                float(dmax), float(q999), int(np.prod(lo_shape))
+            )
+            grid_1pd = rolled_cic_deposit(
+                ics.hires_density,
+                (ics.vx, ics.vy, ics.vz),
+                v2 if v2[0] is not None else None,
+                jnp.float32(D_init),
+                jnp.float32(fac_za),
+                jnp.float32(fac_2lpt),
+                cells_per_mpc,
+                ratio=ratio_int,
+                support=support,
+                cap=cap,
+                lo_shape=lo_shape,
+            )
+            mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
+        else:
+            grid_1pd = _displace_and_deposit(
+                ics.hires_density,
+                (ics.vx, ics.vy, ics.vz),
+                (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
+                if mo.PERTURB_ALGORITHM == "2LPT"
+                else (ics.vx, ics.vy, ics.vz),
+                jnp.float32(D_init),
+                jnp.float32(fac_za),
+                jnp.float32(fac_2lpt),
+                hi_shape=hi_shape,
+                pt_shape=pt_shape,
+                out_shape=out_shape,
+                box_lens=box_lens,
+                use_2lpt=mo.PERTURB_ALGORITHM == "2LPT",
+                n_slabs=n_slabs,
+                window_rows=window_rows,
+                margin=margin,
+            )
+            mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
 
     if mo.PERTURB_ON_HIGH_RES and out_shape != lo_shape:
         # filter the hires (1+delta) field down to lowres before normalization

@@ -356,3 +356,62 @@ def test_fixed_grids_velocity_displaced():
     # sources tracking the matter flow decorrelate less at small scales
     hi = slice(len(r_moved) // 2, None)
     assert np.mean(r_moved[hi]) > np.mean(r_fixed[hi])
+
+
+def test_rolled_deposit_matches_scatter():
+    """The dense roll deposit (+ outlier scatter) is exact vs the per-particle
+    scatter path, including when the support forces many cells through the
+    fixed-capacity outlier branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from py21cmfast_tpu.ops import cic
+    from py21cmfast_tpu.ops.swept_deposit import rolled_cic_deposit
+
+    rng = np.random.default_rng(0)
+    nl, R = 8, 2
+    nh = nl * R
+    hires = rng.normal(0, 0.1, (nh, nh, nh)).astype(np.float32)
+    psi = tuple(
+        jnp.asarray(rng.normal(0, 1.0, (nl, nl, nl)).astype(np.float32))
+        for _ in range(3)
+    )
+    d2c = (nl / 48.0,) * 3
+    ii = np.arange(nh)
+    mapx = ((ii * (nl / nh) + 0.5).astype(int)) % nl
+    I, J, K = np.meshgrid(ii, ii, ii, indexing="ij")
+    MI, MJ, MK = mapx[I], mapx[J], mapx[K]
+    m = 1.0 + hires * 0.5
+
+    for fac, S in ((0.4, 1), (3.0, 1), (3.0, 2)):
+        out_roll = np.asarray(rolled_cic_deposit(
+            jnp.asarray(hires), psi, None,
+            jnp.float32(0.5), jnp.float32(fac), jnp.float32(0.0), d2c,
+            ratio=R, support=S, cap=128, lo_shape=(nl, nl, nl),
+        ))
+        px = I / R + np.asarray(psi[0])[MI, MJ, MK] * fac * d2c[0]
+        py = J / R + np.asarray(psi[1])[MI, MJ, MK] * fac * d2c[1]
+        pz = K / R + np.asarray(psi[2])[MI, MJ, MK] * fac * d2c[2]
+        acc = cic.cic_scatter_flat(
+            jnp.zeros(nl**3, jnp.float32),
+            jnp.asarray(px.ravel()), jnp.asarray(py.ravel()),
+            jnp.asarray(pz.ravel()), jnp.asarray(m.ravel()), (nl, nl, nl),
+        )
+        out_sc = np.asarray(acc).reshape(nl, nl, nl)
+        assert np.abs(out_roll - out_sc).max() < 1e-4, (fac, S)
+
+
+def test_perturb_deposit_modes_agree():
+    """PERTURB_DEPOSIT='SWEPT' reproduces the scatter deposit end-to-end."""
+    import py21cmfast_tpu as p21
+
+    pfs = {}
+    for dep in ("SCATTER", "SWEPT"):
+        inputs = p21.InputParameters(random_seed=4).evolve_input_structs(
+            HII_DIM=16, DIM=32, BOX_LEN=24.0, PERTURB_DEPOSIT=dep,
+        )
+        ics = p21.compute_initial_conditions(inputs)
+        pfs[dep] = p21.perturb_field(8.0, inputs, ics)
+    a = np.asarray(pfs["SCATTER"].density, np.float64)
+    b = np.asarray(pfs["SWEPT"].density, np.float64)
+    assert np.sqrt(np.mean((a - b) ** 2)) < 1e-4 * max(a.std(), 1e-3)

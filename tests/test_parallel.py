@@ -261,17 +261,25 @@ def test_sharded_coeval_2lpt_matches_single_device():
 def test_multihost_initialize_single_process():
     """jax.distributed init path: single-process bring-up + idempotence.
 
-    (Real multi-host needs multiple processes; this validates the entry point
-    and that the sharded driver composes with an initialized runtime.)"""
-    from py21cmfast_tpu.parallel import multihost
+    Runs in a subprocess because jax.distributed.initialize must precede any
+    backend use (test order in the suite would otherwise matter)."""
+    import subprocess
+    import sys
 
-    multihost.initialize(
-        coordinator_address="localhost:12987", num_processes=1, process_id=0
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from py21cmfast_tpu.parallel import multihost\n"
+        "multihost.initialize(coordinator_address='localhost:12987',"
+        " num_processes=1, process_id=0)\n"
+        "multihost.initialize()\n"
+        "assert multihost.is_initialized()\n"
+        "assert multihost.process_info() == (0, 1)\n"
+        "print('MULTIHOST_OK')\n"
     )
-    multihost.initialize()  # idempotent no-op
-    assert multihost.is_initialized()
-    pid, n = multihost.process_info()
-    assert (pid, n) == (0, 1)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert "MULTIHOST_OK" in out.stdout, out.stderr[-500:]
 
 
 def test_slab_parallel_sampler_statistics(mesh8):
