@@ -261,6 +261,72 @@ def _mcrit_lw_box(j21, vcb, zp, a_lw, beta_lw, a_vcb, beta_vcb, mturn_m_nofb):
     return jnp.log10(jnp.maximum(mcrit_nolw * f_lw * f_vcb, mturn_m_nofb))
 
 
+def _trilerp_pair(tbl_pair, t, s, g, t_ax, s_ax, g_ax):
+    """Trilinear interpolation of TWO stacked tables (nt, ns, ng, 2) with ONE
+    row-gather per cell: the 8 corners x 2 tables are pre-expanded into
+    contiguous 32-wide rows, so each cell fetches a single 128-byte row
+    instead of 16 scattered elements (grid-size gathers are row-cost-bound on
+    TPU; this was 3.3 s/node).  Chunked with lax.scan to keep the padded
+    (chunk, 32) gather buffer small.  Returns (out_a, out_b) on the grid."""
+    shape = t.shape
+    n = int(np.prod(shape))
+    nt, ns, ng, _ = tbl_pair.shape
+
+    # expanded corner table: E[i, j, k] = tbl[i:i+2, j:j+2, k:k+2, :].ravel()
+    E = jnp.stack(
+        [
+            tbl_pair[dt:nt - 1 + dt, ds:ns - 1 + ds, dg:ng - 1 + dg, p]
+            for dt in (0, 1)
+            for ds in (0, 1)
+            for dg in (0, 1)
+            for p in (0, 1)
+        ],
+        axis=-1,
+    ).reshape((nt - 1) * (ns - 1) * (ng - 1), 16)
+
+    def _idx(v, lo, hi, nn):
+        u = (jnp.clip(v, lo, hi) - lo) / (hi - lo) * (nn - 1)
+        i0 = jnp.clip(u.astype(jnp.int32), 0, nn - 2)
+        return i0.reshape(-1), (u.reshape(-1) - i0.reshape(-1))
+
+    it, ft = _idx(t, t_ax[0], t_ax[1], nt)
+    is_, fs = _idx(s, s_ax[0], s_ax[1], ns)
+    ig, fg = _idx(g, g_ax[0], g_ax[1], ng)
+    idx = (it * (ns - 1) + is_) * (ng - 1) + ig
+
+    n_chunks = max(1, n // (1 << 21))
+    while n % n_chunks:
+        n_chunks += 1
+    chunk = n // n_chunks
+
+    def step(carry, c):
+        out_a, out_b = carry
+        sl = c * chunk
+        ci = jax.lax.dynamic_slice_in_dim(idx, sl, chunk)
+        cft = jax.lax.dynamic_slice_in_dim(ft, sl, chunk)
+        cfs = jax.lax.dynamic_slice_in_dim(fs, sl, chunk)
+        cfg = jax.lax.dynamic_slice_in_dim(fg, sl, chunk)
+        rows = jnp.take(E, ci, axis=0, indices_are_sorted=False)  # (chunk, 16)
+        wt = jnp.stack([1.0 - cft, cft], axis=-1)
+        ws = jnp.stack([1.0 - cfs, cfs], axis=-1)
+        wg = jnp.stack([1.0 - cfg, cfg], axis=-1)
+        # row layout: ((dt*2 + ds)*2 + dg)*2 + p
+        w8 = (
+            wt[:, :, None, None] * ws[:, None, :, None] * wg[:, None, None, :]
+        ).reshape(chunk, 8)
+        va = jnp.sum(w8 * rows[:, 0::2], axis=-1)
+        vb = jnp.sum(w8 * rows[:, 1::2], axis=-1)
+        out_a = jax.lax.dynamic_update_slice_in_dim(out_a, va, sl, axis=0)
+        out_b = jax.lax.dynamic_update_slice_in_dim(out_b, vb, sl, axis=0)
+        return (out_a, out_b), None
+
+    zero = jnp.zeros(n, jnp.float32)
+    (out_a, out_b), _ = jax.lax.scan(
+        step, (zero, zero), jnp.arange(n_chunks)
+    )
+    return out_a.reshape(shape), out_b.reshape(shape)
+
+
 def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
     """Trilinear gather on a (nt, ns, ng) table with uniform axes given as
     (min, max) bounds (reference interpolate_heating_efficiencies,
@@ -615,8 +681,8 @@ def _ts_kernel(
         lg = jnp.log10(jnp.clip(taugp, 10.0**LOG_GP_MIN, 10.0**LOG_GP_MAX))
         t_ax = (LOG_T_MIN, LOG_T_MAX)
         g_ax = (LOG_GP_MIN, LOG_GP_MAX)
-        e_cont = _trilerp(lya_tbl_cont, lt, ls, lg, t_ax, t_ax, g_ax)
-        e_inj = _trilerp(lya_tbl_inj, lt, ls, lg, t_ax, t_ax, g_ax)
+        tbl_pair = jnp.stack([lya_tbl_cont, lya_tbl_inj], axis=-1)
+        e_cont, e_inj = _trilerp_pair(tbl_pair, lt, ls, lg, t_ax, t_ax, g_ax)
         dlya = -(dlya_cont * e_cont + dlya_inj * e_inj) / (
             (1.0 + delta) * (1.0 + prev_xe)
         )
