@@ -359,7 +359,7 @@ def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
         "const_model", "gops",
     ),
 )
-def _ts_kernel(
+def _ts_shell_scan(
     density_pf,
     prev_ts,
     prev_tk,
@@ -443,8 +443,26 @@ def _ts_kernel(
     if use_minihalos and not lagrangian:
         mc_k = gops.rfft3(mcrit_box)
 
+    # scan carry: only the accumulators the static config actually uses
+    # (each is a full grid; dropping the unused ones saves up to 2.1 GB at
+    # 512^3 and was the difference between fitting and OOM on one 16 GB chip)
+    carry_names = ["dxion", "dxlya", "dstarlya"]
+    if use_xray_heat:
+        carry_names.insert(0, "dxheat")
+    if use_lya_heat:
+        carry_names += ["dlya_cont", "dlya_inj"]
+    if use_minihalos or use_minihalos_lagr:
+        carry_names.append("dstarlw")
+
     def shell_step(carry, xs):
-        dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj = carry
+        acc = dict(zip(carry_names, carry))
+        dxheat = acc.get("dxheat", 0.0)
+        dxion = acc["dxion"]
+        dxlya = acc["dxlya"]
+        dstarlya = acc["dstarlya"]
+        dstarlw = acc.get("dstarlw", 0.0)
+        dlya_cont = acc.get("dlya_cont", 0.0)
+        dlya_inj = acc.get("dlya_inj", 0.0)
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, table_fc, cap,
          cheb_c, cheb_e,
          msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, sfr_mini_sh,
@@ -581,12 +599,16 @@ def _ts_kernel(
         if use_minihalos or use_minihalos_lagr:
             dstarlya = dstarlya + sfr_term_mini * p_star_mini
             dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
-        return (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), None
+        acc = dict(
+            dxheat=dxheat, dxion=dxion, dxlya=dxlya, dstarlya=dstarlya,
+            dstarlw=dstarlw, dlya_cont=dlya_cont, dlya_inj=dlya_inj,
+        )
+        return tuple(acc[n] for n in carry_names), None
 
     zero = jnp.zeros_like(density_pf)  # local shard shape under shard_map
-    (dxheat, dxion, dxlya, dstarlya, dstarlw, dlya_cont, dlya_inj), _ = jax.lax.scan(
+    carry_out, _ = jax.lax.scan(
         shell_step,
-        (zero, zero, zero, zero, zero, zero, zero),
+        tuple(zero for _ in carry_names),
         (
             r_values, do_filter, zpp_growth, z_edge_factor, xray_r_factor,
             sfrd_dlo, sfrd_dhi, sfrd_tables, sfrd_tables_fc, sfrd_caps,
@@ -598,7 +620,59 @@ def _ts_kernel(
             pref_lya_cont_mini, pref_lya_inj_mini, pref_lw, pref_lw_mini,
         ),
     )
+    # return ONLY the accumulators this static config uses (zero-padding the
+    # absent ones would materialize full grids; the cell update re-derives
+    # the same name list from the same flags)
+    return carry_out
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "shape", "box_lens", "use_xray_heat", "use_cmb_heat",
+        "use_lya_heat", "use_minihalos", "use_minihalos_lagr", "gops",
+    ),
+)
+def _ts_cell_update(
+    density_pf,
+    prev_ts,
+    prev_tk,
+    prev_xe,
+    accs,
+    lya_tbl_cont,
+    lya_tbl_inj,
+    gp_norm,
+    inv_growth_pf,
+    consts,
+    kappa_knots,
+    *,
+    shape,
+    box_lens,
+    use_xray_heat,
+    use_cmb_heat,
+    use_lya_heat,
+    use_minihalos,
+    use_minihalos_lagr,
+    gops: GridOps = SINGLE,
+):
+    """Per-cell x_e/Tk ODE + WF spin-temperature solve (get_Ts_fast,
+    SpinTemperatureBox.c:1210-1384).  Split from the shell scan into its own
+    jit so the two stages' HBM peaks don't stack (512^3 single-chip)."""
+    carry_names = ["dxion", "dxlya", "dstarlya"]
+    if use_xray_heat:
+        carry_names.insert(0, "dxheat")
+    if use_lya_heat:
+        carry_names += ["dlya_cont", "dlya_inj"]
+    if use_minihalos or use_minihalos_lagr:
+        carry_names.append("dstarlw")
+    acc = dict(zip(carry_names, accs))
+    dxheat = acc.get("dxheat", 0.0)
+    dxion = acc["dxion"]
+    dxlya = acc["dxlya"]
+    dstarlya = acc["dstarlya"]
+    dstarlw = acc.get("dstarlw", None)
+    dlya_cont = acc.get("dlya_cont", 0.0)
+    dlya_inj = acc.get("dlya_inj", 0.0)
     # ------------------------------------------------------- per-cell update
     # NOTE: the reference's unit prefactors (xray_prefactor, volunit_inv,
     # lya_star_prefactor...) span 1e-64..1e66 individually; they are folded
@@ -835,7 +909,11 @@ def _init_first_ts(redshift, inputs, perturbed_field):
         spin_temperature=ts.astype(jnp.float32),
         xray_ionised_fraction=jnp.full_like(dens, xe),
         kinetic_temp_neutral=tk_box.astype(jnp.float32),
-        J_21_LW=jnp.zeros_like(dens),
+        J_21_LW=(
+            jnp.zeros_like(dens)
+            if inputs.astro_options.USE_MINI_HALOS
+            else None
+        ),
     )
     return box, box
 
@@ -1288,20 +1366,49 @@ def compute_spin_temperature(
         use_cheby=use_cheby,
         const_model=const_model,
     )
+    _upd_static = dict(
+        shape=shape,
+        box_lens=_ts_static["box_lens"],
+        use_xray_heat=_ts_static["use_xray_heat"],
+        use_cmb_heat=_ts_static["use_cmb_heat"],
+        use_lya_heat=_ts_static["use_lya_heat"],
+        use_minihalos=_ts_static["use_minihalos"],
+        use_minihalos_lagr=_ts_static["use_minihalos_lagr"],
+    )
     if mesh is not None:
         from ..parallel.shardcall import sharded_kernel_call
 
+        accs = sharded_kernel_call(mesh, _ts_shell_scan, _ts_args, _ts_static, shape)
+        _upd_args = (
+            perturbed_field.density,
+            prev_state.spin_temperature,
+            prev_state.kinetic_temp_neutral,
+            prev_state.xray_ionised_fraction,
+            accs,
+            lya_tbl_cont, lya_tbl_inj, jnp.float32(gp_norm),
+            jnp.float32(inv_growth_pf), consts, kappa_knots,
+        )
         ts, tk, x_e, j_lya, j_lw = sharded_kernel_call(
-            mesh, _ts_kernel, _ts_args, _ts_static, shape)
+            mesh, _ts_cell_update, _upd_args, _upd_static, shape)
     else:
-        ts, tk, x_e, j_lya, j_lw = _ts_kernel(*_ts_args, **_ts_static)
+        accs = _ts_shell_scan(*_ts_args, **_ts_static)
+        ts, tk, x_e, j_lya, j_lw = _ts_cell_update(
+            perturbed_field.density,
+            prev_state.spin_temperature,
+            prev_state.kinetic_temp_neutral,
+            prev_state.xray_ionised_fraction,
+            accs,
+            lya_tbl_cont, lya_tbl_inj, jnp.float32(gp_norm),
+            jnp.float32(inv_growth_pf), consts, kappa_knots,
+            **_upd_static,
+        )
 
     box = TsBox(
         redshift=np.float32(redshift),
         spin_temperature=ts,
         xray_ionised_fraction=x_e,
         kinetic_temp_neutral=tk,
-        J_21_LW=j_lw,  # LW prefactors folded on host; zeros without minihalos
+        J_21_LW=j_lw,  # LW prefactors folded on host; None without minihalos
         J_Lya=j_lya,
     )
     return box, box

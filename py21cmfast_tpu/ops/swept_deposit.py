@@ -107,13 +107,14 @@ def rolled_cic_deposit(
     for c3 in chans:
         rx, ry, rz = c3
         m_chan[c3] = m_h[rx::R, ry::R, rz::R]
-    f = {}
-    for c3 in chans:
+
+    def chan_frac(c3, a):
+        """Axis-a target fraction of channel c3 (e-shifted displacement read
+        + sub-cell offset), built transiently — nothing retains the 8x3
+        fraction fields (at 512^3 they would be ~13 GB)."""
         shift = tuple(-chan(r) for r in c3)
-        f[c3] = tuple(
-            jnp.roll(d[a], shift, axis=(0, 1, 2)) + (c3[a] / R)
-            for a in range(3)
-        )
+        da = jnp.roll(d[a], shift, axis=(0, 1, 2)) if any(shift) else d[a]
+        return da + (c3[a] / R)
 
     # outlier mask: a cell is scattered classically if ANY of its channel
     # fractions falls outside the dense support [-S, S+1)
@@ -121,7 +122,8 @@ def rolled_cic_deposit(
         bad = jnp.zeros(lo_shape, bool)
         for c3 in chans:
             for a in range(3):
-                bad = bad | (f[c3][a] < -S) | (f[c3][a] >= S + 1)
+                fv = chan_frac(c3, a)
+                bad = bad | (fv < -S) | (fv >= S + 1)
         ok = ~bad
     else:
         ok = None
@@ -175,9 +177,13 @@ def rolled_cic_deposit(
         acc = out.reshape(-1)
         for c3 in chans:
             rx, ry, rz = c3
-            px = cx.astype(jnp.float32) + f[c3][0][cx, cy, cz]
-            py = cy.astype(jnp.float32) + f[c3][1][cx, cy, cz]
-            pz = cz.astype(jnp.float32) + f[c3][2][cx, cy, cz]
+            # displacement read at the e-shifted cell, gathered only at the
+            # compacted outlier cells
+            ex, ey, ez = (chan(r) for r in c3)
+            gx, gy, gz = (cx + ex) % nx, (cy + ey) % ny, (cz + ez) % nz
+            px = cx.astype(jnp.float32) + d[0][gx, gy, gz] + (c3[0] / R)
+            py = cy.astype(jnp.float32) + d[1][gx, gy, gz] + (c3[1] / R)
+            pz = cz.astype(jnp.float32) + d[2][gx, gy, gz] + (c3[2] / R)
             mass = jnp.where(valid, m_chan[c3][cx, cy, cz], 0.0)
             acc = cic.cic_scatter_flat(acc, px, py, pz, mass, lo_shape)
         out = acc.reshape(lo_shape)

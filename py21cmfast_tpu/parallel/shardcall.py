@@ -40,7 +40,11 @@ def sharded_kernel_call(mesh, kernel, args, static_kwargs, lo_shape):
     NamedSharding; everything else is replicated).  Returns the kernel's
     outputs with grid outputs x-slab sharded."""
     gops = GridOps(mesh.devices.size)
-    in_specs = tuple(_spec_for(np.shape(a), lo_shape) for a in args)
+    # per-leaf specs so nested containers (e.g. the accumulator tuple passed
+    # between the two Ts kernels) shard their grid leaves individually
+    in_specs = jax.tree_util.tree_map(
+        lambda a: _spec_for(np.shape(a), lo_shape), tuple(args)
+    )
     out_sd = jax.eval_shape(lambda *a: kernel(*a, **static_kwargs), *args)
     out_specs = jax.tree_util.tree_map(
         lambda s: _spec_for(s.shape, lo_shape), out_sd

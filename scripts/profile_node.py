@@ -51,7 +51,7 @@ def main():
         HII_DIM=HII, DIM=DIM, BOX_LEN=1.5 * HII,
         SOURCE_MODEL="E-INTEGRAL", USE_TS_FLUCT=True,
         RECOMB_MODEL="inhomogeneous", R_BUBBLE_MAX=50.0,
-        ZPRIME_STEP_FACTOR=1.02,
+        ZPRIME_STEP_FACTOR=1.02, MINIMIZE_MEMORY=(HII >= 512),
     ).with_logspaced_redshifts(Z, Z * 1.2)
 
     t0 = time.time()
