@@ -138,7 +138,7 @@ class MatterOptions:
     V_CB_MODEL: str = _choice(VCB_MODELS, "NONE")
     PERTURB_ON_HIGH_RES: bool = field(default=False, converter=bool)
     # CIC deposit implementation: "SWEPT" = scatter-free axis transports
-    # (ops/swept_deposit.py; ~20x faster on TPU, exact positions with
+    # (ops/deposit.py; ~20x faster on TPU, exact positions with
     # operator-split lateral-displacement merging), "SCATTER" = per-particle
     # scatter-adds (bitwise reference semantics).  SWEPT falls back to
     # SCATTER automatically when its layout requirements don't hold

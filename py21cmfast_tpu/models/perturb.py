@@ -266,32 +266,38 @@ def perturb_field(
             and all(h == ratio_int * l for h, l in zip(hi_shape, lo_shape))
         )
         if use_swept:
-            from ..ops.swept_deposit import deposit_plan, rolled_cic_deposit
+            from ..ops.deposit import (
+                deposit_plan,
+                displacement_stats,
+                factored_cic_deposit,
+            )
 
             # host-side displacement stats pick the dense support + outlier
             # capacity (one small reduction + scalar fetch per node)
             cells_per_mpc = tuple(out_shape[a] / box_lens[a] for a in range(3))
 
             @jax.jit
-            def _disp_stats(vx, vy, vz, v2x, v2y, v2z):
-                tot = 0.0
+            def _d_fields(vx, vy, vz, v2x, v2y, v2z):
+                out = []
                 for a, (v, v2) in enumerate(((vx, v2x), (vy, v2y), (vz, v2z))):
-                    da = jnp.abs(v * (fac_za * cells_per_mpc[a])
-                                 - (v2 * (fac_2lpt * cells_per_mpc[a])
-                                    if v2 is not None else 0.0))
-                    tot = jnp.maximum(tot, da)
-                return jnp.percentile(tot, 99.9), jnp.max(tot)
+                    da = v * (fac_za * cells_per_mpc[a])
+                    if v2 is not None:
+                        da = da - v2 * (fac_2lpt * cells_per_mpc[a])
+                    out.append(da)
+                return tuple(out)
 
             v2 = (
                 (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
                 if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None
                 else (None, None, None)
             )
-            q999, dmax = _disp_stats(ics.vx, ics.vy, ics.vz, *v2)
-            support, cap = deposit_plan(
-                float(dmax), float(q999), int(np.prod(lo_shape))
+            bad_counts, dmax = displacement_stats(
+                _d_fields(ics.vx, ics.vy, ics.vz, *v2)
             )
-            grid_1pd = rolled_cic_deposit(
+            support, cap = deposit_plan(
+                bad_counts, float(dmax), int(np.prod(lo_shape))
+            )
+            grid_1pd = factored_cic_deposit(
                 ics.hires_density,
                 (ics.vx, ics.vy, ics.vz),
                 v2 if v2[0] is not None else None,

@@ -45,7 +45,7 @@ def include_dvdr_in_tau21(
     else:
         vel_grad = np.gradient(vel, dx, axis=-1, edge_order=2)
 
-    H = _hubble_of_z(inputs, redshifts) * physconst.cm_per_Mpc / physconst.cm_per_Mpc
+    H = _hubble_of_z(inputs, redshifts)
     # H in 1/s; vel_grad in (Mpc/s)/Mpc = 1/s
 
     if tau_21 is None:

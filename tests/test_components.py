@@ -358,47 +358,47 @@ def test_fixed_grids_velocity_displaced():
     assert np.mean(r_moved[hi]) > np.mean(r_fixed[hi])
 
 
-def test_rolled_deposit_matches_scatter():
-    """The dense roll deposit (+ outlier scatter) is exact vs the per-particle
-    scatter path, including when the support forces many cells through the
-    fixed-capacity outlier branch."""
-    import jax
+def test_factored_deposit_matches_scatter():
+    """The factored dense deposit (+ outlier scatter) is exact vs the
+    per-particle scatter path — across even/odd hires ratios and when the
+    support forces many cells through the fixed-capacity outlier branch."""
     import jax.numpy as jnp
 
     from py21cmfast_tpu.ops import cic
-    from py21cmfast_tpu.ops.swept_deposit import rolled_cic_deposit
+    from py21cmfast_tpu.ops.deposit import factored_cic_deposit
 
     rng = np.random.default_rng(0)
-    nl, R = 8, 2
-    nh = nl * R
-    hires = rng.normal(0, 0.1, (nh, nh, nh)).astype(np.float32)
-    psi = tuple(
-        jnp.asarray(rng.normal(0, 1.0, (nl, nl, nl)).astype(np.float32))
-        for _ in range(3)
-    )
-    d2c = (nl / 48.0,) * 3
-    ii = np.arange(nh)
-    mapx = ((ii * (nl / nh) + 0.5).astype(int)) % nl
-    I, J, K = np.meshgrid(ii, ii, ii, indexing="ij")
-    MI, MJ, MK = mapx[I], mapx[J], mapx[K]
-    m = 1.0 + hires * 0.5
-
-    for fac, S in ((0.4, 1), (3.0, 1), (3.0, 2)):
-        out_roll = np.asarray(rolled_cic_deposit(
-            jnp.asarray(hires), psi, None,
-            jnp.float32(0.5), jnp.float32(fac), jnp.float32(0.0), d2c,
-            ratio=R, support=S, cap=128, lo_shape=(nl, nl, nl),
-        ))
-        px = I / R + np.asarray(psi[0])[MI, MJ, MK] * fac * d2c[0]
-        py = J / R + np.asarray(psi[1])[MI, MJ, MK] * fac * d2c[1]
-        pz = K / R + np.asarray(psi[2])[MI, MJ, MK] * fac * d2c[2]
-        acc = cic.cic_scatter_flat(
-            jnp.zeros(nl**3, jnp.float32),
-            jnp.asarray(px.ravel()), jnp.asarray(py.ravel()),
-            jnp.asarray(pz.ravel()), jnp.asarray(m.ravel()), (nl, nl, nl),
+    for R in (1, 2, 3, 4):
+        nl = 8
+        nh = nl * R
+        hires = rng.normal(0, 0.1, (nh, nh, nh)).astype(np.float32)
+        psi = tuple(
+            jnp.asarray(rng.normal(0, 1.0, (nl, nl, nl)).astype(np.float32))
+            for _ in range(3)
         )
-        out_sc = np.asarray(acc).reshape(nl, nl, nl)
-        assert np.abs(out_roll - out_sc).max() < 1e-4, (fac, S)
+        d2c = (nl / 48.0,) * 3
+        ii = np.arange(nh)
+        mapx = ((ii * (nl / nh) + 0.5).astype(int)) % nl
+        I, J, K = np.meshgrid(ii, ii, ii, indexing="ij")
+        MI, MJ, MK = mapx[I], mapx[J], mapx[K]
+        m = 1.0 + hires * 0.5
+
+        for fac, S in ((0.4, 1), (3.0, 1), (3.0, 2)):
+            out_dense = np.asarray(factored_cic_deposit(
+                jnp.asarray(hires), psi, None,
+                jnp.float32(0.5), jnp.float32(fac), jnp.float32(0.0), d2c,
+                ratio=R, support=S, cap=512, lo_shape=(nl, nl, nl),
+            ))
+            px = I / R + np.asarray(psi[0])[MI, MJ, MK] * fac * d2c[0]
+            py = J / R + np.asarray(psi[1])[MI, MJ, MK] * fac * d2c[1]
+            pz = K / R + np.asarray(psi[2])[MI, MJ, MK] * fac * d2c[2]
+            acc = cic.cic_scatter_flat(
+                jnp.zeros(nl**3, jnp.float32),
+                jnp.asarray(px.ravel()), jnp.asarray(py.ravel()),
+                jnp.asarray(pz.ravel()), jnp.asarray(m.ravel()), (nl, nl, nl),
+            )
+            out_sc = np.asarray(acc).reshape(nl, nl, nl)
+            assert np.abs(out_dense - out_sc).max() < 2e-4, (R, fac, S)
 
 
 def test_perturb_deposit_modes_agree():

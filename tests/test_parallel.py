@@ -1,5 +1,5 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh: distributed
-FFT round-trips and the sharded snapshot step vs the single-device path."""
+FFT round-trips and the sharded drivers vs the single-device path."""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +9,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from py21cmfast_tpu.parallel import mesh as pmesh
-from py21cmfast_tpu.parallel import pfft, snapshot
+from py21cmfast_tpu.parallel import pfft
 
 
 @pytest.fixture(scope="module")
@@ -67,70 +67,6 @@ def test_local_kmag_matches_global(mesh8):
     got = jax.jit(f)()
     want = grids.kmag_grid(shape, box_lens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
-
-
-def test_sharded_snapshot_matches_single_device(mesh8):
-    """The sharded ionization step must agree with the single-device scan."""
-    import py21cmfast_tpu as p21
-    from py21cmfast_tpu.models import hmf
-    from py21cmfast_tpu.models.ionization import setup_radii
-
-    inputs = p21.InputParameters(random_seed=5).evolve_input_structs(
-        HII_DIM=16, DIM=32, BOX_LEN=32.0, SOURCE_MODEL="CONST-ION-EFF",
-        M_MIN_in_Mass=False,
-    )
-    so = inputs.simulation_options
-    shape, box_lens = so.lowres_shape, so.box_lens
-    cosmo = inputs.cosmology
-    z = 8.0
-
-    ics = p21.compute_initial_conditions(inputs)
-    pf = p21.perturb_field(z, inputs, ics)
-    ion = p21.compute_ionization_field(z, inputs, pf)
-
-    # rebuild the same host-side setup for the sharded kernel
-    m_min = hmf.minimum_source_mass(z, inputs)
-    ladder = setup_radii(inputs, m_min)
-    order = np.argsort(ladder.R)[::-1]
-    sigma_table = cosmo.build_sigma_table()
-    mean_fcoll = hmf.fcoll_general(
-        sigma_table, cosmo, hmf.HMF_NAMES[inputs.matter_options.HMF], z,
-        np.log(m_min), np.log(hmf.M_MAX_INTEGRAL),
-    )
-    n_r = ladder.n
-    zeros = jnp.zeros(n_r, jnp.float32)
-    cp = inputs.cosmo_params
-    from py21cmfast_tpu.cosmology.constants import FRACT_FLOAT_ERR
-
-    tb_const = 27 * (cp.OMb * cp.hlittle**2 / 0.023) * np.sqrt(
-        (0.15 / cp.OMm / cp.hlittle**2) * (1 + z) / 10
-    )
-    fn = snapshot.build_sharded_snapshot(
-        mesh8, shape, box_lens, inputs.astro_options.hii_filter_int, mass_dep=False
-    )
-    xh, tb = fn(
-        jax.device_put(pf.density, pmesh.slab_sharding(mesh8)),
-        jnp.asarray(ladder.R[order], jnp.float32),
-        jnp.asarray(ladder.sigma_max[order], jnp.float32),
-        zeros,
-        zeros + 1,
-        jnp.zeros((n_r, 400), jnp.float32),
-        zeros,
-        jnp.float32(mean_fcoll),
-        jnp.float32(FRACT_FLOAT_ERR),
-        jnp.float32(inputs.astro_params.HII_EFF_FACTOR),
-        jnp.float32(cosmo.sigma_z0(m_min)),
-        jnp.float32(cosmo.dicke(z)),
-        jnp.float32(tb_const),
-    )
-    got = np.asarray(xh)
-    want = np.asarray(ion.neutral_fraction)
-    # the ionization criterion is a hard threshold: cells within FFT roundoff of
-    # the barrier may flip between the local and distributed FFT orders — allow
-    # a small fraction of such flips, but require everything else to agree
-    mismatched = np.abs(got - want) > 2e-3
-    assert mismatched.mean() < 0.005, f"{mismatched.sum()} cells differ"
-    np.testing.assert_allclose(got[~mismatched], want[~mismatched], rtol=1e-3, atol=2e-3)
 
 
 def test_sharded_coeval_matches_single_device():
