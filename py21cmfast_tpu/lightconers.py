@@ -81,10 +81,11 @@ class Lightconer:
             out = coeval.brightness_temperature.tau_21
         elif quantity in ("density", "velocity_z", "velocity_x", "velocity_y"):
             out = getattr(coeval.perturbed_field, quantity)
-        elif quantity in ("neutral_fraction", "z_reion", "ionisation_rate_G12"):
+        elif quantity in ("neutral_fraction", "z_reion", "ionisation_rate_G12",
+                          "cumulative_recombinations"):
             out = getattr(coeval.ionized_box, quantity)
         elif quantity in ("spin_temperature", "kinetic_temp_neutral",
-                          "xray_ionised_fraction"):
+                          "xray_ionised_fraction", "J_21_LW"):
             if coeval.spin_temp is None:
                 raise ValueError(f"{quantity} requires USE_TS_FLUCT")
             out = getattr(coeval.spin_temp, quantity)

@@ -26,7 +26,8 @@ from ..inputs import InputParameters
 from . import hmf
 
 __all__ = ["PhotonConsState", "PhotonConsFit", "setup_photon_cons",
-           "analytic_Q_history", "photoncons_alpha", "photoncons_fesc"]
+           "analytic_Q_history", "euler_q", "photoncons_alpha",
+           "photoncons_fesc"]
 
 _state_cache: dict = {}
 
@@ -57,56 +58,101 @@ class PhotonConsState:
         return float(max(z - dz, 0.0))
 
 
-def analytic_Q_history(inputs: InputParameters, z_min=None, z_max=None, n=512):
+def euler_q(nion_fn, ion_eff, z_end=3.5):
+    """The reference's exact Euler integration of dQ/da = dNion/da
+    (InitialisePhotonCons, photoncons.c:95-230), f64: a from 0.03,
+    da = 3e-3 shrinking by da**1.003 with floor 7e-5, central difference
+    with delta_a = 1e-7, monotonicity-retry conditioning.
+
+    NOTE the deliberate quirk-faithfulness: each step weights the
+    derivative by the PRE-shrink da while the grid advances by the
+    POST-shrink da (photoncons.c:205-228), so the quadrature overshoots
+    the telescoped closed form Q = ION_EFF*(Nion(z)-Nion(z~32)) by
+    +15-25% over z=12-14 — this is the reference's documented stepping
+    (its own comment bounds the error at <5%/25%, photoncons.c:86-91),
+    reproduced here because the gold photoncons runs inherit it (see
+    scripts/photoncons_repro.py).  Returns (z desc, Q); Q is cumulative
+    photons, not clipped at 1 (photoncons.c:213-215)."""
+    a_start, a_end = 0.03, 1.0 / (1.0 + z_end)
+    delta_a = 1e-7
+    num_fails = 0
+    while True:  # monotonicity-retry (photoncons.c:133-238)
+        da = (
+            3e-3 - num_fails * 1e-3
+            if num_fails < 3
+            else 1e-3 - (num_fails - 2) * 1e-4
+        )
+        a = a_start
+        q0 = q_prev = 0.0
+        z_arr, q_arr = [], []
+        mono = True
+        while a < a_end:
+            zi = 1.0 / a - 1.0
+            z0 = 1.0 / (a + delta_a) - 1.0
+            z1 = 1.0 / (a - delta_a) - 1.0
+            n0 = ion_eff * nion_fn(z0)
+            n1 = ion_eff * nion_fn(z1)
+            q1 = q0 + ((n0 - n1) / 2.0 / delta_a) * da  # RecombPhotonCons=False
+            if q1 < q_prev:
+                mono = False
+                break
+            q_prev = q1
+            z_arr.append(zi)
+            q_arr.append(q1)
+            da = 7e-5 if da < 7e-5 else da**1.003
+            q0 = q1
+            a = a + da
+        if mono:
+            break
+        num_fails += 1
+        if num_fails > 10:
+            raise RuntimeError("photoncons monotonicity conditioning failed")
+    return np.array(z_arr), np.array(q_arr)
+
+
+def analytic_Q_history(inputs: InputParameters, z_min=None, z_max=None, n=None):
     """Photon-conserving analytic filling factor Q(z)
     (InitialisePhotonCons, photoncons.c:75-293).
 
-    The reference integrates dQ/da = dNion/da with RecombPhotonCons=False
-    (photoncons.c:66 — NO recombination sink by default), so the curve is
-    simply the cumulative ionizing photons per baryon:
-        Q(z) = ION_EFF * [Nion(z) - Nion(z_start ~ 32)].
-    For mass-dependent source models the reference integrates Nion_General
-    from M_TURN/50 with the M_TURN exponential turnover (:117-121, 169-172)
-    — NOT the run's minimum_source_mass/atomic threshold; for CONST-ION-EFF
-    it is HII_EFF_FACTOR * Fcoll over M > M(ION_Tvir_MIN)."""
+    dQ/da = dNion/da with RecombPhotonCons=False (photoncons.c:66 — NO
+    recombination sink by default), integrated with the reference's exact
+    Euler stepping (`euler_q`; includes its documented quadrature bias).
+    For mass-dependent source models Nion_General runs from M_TURN/50 with
+    the M_TURN exponential turnover (:117-121, 169-172) — NOT the run's
+    minimum_source_mass; for CONST-ION-EFF it is HII_EFF_FACTOR * Fcoll
+    over M > M(ION_Tvir_MIN).  `z_min`/`n` are accepted for backward
+    compatibility; the grid is the Euler a-grid."""
     from .ionization import _get_sigma_table
 
     cosmo = inputs.cosmology
     ap = inputs.astro_params
     sigma_table = _get_sigma_table(inputs)
     hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
-    z_start = 1.0 / 0.03 - 1.0  # a_start = 0.03 (photoncons.c:95)
-    z_min = z_min if z_min is not None else float(ap.PHOTONCONS_CALIBRATION_END)
-    z_max = z_max or z_start
-
-    zs = np.linspace(z_max, z_min, n)  # descending
     ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
+    z_end = z_min if z_min is not None else float(ap.PHOTONCONS_CALIBRATION_END)
 
-    nion = np.empty(n)
     if inputs.matter_options.source_model_is_mass_dependent:
         m_turn = 10.0 ** float(ap.M_TURN)
         ln_mmin = np.log(m_turn / 50.0)
-        for i, z in enumerate(zs):
-            sc = hmf.set_scaling_constants(float(z), inputs)
-            nion[i] = hmf.nion_general(
+        sc = hmf.set_scaling_constants(float(z_end), inputs)
+        ion_eff = sc.pop2_ion * sc.fstar_10 * sc.fesc_10
+
+        def nion_fn(z):
+            return float(hmf.nion_general(
                 sigma_table, cosmo, hmf_int, float(z), ln_mmin, ln_mmax,
                 m_turn, sc,
-            ) * sc.pop2_ion * sc.fstar_10 * sc.fesc_10
+            ))
     else:
         mu = 1.22 if ap.ION_Tvir_MIN < 9.99999e3 else 0.6
-        for i, z in enumerate(zs):
-            m_min = float(cosmo.TtoM(float(z), ap.ION_Tvir_MIN, mu))
-            nion[i] = (
-                hmf.fcoll_general(
-                    sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax
-                )
-                * ap.HII_EFF_FACTOR
-            )
+        ion_eff = float(ap.HII_EFF_FACTOR)
 
-    # monotone cumulative photons; NOT clipped at 1 (the reference keeps
-    # Q > 1 for photon-ratio diagnostics, photoncons.c:213-215)
-    Q = np.maximum.accumulate(nion - nion[0])
-    return zs, Q
+        def nion_fn(z):
+            m_min = float(cosmo.TtoM(float(z), ap.ION_Tvir_MIN, mu))
+            return float(hmf.fcoll_general(
+                sigma_table, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax
+            ))
+
+    return euler_q(nion_fn, ion_eff, z_end=z_end)
 
 
 def calibrate_photon_cons(inputs: InputParameters, z_ana=None, q_ana=None):
@@ -288,38 +334,89 @@ def setup_photon_cons(inputs: InputParameters):
     z_cal, xh_cal = calibrate_photon_cons(inputs, z_ana, q_ana)
 
     # deltaz(xH) = |z_cal(xH) - z_analytic(xH)| on the reference's NF grid
-    # (determine_deltaz_for_photoncons, photoncons.c:335-470): 100 samples
-    # between NF_sample_min and PhotonConsStart; below PhotonConsEnd the exact
-    # correction is replaced by a smoothed extrapolation.
-    cal_min = float(np.min(xh_cal))
-    nf_min = PHOTONCONS_END if cal_min < PHOTONCONS_END else cal_min
-    xh_grid = np.linspace(nf_min, PHOTONCONS_START, 100)
+    # (determine_deltaz_for_photoncons, photoncons.c:335-666), built with the
+    # reference's exact conditioning steps.
     xh_ana = 1.0 - q_ana
-    # both curves: xh decreasing with decreasing z; build monotone interpolants
-    z_of_xh_ana = np.interp(xh_grid, xh_ana[::-1], z_ana[::-1])
     order = np.argsort(xh_cal)
-    z_of_xh_cal = np.interp(xh_grid, xh_cal[order], z_cal[order])
-    deltaz = np.abs(z_of_xh_cal - z_of_xh_ana)
-    # reference smoothing_width=35 samples (:352)
-    w = 35
-    kernel = np.ones(w) / w
-    deltaz_s = np.convolve(np.pad(deltaz, w // 2, mode="edge"), kernel, mode="valid")
-    deltaz_s = deltaz_s[: len(xh_grid)]
-    if cal_min < PHOTONCONS_END:
-        # linear extrapolation of the correction below the threshold, ending
-        # at PhotonConsAsymptoteTo (:370-395): gradient from the first
-        # delta_NF=0.025 of the exact region
-        sel = xh_grid <= nf_min + 0.025
-        if sel.sum() >= 2:
-            grad = np.polyfit(xh_grid[sel], deltaz_s[sel], 1)[0]
+
+    def z_of_xh_ana(xh):
+        return np.interp(xh, xh_ana[::-1], z_ana[::-1])
+
+    def z_of_xh_cal(xh):
+        return np.interp(xh, xh_cal[order], z_cal[order])
+
+    cal_min = float(np.min(xh_cal))
+    extrapolate = cal_min < PHOTONCONS_END
+    nf_min = PHOTONCONS_END if extrapolate else cal_min
+    bin_width = (PHOTONCONS_START - nf_min) / 99.0
+    xh_exact = nf_min + bin_width * np.arange(100)
+    dz_exact = np.abs(z_of_xh_cal(xh_exact) - z_of_xh_ana(xh_exact))
+
+    if extrapolate:
+        # linear extension of the ANALYTIC curve below the threshold
+        # (photoncons.c:480-529): gradient over delta_NF=0.025 near nf_min,
+        # times the reference's 1.1 smoothing fudge; end at
+        # max(cal_min, PhotonConsAsymptoteTo).
+        delta_nf = 0.025
+        za1 = z_of_xh_ana(xh_exact[0] + delta_nf)
+        za2 = z_of_xh_ana(xh_exact[0])
+        grad = 1.1 * delta_nf / (za1 - za2)
+        const = (xh_exact[0] + delta_nf) - grad * za1
+        nf_end = max(cal_min, PHOTONCONS_ASYMPTOTE)
+        n_ext = max(int(np.floor(99.0 * (nf_min - nf_end)
+                                 / (PHOTONCONS_START - nf_min))) - 1, 0)
+        z_ana_end = (nf_end - const) / grad
+        dz_end = abs(z_of_xh_cal(nf_end) - z_ana_end)
+        # endpoint + linearly interpolated extrapolation points (:509-529)
+        frac = np.arange(1, n_ext + 1) / (n_ext + 1.0)
+        xh_grid = np.concatenate(
+            [[nf_end], nf_end + (nf_min - nf_end) * frac, xh_exact]
+        )
+        deltaz = np.concatenate(
+            [[dz_end], dz_end + (dz_exact[0] - dz_end) * frac, dz_exact]
+        )
+    else:
+        # never fully reionized: seed the endpoint just below the grid (:420-428)
+        xh_grid = np.concatenate([[0.999 * nf_min], xh_exact])
+        first = dz_exact[0]
+        deltaz = np.concatenate(
+            [[1.001 * first if np.all(np.diff(dz_exact) >= 0) else 0.999 * first],
+             dz_exact]
+        )
+
+    # high-xH monotone fix (photoncons.c:543-583): where xH > 0.95 and the
+    # correction DROPS towards higher xH, resample the correction at
+    # PhotonConsStart - 0.001*(counter+1) until it meets the previous value —
+    # flattens deltaz over the early stage instead of letting it fall.
+    if nf_min < 0.8:
+        for i in range(len(xh_grid) - 1):
+            val1, val2 = deltaz[i], deltaz[i + 1]
+            counter = 0
+            while xh_grid[i + 1] > 0.95 and val2 < val1 and counter < 100:
+                nf_s = PHOTONCONS_START - 0.001 * (counter + 1)
+                val2 = abs(z_of_xh_cal(nf_s) - z_of_xh_ana(nf_s))
+                deltaz[i + 1] = val2
+                counter += 1
+                if counter == 100:
+                    deltaz[i + 1] = deltaz[i] * 1.01
+    # (the !increasing_val pre-smoothing pass, photoncons.c:590-610, is a
+    # no-op in every defined execution path — its exit conditions restore
+    # deltaz unchanged — so it is intentionally not replicated)
+
+    # symmetric boxcar with edge-shrinking window (photoncons.c:612-650)
+    n_tot = len(xh_grid)
+    width = 35
+    deltaz_s = deltaz.copy()
+    for i in range(1, n_tot - 1):
+        if i - width // 2 < 0:
+            s_int = 2 * i + (width % 2)
+        elif i - width // 2 + (width - 1) > n_tot - 1:
+            s_int = (width - 1) - 2 * ((i - width // 2 + width - 1) - (n_tot - 1)) + (width % 2)
         else:
-            grad = 0.0
-        nf_lo = max(min(cal_min, nf_min), PHOTONCONS_ASYMPTOTE)
-        n_ext = max(int(99 * (nf_min - nf_lo) / (PHOTONCONS_START - nf_min)), 1)
-        xh_ext = np.linspace(nf_lo, nf_min, n_ext, endpoint=False)
-        dz_ext = deltaz_s[0] + grad * (xh_ext - xh_grid[0])
-        xh_grid = np.concatenate([xh_ext, xh_grid])
-        deltaz_s = np.concatenate([np.maximum(dz_ext, 0.0), deltaz_s])
+            s_int = width
+        j0 = i - s_int // 2
+        window = deltaz[max(j0, 0): j0 + s_int]
+        deltaz_s[i] = window.mean()
 
     state = PhotonConsState(
         z_analytic=z_ana,
