@@ -155,6 +155,40 @@ def _subtract_square(s2, phi_od):
     return s2 - phi_od * phi_od
 
 
+# Above this many hires cells the in-HBM 2LPT staging (4 hires grids + FFT
+# temps) exceeds a 16 GB chip.  Host RAM staging is not an option on this
+# platform (device<->host runs at 0.03-0.1 GB/s through the axon tunnel), so
+# oversized grids compute the 2LPT *source* on a spectrally-truncated copy of
+# d_k instead: the psi2 field is only ever sampled on the pt grid (lowres for
+# PERTURB_ON_HIGH_RES=False), and the quadratic coupling of the dropped top
+# octave of modes into pt-scale s2 power is <~1% of a correction that is
+# itself ~5% of the ZA displacement.  Golden-parity sizes (DIM<=150) always
+# take the exact path.
+_2LPT_MAX_INHBM_CELLS = 640**3
+_2LPT_TRUNC_DIM = 512
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "trunc_shape"))
+def _truncate_dk(d_k, *, hi_shape, trunc_shape):
+    """Spectral truncation: keep |k_i| < k_nyquist(trunc) modes of the rfftn
+    cube (the four kx/ky corners and the low-kz face), rescaled by
+    n_total/N_total to preserve real-space amplitude under numpy's 1/N irfftn
+    normalization."""
+    hx, hy = trunc_shape[0] // 2, trunc_shape[1] // 2
+    hz = trunc_shape[2] // 2
+    sx = (slice(0, hx), slice(hi_shape[0] - hx, hi_shape[0]))
+    sy = (slice(0, hy), slice(hi_shape[1] - hy, hi_shape[1]))
+    out = jnp.concatenate(
+        [
+            jnp.concatenate([d_k[s0, s1, : hz + 1] for s1 in sy], axis=1)
+            for s0 in sx
+        ],
+        axis=0,
+    )
+    scale = np.prod(trunc_shape) / np.prod(hi_shape)
+    return out * jnp.float32(scale)
+
+
 def _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel):
     """Scoccimarro 1998 App. D: lap(phi2) = sum_{i<j} phi_ii phi_jj - phi_ij^2,
     staged to keep at most 4 hires grids + one FFT's temps live."""
@@ -288,13 +322,28 @@ def compute_initial_conditions(
         for ax in range(3)
     ]
 
-    vel_2lpt = (None, None, None)
-    if mo.PERTURB_ALGORITHM == "2LPT":
-        vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
-
     lowres_vcb = None
     if mo.V_CB_MODEL == "FLUCTS":
         lowres_vcb = compute_vcb_box(inputs, d_k)
+
+    vel_2lpt = (None, None, None)
+    if mo.PERTURB_ALGORITHM == "2LPT":
+        t = _2LPT_TRUNC_DIM
+        trunc_shape = tuple(
+            int(round(s * t / hi_shape[0])) for s in hi_shape
+        )
+        if (
+            int(np.prod(hi_shape)) >= _2LPT_MAX_INHBM_CELLS
+            and all(p <= c for p, c in zip(pt_shape, trunc_shape))
+            and all(c % p == 0 for p, c in zip(pt_shape, trunc_shape))
+        ):
+            d_k_t = _truncate_dk(d_k, hi_shape=hi_shape, trunc_shape=trunc_shape)
+            vel_2lpt = _compute_2lpt(
+                d_k_t, trunc_shape, box_lens, pt_shape, do_filter_vel
+            )
+            del d_k_t
+        else:
+            vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
 
     return InitialConditions(
         hires_density=hires_density,

@@ -124,3 +124,51 @@ def test_injected_density(inputs):
     ics2 = compute_initial_conditions(inputs, initial_density=field)
     np.testing.assert_array_equal(np.asarray(ics2.hires_density), field)
     assert ics2.vx.shape == inputs.simulation_options.lowres_shape
+
+
+def test_staged_fft_matches_monolithic():
+    """The low-memory per-axis FFT path (ops.fft._rfft3_staged/_irfft3_staged,
+    used above 600^3 where the monolithic XLA TPU rfftn OOMs) is exact."""
+    import jax.numpy as jnp
+
+    from py21cmfast_tpu.ops import fft
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(24, 36, 40)).astype(np.float32)
+    k_st = np.asarray(fft._rfft3_staged(jnp.asarray(x)))
+    k_np = np.fft.rfftn(x)
+    assert np.abs(k_st - k_np).max() < 1e-5 * np.abs(k_np).max()
+    r_st = np.asarray(
+        fft._irfft3_staged(jnp.asarray(k_np.astype(np.complex64)), (24, 36, 40))
+    )
+    r_np = np.fft.irfftn(k_np, s=(24, 36, 40), axes=(0, 1, 2))
+    assert np.abs(r_st - r_np).max() < 1e-5 * max(np.abs(r_np).max(), 1e-9)
+
+
+def test_truncated_dk_matches_lowres_sampling():
+    """Spectral truncation of the rfft cube (ics._truncate_dk, used for the
+    oversized-2LPT source) reproduces band-limited irfftn exactly."""
+    import jax.numpy as jnp
+
+    from py21cmfast_tpu.models.ics import _truncate_dk
+    from py21cmfast_tpu.ops import fft
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(32, 32, 32)).astype(np.float32)
+    d_k = np.fft.rfftn(x)
+    d_k_t = np.asarray(
+        _truncate_dk(
+            jnp.asarray(d_k.astype(np.complex64)),
+            hi_shape=(32, 32, 32),
+            trunc_shape=(16, 16, 16),
+        )
+    )
+    small = np.fft.irfftn(d_k_t, s=(16, 16, 16), axes=(0, 1, 2))
+    # reference: zero out modes above the truncated Nyquist, transform, sample
+    ref = np.zeros((16, 16, 9), np.complex128)
+    ref[:8, :8] = d_k[:8, :8, :9]
+    ref[:8, 8:] = d_k[:8, 24:, :9]
+    ref[8:, :8] = d_k[24:, :8, :9]
+    ref[8:, 8:] = d_k[24:, 24:, :9]
+    ref_field = np.fft.irfftn(ref * (16**3 / 32**3), s=(16, 16, 16), axes=(0, 1, 2))
+    assert np.abs(small - ref_field).max() < 1e-5 * np.abs(ref_field).std()
