@@ -90,9 +90,23 @@ class CosmoParams:
     def OMl(self) -> float:
         return 1.0 - self.OMm - self.OMk
 
+    # Planck18 consistent normalization pair (reference inputs.py:492-493)
+    _DEFAULT_SIGMA_8 = 0.8102
+    _DEFAULT_A_s = 2.105e-9
+
     @property
     def sigma_8_effective(self) -> float:
-        return self.SIGMA_8 if self.SIGMA_8 is not None else 0.8102
+        """SIGMA_8, derived from A_s when only A_s is given.
+
+        The reference derives SIGMA_8 from A_s by running CLASS
+        (inputs.py:553-572); classy is absent here, so use the Planck18
+        consistent pair with the sigma8 ∝ sqrt(A_s) scaling (exact for a
+        fixed transfer function / cosmology)."""
+        if self.SIGMA_8 is not None:
+            return self.SIGMA_8
+        if self.A_s is not None:
+            return self._DEFAULT_SIGMA_8 * float(np.sqrt(self.A_s / self._DEFAULT_A_s))
+        return self._DEFAULT_SIGMA_8
 
     @property
     def cosmo(self):
@@ -100,6 +114,11 @@ class CosmoParams:
         return self.cosmology()
 
     def cosmology(self, power_spectrum: int = 0, transfer_table=None) -> Cosmology:
+        # The reference ALWAYS normalizes by sigma8 for non-CLASS transfer
+        # functions (inputs.py:1963-1966: the A_s convention is only
+        # meaningful with dimensionful CLASS transfer tables); A_s-given runs
+        # are converted through sigma_8_effective above.
+        use_as = self.A_s is not None and power_spectrum == _PS_TO_INT["CLASS"]
         return Cosmology(
             hlittle=self.hlittle,
             OMm=self.OMm,
@@ -108,8 +127,8 @@ class CosmoParams:
             OMr=self.OMr,
             OMk=self.OMk,
             POWER_INDEX=self.POWER_INDEX,
-            SIGMA_8=None if self.A_s is not None else self.sigma_8_effective,
-            A_s=self.A_s,
+            SIGMA_8=None if use_as else self.sigma_8_effective,
+            A_s=self.A_s if use_as else None,
             Y_He=self.Y_He,
             wl=self.wl,
             power_spectrum=power_spectrum,
