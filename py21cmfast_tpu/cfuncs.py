@@ -25,6 +25,20 @@ __all__ = [
     "return_uhmf_value",
     "return_chmf_value",
     "compute_tau",
+    "compute_mturns",
+    "compute_luminosity_function",
+    "evaluate_FgtrM_cond",
+    "evaluate_SFRD_z",
+    "evaluate_Nion_z",
+    "get_condition_mass",
+    "get_delta_crit",
+    "get_delta_crit_nu",
+    "get_expected_nhalo",
+    "get_growth_factor",
+    "get_halo_catalog_buffer_size",
+    "get_matter_power_values",
+    "get_vcb_power_values",
+    "integrate_chmf_interval",
     "sample_halos_from_conditions",
 ]
 
@@ -237,3 +251,184 @@ def compute_tau(inputs: InputParameters, redshifts, global_xHI, z_re_HeII: float
     n_e = no * (1 + z_grid) ** 3 * x_e * (1 + fhe * (1 + (z_grid < z_re_HeII)))
     dldz = np.abs(physconst.c_cms * cosmo.dtdz(z_grid))  # proper path per dz
     return float(np.trapezoid(n_e * physconst.sigma_T * dldz, z_grid))
+
+
+# ---------------------------------------------------------------------------
+# round-3 surface expansion (reference wrapper/cfuncs.py:26-1050 coverage)
+
+
+def get_growth_factor(inputs: InputParameters, redshift):
+    """D(z), D(0)=1 (reference get_growth_factor:468)."""
+    return float(inputs.cosmology.dicke(redshift))
+
+
+def get_matter_power_values(inputs: InputParameters, k):
+    """Linear matter P(k) at z=0 in Mpc^3 (reference get_matter_power_values:418)."""
+    return inputs.cosmology.power_in_k(np.asarray(k, dtype=np.float64))
+
+
+def get_vcb_power_values(inputs: InputParameters, k):
+    """Relative-velocity power (reference get_vcb_power_values:428)."""
+    return inputs.cosmology.power_vcb(np.asarray(k, dtype=np.float64))
+
+
+def get_condition_mass(inputs: InputParameters, R: float):
+    """Lagrangian mass of a filter scale R [Mpc] (reference get_condition_mass:477)."""
+    return float(inputs.cosmology.RtoM(R))
+
+
+def get_delta_crit(inputs: InputParameters, mass: float, redshift: float):
+    """Collapse barrier for the configured (conditional) HMF at (M, z)
+    (reference get_delta_crit:498)."""
+    t = _get_sigma_table(inputs)
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST, hmf.HMF_DELOS):
+        hmf_int = hmf.HMF_PS
+    sigma = float(t.sigma_of_lnm(np.log(mass)))
+    growth = float(inputs.cosmology.dicke(redshift))
+    return float(hmf.get_delta_crit(hmf_int, sigma, growth))
+
+
+def get_delta_crit_nu(hmf_int_flag: int, sigma: float, growth: float):
+    """Barrier from (sigma, growth) directly (reference get_delta_crit_nu:505)."""
+    return float(hmf.get_delta_crit(int(hmf_int_flag), float(sigma), float(growth)))
+
+
+def get_expected_nhalo(inputs: InputParameters, redshift: float) -> int:
+    """Expected halo count above SAMPLER_MIN_MASS in the box
+    (reference get_expected_nhalo:26)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    so = inputs.simulation_options
+    growth = float(cosmo.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    ln_m = np.linspace(np.log(so.SAMPLER_MIN_MASS), np.log(hmf.M_MAX_INTEGRAL), 400)
+    dn = hmf.unconditional_mf(t, cosmo, hmf_int, redshift, growth, ln_m) * cosmo.rho_mean
+    n_per_vol = float(np.trapezoid(dn, ln_m))
+    vol = float(np.prod(so.box_lens))
+    return int(n_per_vol * vol)
+
+
+def get_halo_catalog_buffer_size(inputs: InputParameters, redshift: float) -> int:
+    """Padded catalog allocation size (reference get_halo_catalog_buffer_size:57)."""
+    from ._cfg import config
+
+    n = get_expected_nhalo(inputs, redshift)
+    factor = float(inputs.simulation_options.SAMPLER_BUFFER_FACTOR)
+    mem_factor = float(config.get("HALO_CATALOG_MEM_FACTOR", 1.0))
+    return max(int(n * factor * mem_factor), 10000)
+
+
+def compute_mturns(inputs: InputParameters, redshift, J_LW_21=0.0, v_cb=0.0,
+                   ionisation_rate_G12=0.0, z_reion=-1.0):
+    """(M_turn_acg, M_turn_mcg) with LW + streaming + reionization feedback
+    (reference compute_mturns:83 / thermochem.c:300-323)."""
+    ap = inputs.astro_params
+    cosmo = inputs.cosmology
+    z = float(redshift)
+    acg = float(cosmo.TtoM(z, 1e4, 0.59))
+    # Sobacchi & Mesinger 2013 reionization feedback
+    if z_reion > 0.0:
+        zfrac = max(1.0 - ((1.0 + z) / (1.0 + z_reion)) ** 2.0, 0.0)
+        m_re = (
+            3e9 * (2.0 * max(ionisation_rate_G12, 1e-20)) ** 0.17
+            * ((1.0 + z) / 10.0) ** -2.1 * zfrac**2.5
+        )
+    else:
+        m_re = 0.0
+    m_turn_a = max(acg, m_re, ap.m_turn)
+    m_turn_m = None
+    if inputs.astro_options.USE_MINI_HALOS:
+        mlw = float(hmf.lyman_werner_threshold(z, J_LW_21, v_cb, ap))
+        m_turn_m = max(mlw, m_re, ap.m_turn)
+    return m_turn_a, m_turn_m
+
+
+def integrate_chmf_interval(inputs: InputParameters, redshift, m_lo, m_hi,
+                            cond_mass, deltas):
+    """Conditional-MF number integral over [m_lo, m_hi) per condition
+    (reference integrate_chmf_interval:541)."""
+    t = _get_sigma_table(inputs)
+    growth = float(inputs.cosmology.dicke(redshift))
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    if hmf_int not in (hmf.HMF_PS, hmf.HMF_ST, hmf.HMF_DELOS):
+        hmf_int = hmf.HMF_PS
+    sig = t.sigma_of_lnm(np.log(cond_mass))
+    d = np.asarray(deltas, dtype=np.float64)
+    return hmf.integrate_cmf(
+        t, hmf_int, growth, float(np.log(m_lo)),
+        float(np.log(m_hi)) * np.ones_like(d), d, sig * np.ones_like(d),
+    ) * cond_mass
+
+
+def evaluate_FgtrM_cond(inputs: InputParameters, redshift, cond_mass, deltas):
+    """Conditional collapsed fraction (EPS erfc form; reference
+    evaluate_FgtrM_cond:608 / FgtrM_bias_fast)."""
+    t = _get_sigma_table(inputs)
+    growth = float(inputs.cosmology.dicke(redshift))
+    m_min = hmf.minimum_source_mass(redshift, inputs)
+    sigma_min = float(t.sigma_of_lnm(np.log(m_min)))
+    sigma_cond = float(t.sigma_of_lnm(np.log(cond_mass)))
+    return hmf.fcoll_conditional_eps(
+        growth, np.asarray(deltas, dtype=np.float64), sigma_min, sigma_cond
+    )
+
+
+def evaluate_SFRD_z(inputs: InputParameters, redshifts, log10_mturns=None):
+    """Global SFRD(z) table values (reference evaluate_SFRD_z:631): the
+    Nion_General integral with f_esc = 1; with `log10_mturns`, also the MCG
+    component at those LW turnovers."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
+    zs = np.atleast_1d(np.asarray(redshifts, dtype=np.float64))
+    out = np.empty_like(zs)
+    out_mini = None if log10_mturns is None else np.empty((len(zs),))
+    for i, z in enumerate(zs):
+        sc = hmf.set_scaling_constants(float(z), inputs).without_esc()
+        m_min = hmf.minimum_source_mass(float(z), inputs, xray=True)
+        out[i] = hmf.nion_general(
+            t, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax,
+            sc.mturn_a_nofb, sc,
+        )
+        if out_mini is not None:
+            out_mini[i] = hmf.nion_general_mini(
+                t, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax,
+                10.0 ** np.asarray(log10_mturns, dtype=np.float64)[i], sc,
+            )
+    return (out, out_mini) if out_mini is not None else (out, None)
+
+
+def evaluate_Nion_z(inputs: InputParameters, redshifts, log10_mturns=None):
+    """Global ionizing emissivity table values (reference evaluate_Nion_z:706)."""
+    t = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
+    ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
+    zs = np.atleast_1d(np.asarray(redshifts, dtype=np.float64))
+    out = np.empty_like(zs)
+    out_mini = None if log10_mturns is None else np.empty((len(zs),))
+    for i, z in enumerate(zs):
+        sc = hmf.set_scaling_constants(float(z), inputs)
+        m_min = hmf.minimum_source_mass(float(z), inputs)
+        out[i] = hmf.nion_general(
+            t, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax,
+            sc.mturn_a_nofb, sc,
+        )
+        if out_mini is not None:
+            out_mini[i] = hmf.nion_general_mini(
+                t, cosmo, hmf_int, float(z), np.log(m_min), ln_mmax,
+                10.0 ** np.asarray(log10_mturns, dtype=np.float64)[i], sc,
+            )
+    return (out, out_mini) if out_mini is not None else (out, None)
+
+
+def compute_luminosity_function(redshifts, inputs: InputParameters, nbins=100,
+                                mturnovers=None, component="acg"):
+    """UV luminosity function (reference compute_luminosity_function:211);
+    thin re-export of models.luminosity.compute_luminosity_function."""
+    from .models.luminosity import compute_luminosity_function as _lf
+
+    return _lf(redshifts, inputs, nbins=nbins, mturnovers=mturnovers,
+               component=component)
