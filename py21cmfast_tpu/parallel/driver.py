@@ -60,11 +60,12 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     box_lens = so.box_lens
     n_shards = mesh.devices.size
 
-    if mo.source_model_uses_halo_sampler:
+    use_halos = mo.source_model_uses_halo_sampler
+    if use_halos and (ao.USE_MINI_HALOS or ao.USE_TS_FLUCT):
         raise NotImplementedError(
-            "run_sharded_coeval currently supports the Eulerian source models "
-            "(CONST-ION-EFF / E-INTEGRAL / L-INTEGRAL-as-Eulerian); the "
-            "discrete-halo models run on the single-device driver"
+            "the mesh halo-sampler path currently covers the saturated-Ts, "
+            "non-minihalo configs (sampler / sampler_ir); minihalo feedback "
+            "grids and the Lagrangian Ts ladder stay single-device"
         )
 
     # ----- sharded ICs -----
@@ -108,6 +109,32 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     )
     mass_factor = float(np.prod(lo_shape) / np.prod(hi_shape))
 
+    # ----- discrete-halo chain: slab-parallel sampling (ascending z), then
+    # per-node sharded painting (parallel/halopaint.py).  The catalogs are
+    # host-compacted (same as single-device); DexM's first-snapshot grid scan
+    # runs on the sharded hires density through the global-view jnp ops.
+    halo_cats = None
+    ics_obj = None
+    if use_halos:
+        from ..outputs import InitialConditions
+        from .sampler import determine_halo_catalog_slabs
+
+        ics_obj = InitialConditions(
+            hires_density=hires_density,
+            lowres_density=lowres_density,
+            vx=psi_x, vy=psi_y, vz=psi_z,
+            vx_2LPT=psi2_x if use_2lpt else None,
+            vy_2LPT=psi2_y if use_2lpt else None,
+            vz_2LPT=psi2_z if use_2lpt else None,
+        )
+        halo_cats = {}
+        cat = None
+        for z in sorted(all_z):
+            cat = determine_halo_catalog_slabs(
+                z, inputs, ics_obj, previous_catalog=cat
+            )
+            halo_cats[z] = cat
+
     prev_ion = None
     prev_pf = None
     ts_state = None
@@ -137,10 +164,30 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
                 mesh=mesh,
             )
 
+        halobox = None
+        if use_halos:
+            from ..models.halobox import compute_fixed_halo_grid
+            from ..models.halos import perturb_halo_catalog
+            from .halopaint import sharded_halo_grids
+
+            pt_halos = perturb_halo_catalog(z, inputs, ics_obj, halo_cats[z])
+            halobox = sharded_halo_grids(z, inputs, pt_halos, mesh)
+            # deterministic sub-SAMPLER_MIN_MASS sources (HaloBox.c:626-640);
+            # the table kernel is elementwise in delta, sharding-transparent
+            sub = compute_fixed_halo_grid(
+                z, inputs, lowres_density, m_max=so.SAMPLER_MIN_MASS,
+            )
+            if sub is not None:
+                halobox.n_ion = halobox.n_ion + sub.n_ion
+                halobox.halo_sfr = halobox.halo_sfr + sub.halo_sfr
+                halobox.whalo_sfr = halobox.whalo_sfr + sub.whalo_sfr
+                halobox.halo_xray = halobox.halo_xray + sub.halo_xray
+
         ion = compute_ionization_field(
             z, inputs, pf,
             previous_ionized_box=prev_ion,
             spin_temp=ts,
+            halobox=halobox,
             previous_perturbed_field=prev_pf,
             prev_redshift=prev_z,
             mesh=mesh,

@@ -303,3 +303,50 @@ def test_sharded_lightcone_matches_single_device(mesh8):
         lc_1d.global_quantities["neutral_fraction"],
         atol=2e-3,
     )
+
+
+def test_sharded_halo_paint_matches_single_device(mesh8):
+    """Given the SAME perturbed catalog, the mesh painting (slab CIC +
+    ppermute margins, parallel/halopaint.py) reproduces the single-device
+    compute_halo_grid source fields exactly (up to float order)."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models import halobox as hb
+    from py21cmfast_tpu.models import halos as halos_module
+    from py21cmfast_tpu.parallel.halopaint import sharded_halo_grids
+
+    inputs = p21.InputParameters(random_seed=21).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
+        SAMPLER_MIN_MASS=2e9,
+    )
+    ics = p21.compute_initial_conditions(inputs)
+    cat = halos_module.determine_halo_catalog(9.0, inputs, ics)
+    pt = halos_module.perturb_halo_catalog(9.0, inputs, ics, cat)
+    single = hb.compute_halo_grid(9.0, inputs, pt)
+    sharded = sharded_halo_grids(9.0, inputs, pt, mesh8)
+    for name in ("n_ion", "halo_sfr", "whalo_sfr", "halo_xray"):
+        a = np.asarray(getattr(single, name), np.float64)
+        b = np.asarray(getattr(sharded, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-30)
+        assert np.abs(a - b).max() < 1e-4 * scale, name
+
+
+def test_sharded_coeval_sampler_end_to_end(mesh8):
+    """CHMF-SAMPLER through run_sharded_coeval (slab sampling + sharded
+    painting + mesh ionization): statistics match the single-device driver
+    (different RNG partition, so compare means)."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.parallel.driver import run_sharded_coeval
+
+    inputs = p21.InputParameters(random_seed=31).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
+        SAMPLER_MIN_MASS=2e9, ZPRIME_STEP_FACTOR=1.2,
+    ).with_logspaced_redshifts(8.0, 12.0)
+    [shard_out] = run_sharded_coeval(inputs, [8.0], mesh=mesh8)
+    xh_sharded = np.asarray(shard_out.neutral_fraction)
+    assert xh_sharded.shape == (16, 16, 16)
+    assert np.all((xh_sharded >= 0) & (xh_sharded <= 1))
+
+    [cv] = p21.run_coeval(inputs, [8.0])
+    xh_single = np.asarray(cv.ionized_box.neutral_fraction)
+    # same physics, independent halo realizations: global means agree loosely
+    assert abs(xh_sharded.mean() - xh_single.mean()) < 0.15
