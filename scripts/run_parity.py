@@ -400,6 +400,97 @@ def run_config_lightcone(name: str, seeds, verbose=True):
     return result
 
 
+# Matched to reference OPTIONS_PT (produce_integration_test_data.py:281-286):
+# perturbed-field-only golds at z=10 — PS + PDF of density and velocity_z,
+# isolated from all astrophysics (produce_perturb_field_data:429-470).
+OPTIONS_PT = {
+    "simple": (10.0, {}),
+    "no2lpt": (10.0, {"PERTURB_ALGORITHM": "ZELDOVICH"}),
+    "linear": (10.0, {"PERTURB_ALGORITHM": "LINEAR"}),
+    "highres": (10.0, {"PERTURB_ON_HIGH_RES": True}),
+}
+_PT_VEL_NORM = 1e16  # reference velocity_normalisation (:433)
+
+
+def run_one_perturb(name: str, seed: int):
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.ops.ps import reference_binned_power
+
+    z, overrides = OPTIONS_PT[name]
+    inputs = p21.InputParameters(random_seed=seed).evolve_input_structs(
+        HII_DIM=50, DIM=150, BOX_LEN=100.0, **overrides
+    )
+    t0 = time.time()
+    ics = p21.compute_initial_conditions(inputs)
+    pf = p21.perturb_field(z, inputs, ics)
+    dt = time.time() - t0
+    L = inputs.simulation_options.BOX_LEN
+    dens = np.asarray(pf.density, np.float64)
+    vel = np.asarray(pf.velocity_z, np.float64) * _PT_VEL_NORM
+    k_d, p_d, _ = reference_binned_power(dens, (L, L, L))
+    k_v, p_v, _ = reference_binned_power(vel, (L, L, L))
+
+    def hist(data, xmin, xmax, nbins=50):
+        y, edges = np.histogram(
+            data, bins=np.linspace(xmin, xmax, nbins), range=[xmin, xmax],
+            density=True,
+        )
+        return np.array([y, y]).T.flatten()  # doubled layout as the gold
+
+    return {
+        "k_dens": k_d, "power_dens": p_d, "k_vel": k_v, "power_vel": p_v,
+        "pdf_dens": hist(dens, -0.8, 2.0), "pdf_vel": hist(vel, -2.0, 2.0),
+    }, dt
+
+
+def load_gold_perturb(name: str):
+    import h5py
+
+    path = GOLD_DIR / f"perturb_field_data_{name}.h5"
+    if not path.exists():
+        return None
+    with h5py.File(path, "r") as f:
+        return {k: f[k][:] for k in f if isinstance(f[k], h5py.Dataset)}
+
+
+def run_config_perturb(name: str, seeds, verbose=True):
+    gold = load_gold_perturb(name)
+    runs: dict[str, list] = {}
+    times = []
+    for seed in seeds:
+        out, dt = run_one_perturb(name, seed)
+        times.append(dt)
+        for k, v in out.items():
+            runs.setdefault(k, []).append(np.asarray(v))
+        if verbose:
+            print(f"[{name}:pt] seed {seed} done in {dt:.1f}s", flush=True)
+    result = {
+        "config": name,
+        "kind": "perturb",
+        "n_seeds": len(seeds),
+        "seeds": list(seeds),
+        "times_s": [round(t, 2) for t in times],
+        "fields": {},
+    }
+    for k, stack in runs.items():
+        if k.startswith("k_"):
+            result[k] = stack[0].tolist()
+            continue
+        stack = np.stack(stack)
+        entry = {
+            "mean": stack.mean(axis=0).tolist(),
+            "std": stack.std(axis=0, ddof=1).tolist() if len(seeds) > 1 else None,
+            "runs": stack.tolist(),
+        }
+        if gold is not None and k in gold:
+            entry["gold"] = np.asarray(gold[k]).tolist()
+        result["fields"][k] = entry
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    with open(OUT_DIR / f"{name}.pt.json", "w") as f:
+        json.dump(result, f)
+    return result
+
+
 def load_gold(name: str, group: str = "coeval"):
     import h5py
 
@@ -544,7 +635,11 @@ def write_report():
         "velocity_z",
     ]
     for path in sorted(OUT_DIR.glob("*.json")):
-        if path.name.endswith(".lc.json") or path.stem == "photoncons_repro":
+        if (
+            path.name.endswith(".lc.json")
+            or path.name.endswith(".pt.json")
+            or path.stem == "photoncons_repro"
+        ):
             continue
         with open(path) as f:
             res = json.load(f)
@@ -612,6 +707,47 @@ def write_report():
                 f"{fmt(st_xh.get('band_z') if st_xh else None, '{:+.1f}')} | "
                 f"{res['n_seeds']} |"
             )
+    # ---- perturbed-field golds (z=10, matter sector only) ----
+    pt_paths = sorted(OUT_DIR.glob("*.pt.json"))
+    if pt_paths:
+        lines += [
+            "",
+            "## Perturbed-field parity (reference `perturb_field_data_*.h5` golds)",
+            "",
+            "Matter-sector-only check at z=10 (LINEAR/ZA/2LPT/hires paths,",
+            "no astrophysics): density and velocity_z power-spectrum band",
+            "stats as above, plus the worst PDF bin deviation (density units).",
+            "",
+            "| config | field | ratio | band_z | pdf max dev | n seeds |",
+            "|---|---|---|---|---|---|",
+        ]
+        for path in pt_paths:
+            with open(path) as f:
+                res = json.load(f)
+            for field, kkey, pdfkey in (
+                ("density", "k_dens", "pdf_dens"),
+                ("velocity_z", "k_vel", "pdf_vel"),
+            ):
+                ps = res["fields"].get(f"power_{'dens' if field == 'density' else 'vel'}")
+                if ps is None or "gold" not in ps:
+                    continue
+                st = band_stats(
+                    res[kkey], ps["gold"], ps["mean"], ps.get("std"),
+                    runs=ps.get("runs"),
+                )
+                pdf = res["fields"].get(pdfkey, {})
+                pdf_dev = None
+                if "gold" in pdf:
+                    pdf_dev = float(np.max(np.abs(
+                        np.asarray(pdf["mean"]) - np.asarray(pdf["gold"])
+                    )))
+                bz = f"{st['band_z']:+.1f}" if st and "band_z" in st else "—"
+                rt = f"{st['band_ratio']:.3f}" if st else "—"
+                pd = f"{pdf_dev:.3f}" if pdf_dev is not None else "—"
+                lines.append(
+                    f"| {res['config']} | {field} | {rt} | {bz} | {pd} | "
+                    f"{res['n_seeds']} |"
+                )
     lines.append("")
     (REPO / "PARITY.md").write_text("\n".join(lines))
     print(f"wrote PARITY.md ({len(lines)} lines)")
@@ -624,8 +760,19 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--lightcone", action="store_true",
                     help="run the lightcone parity harness instead of coeval")
+    ap.add_argument("--perturb", action="store_true",
+                    help="run the perturbed-field gold harness instead of coeval")
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
+
+    if not args.report_only and args.perturb:
+        names = list(OPTIONS_PT) if args.all else [
+            c for c in args.configs.split(",") if c
+        ]
+        for name in names:
+            run_config_perturb(name, SEEDS[: args.seeds])
+        write_report()
+        return
 
     if not args.report_only:
         names = list(CONFIGS) if args.all else [c for c in args.configs.split(",") if c]
