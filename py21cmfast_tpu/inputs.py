@@ -612,9 +612,36 @@ class InputParameters:
                 stacklevel=2,
             )
 
+    # deprecated field name -> (new name, value transform) — reference
+    # inputs.py:819-840 (USE_RELATIVE_VELOCITIES, v4.3), :1336-1365
+    # (INHOMO_RECO, v4.2), :1540-1735 (FIXED_VAVG)
+    _DEPRECATED_ALIASES = {
+        "USE_RELATIVE_VELOCITIES": (
+            "V_CB_MODEL", lambda v: "FLUCTS" if v else "NONE"
+        ),
+        "INHOMO_RECO": (
+            "RECOMB_MODEL", lambda v: "INHOMOGENEOUS" if v else "NONE"
+        ),
+        "FIXED_VAVG": ("V_CB_AVG_DEBUG", lambda v: v),
+    }
+
     def evolve_input_structs(self, **kwargs) -> "InputParameters":
         """Return a copy with the given (flat) field overrides applied, mirroring
-        the reference ``InputParameters.evolve_input_structs``."""
+        the reference ``InputParameters.evolve_input_structs`` (including its
+        deprecated-name shims)."""
+        import warnings
+
+        for old, (new_name, transform) in self._DEPRECATED_ALIASES.items():
+            if old in kwargs:
+                kwargs = dict(kwargs)
+                val = kwargs.pop(old)
+                warnings.warn(
+                    f"{old} is deprecated and will be removed in a future "
+                    f"version; use {new_name} instead",
+                    DeprecationWarning,
+                    stacklevel=2,
+                )
+                kwargs.setdefault(new_name, transform(val))
         groups = {
             "cosmo_params": self.cosmo_params,
             "matter_options": self.matter_options,
