@@ -215,6 +215,58 @@ def _finalize_density_and_velocity(
     return delta, v_x, v_y, v_z
 
 
+# Run-level cache for the Pallas deposit's channel stack: it depends only on
+# (hires ICs, ratio, D_init), not the node, so one relayout serves the whole
+# redshift scroll.  Single slot; identity checked via weakref to the hires
+# array (a new run evicts the old stack).
+_CHAN_CACHE: dict = {}
+
+
+def _channel_stack_for(ics, ratio: int, d_init, lo_shape):
+    import weakref
+
+    from ..ops.pallas_deposit import build_channel_stack
+
+    ent = _CHAN_CACHE.get("v")
+    if (
+        ent is not None
+        and ent[0]() is ics.hires_density
+        and ent[1] == (ratio, float(d_init))
+    ):
+        return ent[2]
+    stack = build_channel_stack(
+        ics.hires_density, jnp.float32(d_init), ratio=ratio,
+        lo_shape=tuple(lo_shape),
+    )
+    _CHAN_CACHE["v"] = (
+        weakref.ref(ics.hires_density), (ratio, float(d_init)), stack
+    )
+    return stack
+
+
+def _pallas_deposit(ics, d_fields, d_init, *, ratio, support, cap, lo_shape):
+    """Dense pass through the Pallas kernel + exact scatter for outliers."""
+    from ..ops.pallas_deposit import build_dok_stack, pallas_factored_deposit
+    from ..ops.sep_deposit import _bad_mask, _outlier_scatter
+
+    if cap > 0:
+        bad = _bad_mask(d_fields, ratio=ratio, support=support)
+        ok = (~bad).astype(jnp.float32)
+    else:
+        bad, ok = None, jnp.ones(tuple(lo_shape), jnp.float32)
+    dok = build_dok_stack(d_fields[0], d_fields[1], d_fields[2], ok)
+    chan = _channel_stack_for(ics, ratio, d_init, lo_shape)
+    acc = pallas_factored_deposit(
+        chan, dok, ratio=ratio, support=support, lo_shape=tuple(lo_shape)
+    )
+    if cap > 0:
+        acc = _outlier_scatter(
+            acc, ics.hires_density, d_init, d_fields, bad,
+            ratio=ratio, cap=cap, lo_shape=tuple(lo_shape),
+        )
+    return acc
+
+
 def perturb_field(
     redshift: float, inputs: InputParameters, ics: InitialConditions
 ) -> PerturbedField:
@@ -266,11 +318,8 @@ def perturb_field(
             and all(h == ratio_int * l for h, l in zip(hi_shape, lo_shape))
         )
         if use_swept:
-            from ..ops.deposit import (
-                deposit_plan,
-                displacement_stats,
-                factored_cic_deposit,
-            )
+            from ..ops.deposit import deposit_plan, displacement_stats
+            from ..ops.sep_deposit import staged_factored_deposit
 
             # host-side displacement stats pick the dense support + outlier
             # capacity (one small reduction + scalar fetch per node)
@@ -291,25 +340,40 @@ def perturb_field(
                 if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None
                 else (None, None, None)
             )
-            bad_counts, dmax = displacement_stats(
-                _d_fields(ics.vx, ics.vy, ics.vz, *v2)
-            )
+            d_fields = _d_fields(ics.vx, ics.vy, ics.vz, *v2)
+            bad_counts, dmax = displacement_stats(d_fields)
             support, cap = deposit_plan(
                 bad_counts, float(dmax), int(np.prod(lo_shape))
             )
-            grid_1pd = factored_cic_deposit(
-                ics.hires_density,
-                (ics.vx, ics.vy, ics.vz),
-                v2 if v2[0] is not None else None,
-                jnp.float32(D_init),
-                jnp.float32(fac_za),
-                jnp.float32(fac_2lpt),
-                cells_per_mpc,
-                ratio=ratio_int,
-                support=support,
-                cap=cap,
-                lo_shape=lo_shape,
+            # Pallas kernel needs tile-aligned lane extents (z % 128); smaller
+            # boxes (e.g. gold-parity 50^3) take the staged XLA path instead
+            use_pallas = (
+                jax.devices()[0].platform == "tpu"
+                and support <= 3
+                and lo_shape[2] % 128 == 0
+                and lo_shape[0] % 8 == 0
+                and lo_shape[1] % 8 == 0
             )
+            if use_pallas:
+                grid_1pd = _pallas_deposit(
+                    ics, d_fields, jnp.float32(D_init),
+                    ratio=ratio_int, support=support, cap=cap,
+                    lo_shape=lo_shape,
+                )
+            else:
+                grid_1pd = staged_factored_deposit(
+                    ics.hires_density,
+                    (ics.vx, ics.vy, ics.vz),
+                    v2 if v2[0] is not None else None,
+                    jnp.float32(D_init),
+                    jnp.float32(fac_za),
+                    jnp.float32(fac_2lpt),
+                    cells_per_mpc,
+                    ratio=ratio_int,
+                    support=support,
+                    cap=cap,
+                    lo_shape=lo_shape,
+                )
             mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
         else:
             grid_1pd = _displace_and_deposit(

@@ -366,6 +366,7 @@ def test_factored_deposit_matches_scatter():
 
     from py21cmfast_tpu.ops import cic
     from py21cmfast_tpu.ops.deposit import factored_cic_deposit
+    from py21cmfast_tpu.ops.sep_deposit import staged_factored_deposit
 
     rng = np.random.default_rng(0)
     for R in (1, 2, 3, 4):
@@ -389,6 +390,12 @@ def test_factored_deposit_matches_scatter():
                 jnp.float32(0.5), jnp.float32(fac), jnp.float32(0.0), d2c,
                 ratio=R, support=S, cap=512, lo_shape=(nl, nl, nl),
             ))
+            out_sep = np.asarray(staged_factored_deposit(
+                jnp.asarray(hires), psi, None,
+                jnp.float32(0.5), jnp.float32(fac), jnp.float32(0.0), d2c,
+                ratio=R, support=S, cap=512, lo_shape=(nl, nl, nl),
+            ))
+            assert np.abs(out_sep - out_dense).max() < 2e-4, (R, fac, S)
             px = I / R + np.asarray(psi[0])[MI, MJ, MK] * fac * d2c[0]
             py = J / R + np.asarray(psi[1])[MI, MJ, MK] * fac * d2c[1]
             pz = K / R + np.asarray(psi[2])[MI, MJ, MK] * fac * d2c[2]
