@@ -1,17 +1,21 @@
-"""Benchmark: the reference's HEADLINE configuration — a USE_TS_FLUCT +
-inhomogeneous-recombination lightcone-style node scroll — on one TPU chip.
+"""Benchmark: the reference's HEADLINE configuration, MEASURED end to end.
 
 Baseline (BASELINE.md / JOSS v3 paper): the reference C code runs the full
-z=5-35 lightcone (92 nodes, Ts + INHOMO_RECO, HII_DIM=250, DIM=1000) in
-7.63 hr = 27468 s on a 16-core Xeon.  Measuring all 92 nodes per round is
-wasteful, so this bench times the initial conditions plus a short steady-state
-segment of the same per-node pipeline (HaloBox-free Eulerian path: perturb ->
-Ts shell ladder -> ionization + recombinations -> Tb) at HII_DIM=256 and
-projects the full-ladder wall-clock:
+z=5-35 lightcone (92 nodes, USE_TS_FLUCT + INHOMO_RECO, HII_DIM=250, DIM=1000,
+i.e. DIM = 4 x HII_DIM) in 7.63 hr = 27468 s on a 16-core Xeon.
 
-    projected = t_ics + 92 * t_per_node
+This bench runs the REAL thing on one TPU chip — a full z=5-35 lightcone at
+HII_DIM=256, DIM=1024 (the faithful 4x hires ratio), USE_TS_FLUCT +
+inhomogeneous recombinations, RSDs applied — and reports the measured
+wall-clock (ICs + all nodes + lightcone assembly; compile time for cold
+kernels is included in the wall-clock but also broken out via the median
+per-node time).  A second segment runs a short HII_DIM=512 / DIM=1024 node
+scroll and reports its steady per-node time (the 512^3 single-chip
+feasibility figure).
 
-`vs_baseline` is 27468 / projected.  Prints exactly one JSON line.
+No silent size fallback: if the headline config fails, the bench emits
+`bench_failed` with the error class instead of quietly shrinking the box.
+Prints exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -23,9 +27,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-import numpy as np
-
-N_NODES_FULL = 92  # reference headline ladder, z=5-35 at ZPRIME_STEP_FACTOR=1.02
 BASELINE_S = 27468.0
 
 
@@ -46,12 +47,10 @@ def _checksum(*arrays):
     return sum(float(jnp.sum(a)) for a in arrays if a is not None)
 
 
-def run_headline(hii_dim: int, dim: int, seed: int):
-    """Time ICs and a 5-node steady-state segment of the headline config."""
+def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime):
     import py21cmfast_tpu as p21
-    from py21cmfast_tpu.drivers.coeval import generate_coeval
 
-    inputs = p21.InputParameters(random_seed=seed).evolve_input_structs(
+    return p21.InputParameters(random_seed=seed).evolve_input_structs(
         HII_DIM=hii_dim,
         DIM=dim,
         BOX_LEN=1.5 * hii_dim,
@@ -61,70 +60,114 @@ def run_headline(hii_dim: int, dim: int, seed: int):
         R_BUBBLE_MAX=50.0,
         USE_EXP_FILTER=False,
         CELL_RECOMB=False,
-        Z_HEAT_MAX=12.2,           # short ladder: ~6 nodes from z=10
-        ZPRIME_STEP_FACTOR=1.03,
-    ).with_logspaced_redshifts(10.0)
+        Z_HEAT_MAX=z_max,
+        ZPRIME_STEP_FACTOR=zprime,
+    ).with_logspaced_redshifts(z_min)
+
+
+def run_full_lightcone(hii_dim=256, dim=1024, seed=3):
+    """The measured headline: full z=5-35 ladder, all fields, RSDs."""
+    import numpy as np
+
+    import py21cmfast_tpu as p21
+
+    inputs = _headline_inputs(hii_dim, dim, seed, z_min=5.0, z_max=35.0, zprime=1.02)
+    n_nodes = len(inputs.node_redshifts)
 
     t0 = time.perf_counter()
     ics = p21.compute_initial_conditions(inputs)
-    _checksum(ics.lowres_density, ics.hires_density)
+    _checksum(ics.lowres_density)
     t_ics = time.perf_counter() - t0
 
-    n_nodes = 0
-    t1 = time.perf_counter()
+    node_times = []
+    t_prev = time.perf_counter()
+    lc = None
+    for z, _cv, lc in p21.generate_lightcone(inputs, initial_conditions=ics,
+                                             apply_rsds=True):
+        if z is None:
+            break
+        now = time.perf_counter()
+        node_times.append(now - t_prev)
+        t_prev = now
+    tb = lc.lightcones["brightness_temp"]
+    _ = float(np.asarray(tb[:2, :2, :2]).sum())  # force completion
+    total = time.perf_counter() - t0
+    return {
+        "total_s": total,
+        "t_ics_s": t_ics,
+        "n_nodes": n_nodes,
+        "node_median_s": float(np.median(node_times)),
+        "node_p90_s": float(np.percentile(node_times, 90)),
+        "global_xh_end": float(lc.global_quantities["neutral_fraction"][-1]),
+    }
+
+
+def run_512_segment(seed=4):
+    """Short HII_DIM=512 / DIM=1024 node scroll: per-node steady time."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.drivers.coeval import generate_coeval
+
+    inputs = _headline_inputs(512, 1024, seed, z_min=10.0, z_max=12.2, zprime=1.03)
+    t0 = time.perf_counter()
+    ics = p21.compute_initial_conditions(inputs)
+    _checksum(ics.lowres_density)
+    t_ics = time.perf_counter() - t0
+
+    times = []
+    t_prev = time.perf_counter()
     last = None
     for cv in generate_coeval(inputs, out_redshifts=(), initial_conditions=ics):
-        n_nodes += 1
         last = cv
-    _checksum(
-        last.brightness_temperature.brightness_temp,
-        last.ionized_box.neutral_fraction,
-        last.spin_temp.spin_temperature if last.spin_temp else None,
-    )
-    t_scroll = time.perf_counter() - t1
-    return t_ics, t_scroll, n_nodes
+        _checksum(cv.brightness_temperature.brightness_temp)
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
+    assert last is not None
+    # the final node time is the steady-state figure (earlier ones compile)
+    return {"t_ics_s": t_ics, "node_times_s": [round(t, 2) for t in times],
+            "node_last_s": times[-1], "n_nodes": len(times)}
 
 
 def main():
-    import gc
-    import traceback
-
     _enable_compile_cache()
-    for hii_dim, dim in ((256, 512), (192, 384), (128, 256)):
-        try:
-            # first pass compiles everything at the bench shape
-            run_headline(hii_dim, dim, seed=1)
-            t_ics, t_scroll, n_nodes = run_headline(hii_dim, dim, seed=2)
-            per_node = t_scroll / n_nodes
-            projected = t_ics + N_NODES_FULL * per_node
-            print(
-                json.dumps(
-                    {
-                        "metric": f"ts_recomb_lightcone_projected_hii{hii_dim}_seconds",
-                        "value": round(projected, 1),
-                        "unit": "s",
-                        "vs_baseline": round(BASELINE_S / projected, 1),
-                        "detail": {
-                            "t_ics_s": round(t_ics, 2),
-                            "t_per_node_s": round(per_node, 2),
-                            "nodes_measured": n_nodes,
-                            "nodes_projected": N_NODES_FULL,
-                        },
-                    }
-                )
-            )
-            return
-        except Exception as e:  # noqa: BLE001 — OOM fallback to smaller box
-            print(f"bench at HII_DIM={hii_dim} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            traceback.clear_frames(e.__traceback__)
-            del e
-            gc.collect()
-            import jax
+    detail = {}
+    try:
+        seg512 = run_512_segment()
+        detail["hii512_dim1024"] = {
+            "t_ics_s": round(seg512["t_ics_s"], 1),
+            "node_last_s": round(seg512["node_last_s"], 2),
+            "n_nodes": seg512["n_nodes"],
+        }
+    except Exception as e:  # noqa: BLE001
+        detail["hii512_dim1024"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
-            jax.clear_caches()
-            gc.collect()
-    print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "s", "vs_baseline": 0}))
+    try:
+        full = run_full_lightcone()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "bench_failed",
+            "value": 0,
+            "unit": "s",
+            "vs_baseline": 0,
+            "detail": {**detail, "error": f"{type(e).__name__}: {e}"[:300]},
+        }))
+        return
+
+    detail.update(
+        t_ics_s=round(full["t_ics_s"], 1),
+        n_nodes=full["n_nodes"],
+        node_median_s=round(full["node_median_s"], 2),
+        node_p90_s=round(full["node_p90_s"], 2),
+        global_xh_end=round(full["global_xh_end"], 4),
+        config="hii256_dim1024_z5-35_ts_recomb_rsds_measured",
+    )
+    print(json.dumps({
+        "metric": "ts_recomb_lightcone_measured_hii256_dim1024_seconds",
+        "value": round(full["total_s"], 1),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / full["total_s"], 1),
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

@@ -216,6 +216,63 @@ def _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel):
     ]
 
 
+# ------------------------------------------------------- big-grid jit stages
+# Above the staged-FFT threshold every hires transform runs as its own
+# top-level dispatch with donation (ops/fft.py): a jit wrapper around
+# filter+irfft at 1024^3 keeps d_k + filtered k-grid + FFT buffers + output
+# live in one program and exceeds the chip.
+
+
+def _color_white_k_body(w_k, ln_k_table, sqrtp_table, n_tot, volume, *, hi_shape,
+                        box_lens):
+    """w_k -> d_k (donated in-place by the big path)."""
+    kmag = grids.kmag_grid(hi_shape, box_lens)
+    lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
+    x0 = ln_k_table[0]
+    inv_dx = (ln_k_table.shape[0] - 1) / (ln_k_table[-1] - ln_k_table[0])
+    amp = jnp.where(kmag > 0, grids.uniform_lerp(lnk, x0, inv_dx, sqrtp_table), 0.0)
+    return w_k * (amp * jnp.sqrt(n_tot / volume))
+
+
+_color_white_k_donated = partial(
+    jax.jit, static_argnames=("hi_shape", "box_lens"), donate_argnums=(0,)
+)(_color_white_k_body)
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "do_filter", "out_res"))
+def _filter_k_only(d_k, *, hi_shape, box_lens, do_filter, out_res):
+    if not do_filter:
+        return d_k + 0.0
+    kmag = grids.kmag_grid(hi_shape, box_lens)
+    smooth_R = physconst.l_factor * box_lens[0] / out_res
+    return filters.filter_kbox(d_k, kmag, filters.TOPHAT, smooth_R)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hi_shape", "box_lens", "do_filter", "out_res", "axis"),
+)
+def _gradient_k_only(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
+    ksq = grids.ksq_grid(hi_shape, box_lens)
+    kvec = _kvec_grid(jnp.int32(axis), hi_shape, box_lens)
+    ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+    g_k = jnp.where(ksq > 0, d_k * (1j * kvec / ksq_safe), 0.0)
+    if do_filter:
+        smooth_R = physconst.l_factor * box_lens[0] / out_res
+        g_k = filters.filter_kbox(g_k, jnp.sqrt(ksq), filters.TOPHAT, smooth_R)
+    return g_k
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def _subsample_jit(x, *, out_shape):
+    return grids.subsample(x, out_shape)
+
+
+def _big_irfft_owned(g_k, hi_shape):
+    """Top-level staged inverse transform of a buffer we own (donated)."""
+    return fft._irfft3_staged(g_k, hi_shape, own_input=True)
+
+
 # --------------------------------------------------------------- public API
 
 
@@ -296,31 +353,81 @@ def compute_initial_conditions(
     filter_lowres = so.dim != so.HII_DIM
     do_filter_vel = filter_lowres and (pt_shape != hi_shape)
 
+    big = int(np.prod(hi_shape)) >= fft._STAGED_FFT_CELLS
+
     if initial_density is not None:
         hires_density = jnp.asarray(initial_density, jnp.float32)
-        d_k = jax.jit(fft.rfft3)(hires_density)
+        d_k = (
+            fft._rfft3_staged(hires_density)
+            if big
+            else jax.jit(fft.rfft3)(hires_density)
+        )
+    elif big:
+        # top-level staged pipeline: each hires transform is its own dispatch
+        # with donated intermediates — one fused jit per field keeps
+        # d_k + filtered grid + FFT buffers + output live at once and OOMs
+        hires_density = None  # materialized LAST (see below) to cap peak HBM
+        ln_k, sqrtp = power_amplitude_table(inputs)
+        key = jax.random.PRNGKey(inputs.random_seed)
+        white = jax.jit(
+            lambda k: jax.random.normal(k, hi_shape, dtype=jnp.float32)
+        )(key)
+        w_k = fft._rfft3_staged(white)
+        del white
+        n_tot = float(np.prod(hi_shape))
+        volume = float(np.prod(box_lens))
+        d_k = _color_white_k_donated(
+            w_k, ln_k, sqrtp, jnp.float32(n_tot), jnp.float32(volume),
+            hi_shape=hi_shape, box_lens=box_lens,
+        )
+        del w_k
     else:
         ln_k, sqrtp = power_amplitude_table(inputs)
         key = jax.random.PRNGKey(inputs.random_seed)
         d_k = _sample_dk(key, ln_k, sqrtp, hi_shape=hi_shape, box_lens=box_lens)
         hires_density = _to_real(d_k, hi_shape=hi_shape)
 
-    lowres_density = _filtered_sample(
-        d_k, hi_shape=hi_shape, box_lens=box_lens, out_shape=lo_shape,
-        do_filter=filter_lowres,
-    )
-
-    vel = [
-        _gradient_field(
-            d_k,
-            hi_shape=hi_shape,
-            box_lens=box_lens,
-            axis=ax,
-            out_shape=pt_shape,
-            do_filter=do_filter_vel,
+    if big:
+        g_k = _filter_k_only(
+            d_k, hi_shape=hi_shape, box_lens=box_lens,
+            do_filter=filter_lowres, out_res=lo_shape[0],
         )
-        for ax in range(3)
-    ]
+        x = _big_irfft_owned(g_k, hi_shape)
+        del g_k
+        lowres_density = (
+            _subsample_jit(x, out_shape=lo_shape) if lo_shape != hi_shape else x
+        )
+        del x
+        vel = []
+        for ax in range(3):
+            g_k = _gradient_k_only(
+                d_k, hi_shape=hi_shape, box_lens=box_lens,
+                do_filter=do_filter_vel, out_res=pt_shape[0], axis=ax,
+            )
+            x = _big_irfft_owned(g_k, hi_shape)
+            del g_k
+            vel.append(
+                _subsample_jit(x, out_shape=pt_shape)
+                if pt_shape != hi_shape else x
+            )
+            del x
+    else:
+        lowres_density = _filtered_sample(
+            d_k, hi_shape=hi_shape, box_lens=box_lens, out_shape=lo_shape,
+            do_filter=filter_lowres,
+        )
+
+        vel = [
+            _gradient_field(
+                d_k,
+                hi_shape=hi_shape,
+                box_lens=box_lens,
+                axis=ax,
+                out_shape=pt_shape,
+                do_filter=do_filter_vel,
+            )
+            for ax in range(3)
+        ]
 
     lowres_vcb = None
     if mo.V_CB_MODEL == "FLUCTS":
@@ -344,6 +451,12 @@ def compute_initial_conditions(
             del d_k_t
         else:
             vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
+
+    if big and hires_density is None:
+        # hires density last: at this point only d_k is hires-sized, so the
+        # inverse transform's in+out buffers fit alongside it
+        hires_density = fft._irfft3_staged(d_k, hi_shape, own_input=False)
+    del d_k
 
     return InitialConditions(
         hires_density=hires_density,

@@ -134,10 +134,13 @@ def _rfft3_staged(x):
     return y
 
 
-def _irfft3_staged(kx, shape):
-    # first pass must NOT donate: the caller may still hold kx (e.g. d_k
-    # reused across several gradient fields)
-    y = _fft_pass(kx, axis=0, nchunks=_nchunks(kx.shape, 2), kind="ifft")
+def _irfft3_staged(kx, shape, own_input=False):
+    # by default the first pass must NOT donate: the caller may still hold kx
+    # (e.g. d_k reused across several gradient fields).  `own_input=True`
+    # (caller-owned temporary) lets the whole chain run in place — at 1024^3
+    # the extra 4.3 GB buffer is the difference between fitting and OOM.
+    first = _fft_pass_inplace if own_input else _fft_pass
+    y = first(kx, axis=0, nchunks=_nchunks(kx.shape, 2), kind="ifft")
     y = _fft_pass_inplace(y, axis=1, nchunks=_nchunks(y.shape, 2), kind="ifft")
     return _irfft_z_pass(y, nz=shape[2], nchunks=_nchunks(y.shape, 0))
 

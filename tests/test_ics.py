@@ -172,3 +172,18 @@ def test_truncated_dk_matches_lowres_sampling():
     ref[8:, 8:] = d_k[24:, 24:, :9]
     ref_field = np.fft.irfftn(ref * (16**3 / 32**3), s=(16, 16, 16), axes=(0, 1, 2))
     assert np.abs(small - ref_field).max() < 1e-5 * np.abs(ref_field).std()
+
+
+def test_big_ics_path_matches_small(inputs, monkeypatch):
+    """The top-level staged big-grid ICs pipeline (donated per-axis FFTs,
+    used above ~600^3 where one-jit-per-field OOMs) is numerically identical
+    to the fused small-grid path."""
+    from py21cmfast_tpu.ops import fft as fftmod
+
+    a = compute_initial_conditions(inputs)
+    monkeypatch.setattr(fftmod, "_STAGED_FFT_CELLS", 1)
+    b = compute_initial_conditions(inputs)
+    for name in ("hires_density", "lowres_density", "vx", "vy", "vz"):
+        x = np.asarray(getattr(a, name))
+        y = np.asarray(getattr(b, name))
+        assert np.abs(x - y).max() < 2e-4 * max(np.abs(x).max(), 1e-12), name
