@@ -239,8 +239,7 @@ _color_white_k_donated = partial(
 )(_color_white_k_body)
 
 
-@partial(jax.jit, static_argnames=("hi_shape", "box_lens", "do_filter", "out_res"))
-def _filter_k_only(d_k, *, hi_shape, box_lens, do_filter, out_res):
+def _filter_k_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res):
     if not do_filter:
         return d_k + 0.0
     kmag = grids.kmag_grid(hi_shape, box_lens)
@@ -248,13 +247,23 @@ def _filter_k_only(d_k, *, hi_shape, box_lens, do_filter, out_res):
     return filters.filter_kbox(d_k, kmag, filters.TOPHAT, smooth_R)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("hi_shape", "box_lens", "do_filter", "out_res", "axis"),
-)
-def _gradient_k_only(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
+_filter_k_only = partial(
+    jax.jit, static_argnames=("hi_shape", "box_lens", "do_filter", "out_res")
+)(_filter_k_only_body)
+_filter_k_only_donated = partial(
+    jax.jit, static_argnames=("hi_shape", "box_lens", "do_filter", "out_res"),
+    donate_argnums=(0,),
+)(_filter_k_only_body)
+
+
+def _gradient_k_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
+    # axis is STATIC here (one compile per axis): broadcast the k-vector
+    # directly so the whole elementwise chain fuses — the traced-axis
+    # `_kvec_grid` switch materializes full (padded) k-grids, which at
+    # 1024^3 is 2x 3.35 GB of dead weight next to two 5.37 GB spectra
+    kx, ky, kz = grids.k_axes(hi_shape, box_lens)
+    kvec = (kx[:, None, None], ky[None, :, None], kz[None, None, :])[axis]
     ksq = grids.ksq_grid(hi_shape, box_lens)
-    kvec = _kvec_grid(jnp.int32(axis), hi_shape, box_lens)
     ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
     g_k = jnp.where(ksq > 0, d_k * (1j * kvec / ksq_safe), 0.0)
     if do_filter:
@@ -263,14 +272,26 @@ def _gradient_k_only(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
     return g_k
 
 
+_gradient_k_only = partial(
+    jax.jit,
+    static_argnames=("hi_shape", "box_lens", "do_filter", "out_res", "axis"),
+)(_gradient_k_only_body)
+_gradient_k_only_donated = partial(
+    jax.jit,
+    static_argnames=("hi_shape", "box_lens", "do_filter", "out_res", "axis"),
+    donate_argnums=(0,),
+)(_gradient_k_only_body)
+
+
 @partial(jax.jit, static_argnames=("out_shape",))
 def _subsample_jit(x, *, out_shape):
     return grids.subsample(x, out_shape)
 
 
-def _big_irfft_owned(g_k, hi_shape):
-    """Top-level staged inverse transform of a buffer we own (donated)."""
-    return fft._irfft3_staged(g_k, hi_shape, own_input=True)
+def _big_irfft_owned(g_k_box, hi_shape):
+    """Top-level staged inverse of a CONSUMED buffer: pass [g_k] and drop
+    your reference (see fft.irfft3_consume for the async-lifetime rationale)."""
+    return fft.irfft3_consume(g_k_box, hi_shape)
 
 
 # --------------------------------------------------------------- public API
@@ -376,11 +397,16 @@ def compute_initial_conditions(
         del white
         n_tot = float(np.prod(hi_shape))
         volume = float(np.prod(box_lens))
+        jax.block_until_ready(w_k)
         d_k = _color_white_k_donated(
             w_k, ln_k, sqrtp, jnp.float32(n_tot), jnp.float32(volume),
             hi_shape=hi_shape, box_lens=box_lens,
         )
         del w_k
+        # serialize every big-path stage boundary: async dispatch otherwise
+        # overlaps two 5.37 GB half-spectra with the next stage's output
+        # (scripts/r3 ics debug walks: blocked sequence fits, unblocked OOMs)
+        jax.block_until_ready(d_k)
     else:
         ln_k, sqrtp = power_amplitude_table(inputs)
         key = jax.random.PRNGKey(inputs.random_seed)
@@ -388,29 +414,45 @@ def compute_initial_conditions(
         hires_density = _to_real(d_k, hi_shape=hi_shape)
 
     if big:
-        g_k = _filter_k_only(
-            d_k, hi_shape=hi_shape, box_lens=box_lens,
-            do_filter=filter_lowres, out_res=lo_shape[0],
-        )
-        x = _big_irfft_owned(g_k, hi_shape)
-        del g_k
-        lowres_density = (
-            _subsample_jit(x, out_shape=lo_shape) if lo_shape != hi_shape else x
-        )
-        del x
-        vel = []
-        for ax in range(3):
-            g_k = _gradient_k_only(
-                d_k, hi_shape=hi_shape, box_lens=box_lens,
-                do_filter=do_filter_vel, out_res=pt_shape[0], axis=ax,
+        # The rfft half-spectrum's nz/2+1 lane dim pads to the next multiple
+        # of 128 on TPU (513 -> 640 at 1024^3: 5.37 GB per complex grid), so
+        # holding d_k across the field loop + a working pair exceeds the chip.
+        # Instead materialize ONLY the real hires density persistently and
+        # re-derive the spectrum per field with a forward staged FFT (~2 s
+        # each, once per run): peak = hires + one c64 + one output.
+        box = [d_k]
+        del d_k
+        hires_density = fft.irfft3_consume(box, hi_shape)
+        jax.block_until_ready(hires_density)
+
+        def _field(do_filter, out_res, axis=None):
+            k = fft._rfft3_staged(hires_density)
+            jax.block_until_ready(k)
+            if axis is None:
+                k = _filter_k_only_donated(
+                    k, hi_shape=hi_shape, box_lens=box_lens,
+                    do_filter=do_filter, out_res=out_res,
+                )
+            else:
+                k = _gradient_k_only_donated(
+                    k, hi_shape=hi_shape, box_lens=box_lens,
+                    do_filter=do_filter, out_res=out_res, axis=axis,
+                )
+            jax.block_until_ready(k)
+            kbox = [k]
+            del k
+            x = _big_irfft_owned(kbox, hi_shape)
+            jax.block_until_ready(x)
+            out_shape = lo_shape if axis is None else pt_shape
+            out = (
+                _subsample_jit(x, out_shape=out_shape)
+                if out_shape != hi_shape else x
             )
-            x = _big_irfft_owned(g_k, hi_shape)
-            del g_k
-            vel.append(
-                _subsample_jit(x, out_shape=pt_shape)
-                if pt_shape != hi_shape else x
-            )
-            del x
+            jax.block_until_ready(out)
+            return out
+
+        lowres_density = _field(filter_lowres, lo_shape[0])
+        vel = [_field(do_filter_vel, pt_shape[0], axis=ax) for ax in range(3)]
     else:
         lowres_density = _filtered_sample(
             d_k, hi_shape=hi_shape, box_lens=box_lens, out_shape=lo_shape,
@@ -431,7 +473,11 @@ def compute_initial_conditions(
 
     lowres_vcb = None
     if mo.V_CB_MODEL == "FLUCTS":
+        if big:
+            d_k = fft._rfft3_staged(hires_density)
         lowres_vcb = compute_vcb_box(inputs, d_k)
+        if big:
+            del d_k
 
     vel_2lpt = (None, None, None)
     if mo.PERTURB_ALGORITHM == "2LPT":
@@ -439,24 +485,27 @@ def compute_initial_conditions(
         trunc_shape = tuple(
             int(round(s * t / hi_shape[0])) for s in hi_shape
         )
-        if (
+        use_trunc = (
             int(np.prod(hi_shape)) >= _2LPT_MAX_INHBM_CELLS
             and all(p <= c for p, c in zip(pt_shape, trunc_shape))
             and all(c % p == 0 for p, c in zip(pt_shape, trunc_shape))
-        ):
+        )
+        if big:
+            d_k = fft._rfft3_staged(hires_density)
+            jax.block_until_ready(d_k)
+        if use_trunc:
             d_k_t = _truncate_dk(d_k, hi_shape=hi_shape, trunc_shape=trunc_shape)
+            jax.block_until_ready(d_k_t)
+            if big:
+                del d_k
             vel_2lpt = _compute_2lpt(
                 d_k_t, trunc_shape, box_lens, pt_shape, do_filter_vel
             )
             del d_k_t
         else:
             vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
-
-    if big and hires_density is None:
-        # hires density last: at this point only d_k is hires-sized, so the
-        # inverse transform's in+out buffers fit alongside it
-        hires_density = fft._irfft3_staged(d_k, hi_shape, own_input=False)
-    del d_k
+            if big:
+                del d_k
 
     return InitialConditions(
         hires_density=hires_density,

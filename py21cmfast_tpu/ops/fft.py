@@ -26,7 +26,7 @@ import numpy as np
 # Above this many cells, route through the staged per-axis path.
 _STAGED_FFT_CELLS = 600**3
 # Target chunk footprint (complex64 elements) per scan step.
-_CHUNK_ELEMS = 32 * 1024 * 1024
+_CHUNK_ELEMS = 8 * 1024 * 1024
 
 
 def _nchunks(shape, chunk_axis):
@@ -124,14 +124,47 @@ def _irfft_z_pass(kx, **kw):
     return _irfft_z_pass_plain(kx, **kw)
 
 
+# Above this many k-cells the c2c passes serialize (block + free between
+# dispatches): async enqueue would transiently hold three padded
+# half-spectra (~16 GB at 1024^3) whether or not donation is accepted.
+_SERIALIZE_K_CELLS = 512 * 512 * 512
+
+
 def _rfft3_staged(x):
     shape = x.shape
     y = _rfft_z_pass(x, nchunks=_nchunks(shape, 0))
+    serialize = (
+        int(np.prod(y.shape)) >= _SERIALIZE_K_CELLS
+        and not isinstance(y, jax.core.Tracer)
+    )
     for axis in (1, 0):
-        y = _fft_pass_inplace(
+        if serialize:
+            jax.block_until_ready(y)
+        y2 = _fft_pass_inplace(
             y, axis=axis, nchunks=_nchunks(y.shape, 2), kind="fft"
         )
+        del y
+        y = y2
     return y
+
+
+def irfft3_consume(kx_box, shape):
+    """Staged inverse transform that CONSUMES its input spectrum.
+
+    `kx_box` is a single-element list; the caller must drop every other
+    reference before calling.  Each pass blocks and frees its predecessor
+    before the next allocates: at 1024^3 the c64 half-spectrum pads
+    513 -> 640 lanes (5.37 GB), and without this discipline the async
+    dispatch transiently holds three of them (~16 GB > chip) even when
+    buffer donation is accepted."""
+    kx = kx_box.pop()
+    y = _fft_pass_inplace(kx, axis=0, nchunks=_nchunks(kx.shape, 2), kind="ifft")
+    jax.block_until_ready(y)
+    del kx
+    y2 = _fft_pass_inplace(y, axis=1, nchunks=_nchunks(y.shape, 2), kind="ifft")
+    jax.block_until_ready(y2)
+    del y
+    return _irfft_z_pass(y2, nz=shape[2], nchunks=_nchunks(y2.shape, 0))
 
 
 def _irfft3_staged(kx, shape, own_input=False):

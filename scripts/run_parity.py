@@ -196,7 +196,7 @@ FIELD_MAP = {
     "cumulative_recombinations": lambda cv: cv.ionized_box.cumulative_recombinations,
 }
 
-SEEDS = [101, 202, 303, 404, 505]
+SEEDS = [101, 202, 303, 404, 505, 606, 707, 808, 909, 1010]
 
 
 def _register_gold_class_transfer(name: str):
