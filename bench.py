@@ -5,13 +5,14 @@ z=5-35 lightcone (92 nodes, USE_TS_FLUCT + INHOMO_RECO, HII_DIM=250, DIM=1000,
 i.e. DIM = 4 x HII_DIM) in 7.63 hr = 27468 s on a 16-core Xeon.
 
 This bench runs the REAL thing on one TPU chip — a full z=5-35 lightcone at
-HII_DIM=256, DIM=1024 (the faithful 4x hires ratio), USE_TS_FLUCT +
-inhomogeneous recombinations, RSDs applied — and reports the measured
+HII_DIM=256, DIM=768 (3x hires ratio; the 4x DIM=1024 path runs but is not
+yet soak-stable on the axon runtime — see docs/performance.md), USE_TS_FLUCT
++ inhomogeneous recombinations, RSDs applied — and reports the measured
 wall-clock (ICs + all nodes + lightcone assembly; compile time for cold
 kernels is included in the wall-clock but also broken out via the median
-per-node time).  A second segment runs a short HII_DIM=512 / DIM=1024 node
-scroll and reports its steady per-node time (the 512^3 single-chip
-feasibility figure).
+per-node time).  A second segment runs a short HII_DIM=512 node scroll and
+reports its steady per-node time (the 512^3 single-chip feasibility
+figure).
 
 No silent size fallback: if the headline config fails, the bench emits
 `bench_failed` with the error class instead of quietly shrinking the box.
@@ -107,7 +108,7 @@ def run_full_lightcone(hii_dim=256, dim=768, seed=3):
 
 
 def run_512_segment(seed=4):
-    """Short HII_DIM=512 / DIM=1024 node scroll: per-node steady time."""
+    """Short HII_DIM=512 node scroll: per-node steady time."""
     import py21cmfast_tpu as p21
     from py21cmfast_tpu.drivers.coeval import generate_coeval
 
@@ -153,7 +154,7 @@ def _run_segment_subprocess(segment: str, timeout_s: int):
 def main():
     detail = {}
     seg = _run_segment_subprocess("512", timeout_s=3000)
-    detail["hii512_dim1024"] = seg
+    detail["hii512"] = seg
 
     full = _run_segment_subprocess("full", timeout_s=7000)
     if "error" in full:
@@ -167,9 +168,9 @@ def main():
         return
 
     detail.update(full)
-    detail["config"] = "hii256_dim1024_z5-35_ts_recomb_rsds_measured"
+    detail["config"] = "hii256_dim768_z5-35_ts_recomb_rsds_measured"
     print(json.dumps({
-        "metric": "ts_recomb_lightcone_measured_hii256_dim1024_seconds",
+        "metric": "ts_recomb_lightcone_measured_hii256_dim768_seconds",
         "value": full["total_s"],
         "unit": "s",
         "vs_baseline": round(BASELINE_S / full["total_s"], 1),

@@ -247,7 +247,7 @@ def _channel_stack_for(ics, ratio: int, d_init, lo_shape):
 def _pallas_deposit(ics, d_fields, d_init, *, ratio, support, cap, lo_shape):
     """Dense pass through the Pallas kernel + exact scatter for outliers."""
     from ..ops.pallas_deposit import build_dok_stack, pallas_factored_deposit
-    from ..ops.sep_deposit import _bad_mask, _outlier_scatter
+    from ..ops.sep_deposit import _bad_mask
 
     if cap > 0:
         bad = _bad_mask(d_fields, ratio=ratio, support=support)
@@ -260,8 +260,10 @@ def _pallas_deposit(ics, d_fields, d_init, *, ratio, support, cap, lo_shape):
         chan, dok, ratio=ratio, support=support, lo_shape=tuple(lo_shape)
     )
     if cap > 0:
-        acc = _outlier_scatter(
-            acc, ics.hires_density, d_init, d_fields, bad,
+        from ..ops.pallas_deposit import outlier_scatter_from_stack
+
+        acc = outlier_scatter_from_stack(
+            acc, chan, d_fields, bad,
             ratio=ratio, cap=cap, lo_shape=tuple(lo_shape),
         )
     return acc

@@ -210,3 +210,36 @@ def pallas_factored_deposit(
     rho = jnp.asarray(_rho(R), jnp.float32)
     call = _build_deposit_call(R, S, Bx, nx, ny, nz)
     return call(chan_pad, dok_pad, rho)
+
+
+@partial(jax.jit, static_argnames=("ratio", "cap", "lo_shape"))
+def outlier_scatter_from_stack(acc, chan_pad, d, bad, *, ratio, cap, lo_shape):
+    """Exact CIC scatter for out-of-support cells, reading channel masses
+    from the cached x-padded stack (plain gathers).  The sep_deposit variant
+    gathers from strided slices of the hires grid, each of which XLA
+    materializes as a lane-relayout (~0.5 s x R^3 at DIM=768: 14.7 s/node
+    measured)."""
+    from . import cic
+
+    R = ratio
+    P = PAD_X
+    rho = _rho(R)
+    idx = jnp.argwhere(bad, size=cap, fill_value=-1)  # (cap, 3)
+    valid = idx[:, 0] >= 0
+    cx, cy, cz = idx[:, 0], idx[:, 1], idx[:, 2]
+    dxg = d[0][cx, cy, cz]
+    dyg = d[1][cx, cy, cz]
+    dzg = d[2][cx, cy, cz]
+    acc_flat = acc.reshape(-1)
+    for rx in range(R):
+        for ry in range(R):
+            for rz in range(R):
+                r3 = (rx * R + ry) * R + rz
+                mass = jnp.where(valid, chan_pad[r3, cx + P, cy, cz], 0.0)
+                px = cx.astype(jnp.float32) + dxg + rho[rx]
+                py = cy.astype(jnp.float32) + dyg + rho[ry]
+                pz = cz.astype(jnp.float32) + dzg + rho[rz]
+                acc_flat = cic.cic_scatter_flat(
+                    acc_flat, px, py, pz, mass, lo_shape
+                )
+    return acc_flat.reshape(lo_shape)
