@@ -136,6 +136,9 @@ def generate_lightcone(
     quantities = set(lightconer.quantities)
     if apply_rsds or include_dvdr_in_tau21:
         quantities.add("velocity_z")
+    if include_dvdr_in_tau21 and inputs.astro_options.USE_TS_FLUCT:
+        # the optically-thin dvdr correction needs tau_21 along the cone
+        quantities.add("tau_21")
     quantities = tuple(quantities)
 
     n_slices = lightconer.n_slices
