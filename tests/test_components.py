@@ -422,3 +422,67 @@ def test_perturb_deposit_modes_agree():
     a = np.asarray(pfs["SCATTER"].density, np.float64)
     b = np.asarray(pfs["SWEPT"].density, np.float64)
     assert np.sqrt(np.mean((a - b) ** 2)) < 1e-4 * max(a.std(), 1e-3)
+
+
+def test_pallas_deposit_paths_cpu_equivalence():
+    """The stack-based outlier scatter (pallas path) equals the sep_deposit
+    outlier scatter given the same plan (CPU check; the kernel itself is
+    TPU-only and validated by scripts/r3_pallas_check.py on hardware)."""
+    import jax.numpy as jnp
+
+    from py21cmfast_tpu.ops import pallas_deposit as PD
+    from py21cmfast_tpu.ops.sep_deposit import (
+        _bad_mask, _outlier_scatter, staged_factored_deposit,
+    )
+
+    rng = np.random.default_rng(2)
+    R, nl, S, cap = 2, 8, 1, 128
+    nh = nl * R
+    hires = jnp.asarray(rng.normal(0, 0.1, (nh, nh, nh)).astype(np.float32))
+    d = tuple(
+        jnp.asarray(rng.normal(0, 1.4, (nl, nl, nl)).astype(np.float32))
+        for _ in range(3)
+    )
+    bad = _bad_mask(d, ratio=R, support=S)
+    assert int(np.asarray(bad).sum()) > 0  # exercise the outlier branch
+    acc0 = jnp.zeros((nl, nl, nl), jnp.float32)
+    a = _outlier_scatter(
+        acc0, hires, jnp.float32(0.5), d, bad, ratio=R, cap=cap,
+        lo_shape=(nl, nl, nl),
+    )
+    chan = PD.build_channel_stack(
+        hires, jnp.float32(0.5), ratio=R, lo_shape=(nl, nl, nl)
+    )
+    b = PD.outlier_scatter_from_stack(
+        acc0, chan, d, bad, ratio=R, cap=cap, lo_shape=(nl, nl, nl)
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_channel_stack_matches_chan_slices():
+    """build_channel_stack equals the per-channel strided-slice definition
+    (incl. the x wrap padding)."""
+    import jax.numpy as jnp
+
+    from py21cmfast_tpu.ops import pallas_deposit as PD
+    from py21cmfast_tpu.ops.sep_deposit import _chan_slice
+
+    rng = np.random.default_rng(3)
+    R, nl = 3, 6
+    hires = jnp.asarray(rng.normal(0, 0.2, (18, 18, 18)).astype(np.float32))
+    stack = np.asarray(PD.build_channel_stack(
+        hires, jnp.float32(0.4), ratio=R, lo_shape=(nl, nl, nl)
+    ))
+    m = 1.0 + np.asarray(hires) * 0.4
+    P = PD.PAD_X
+    for rx in range(R):
+        for ry in range(R):
+            for rz in range(R):
+                r3 = (rx * R + ry) * R + rz
+                c = np.asarray(_chan_slice(jnp.asarray(m), rx, ry, rz, R))
+                np.testing.assert_allclose(
+                    stack[r3, P:P + nl], c, atol=1e-6
+                )
+                # x wrap pads
+                np.testing.assert_allclose(stack[r3, :P], c[nl - P:], atol=1e-6)
+                np.testing.assert_allclose(stack[r3, P + nl:], c[:P], atol=1e-6)
