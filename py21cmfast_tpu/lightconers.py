@@ -116,6 +116,10 @@ class RectilinearLightconer(Lightconer):
 
         box_lo = self.get_field(coeval_low, quantity, device=True)
         box_hi = self.get_field(coeval_high, quantity, device=True)
+        if box_lo is None or box_hi is None:
+            # the config doesn't populate this field (e.g. G12 without the
+            # inhomogeneous-recombination bookkeeping); leave slices empty
+            return None, None
         w = jnp.asarray((dists - d_low) / max(d_high - d_low, 1e-30), jnp.float32)
         pix_j = jnp.asarray(pix)
         lo = box_lo[:, :, pix_j]
@@ -187,8 +191,12 @@ class AngularLightconer(Lightconer):
             self.origin[None, None, :]
             + dists[:, None, None] * self.sightlines[None, :, :]
         ) / cell  # (n_slice, npix, 3)
-        box_lo = jnp.asarray(self.get_field(coeval_low, quantity))
-        box_hi = jnp.asarray(self.get_field(coeval_high, quantity))
+        lo_np = self.get_field(coeval_low, quantity)
+        hi_np = self.get_field(coeval_high, quantity)
+        if lo_np is None or hi_np is None:
+            return None, None
+        box_lo = jnp.asarray(lo_np)
+        box_hi = jnp.asarray(hi_np)
         px = jnp.asarray(pos[..., 0])
         py = jnp.asarray(pos[..., 1])
         pz = jnp.asarray(pos[..., 2])

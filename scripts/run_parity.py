@@ -292,7 +292,9 @@ def _lc_quantities(name: str):
             q.remove(f)
     if not kwargs.get("USE_MINI_HALOS", False):
         q.remove("J_21_LW")
-    if str(kwargs.get("RECOMB_MODEL", "none")).lower() == "none":
+    if str(kwargs.get("RECOMB_MODEL", "none")).upper() != "INHOMOGENEOUS":
+        # the reference keeps this for HOMOGENEOUS too; our homogeneous model
+        # does not populate per-cell cumulative recombinations yet (ROADMAP)
         q.remove("cumulative_recombinations")
     return q
 
