@@ -486,3 +486,50 @@ def test_channel_stack_matches_chan_slices():
                 # x wrap pads
                 np.testing.assert_allclose(stack[r3, :P], c[nl - P:], atol=1e-6)
                 np.testing.assert_allclose(stack[r3, P + nl:], c[:P], atol=1e-6)
+
+
+def test_deprecated_input_aliases():
+    """Reference-era field names map through with DeprecationWarnings
+    (inputs.py:819-840, 1336-1365, 1540-1735)."""
+    import warnings
+
+    base = p21.InputParameters(random_seed=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        i = base.evolve_input_structs(
+            INHOMO_RECO=True, USE_RELATIVE_VELOCITIES=True,
+            USE_MINI_HALOS=True, USE_TS_FLUCT=True, FIXED_VAVG=30.0,
+        )
+    assert i.astro_options.RECOMB_MODEL == "INHOMOGENEOUS"
+    assert i.astro_options.INHOMO_RECO is True  # legacy read-only property
+    assert i.matter_options.V_CB_MODEL == "FLUCTS"
+    assert i.astro_params.V_CB_AVG_DEBUG == 30.0
+    assert sum(issubclass(x.category, DeprecationWarning) for x in w) == 3
+
+
+def test_cfuncs_round3_surface(inputs):
+    """The round-3 cfuncs additions return physically sensible values."""
+    assert 0.1 < cfuncs.get_growth_factor(inputs, 8.0) < 0.2
+    p = cfuncs.get_matter_power_values(inputs, [0.1, 1.0])
+    assert p[0] > p[1] > 0
+    assert cfuncs.get_condition_mass(inputs, 5.0) > 1e13
+    assert 1.3 < cfuncs.get_delta_crit(inputs, 1e12, 8.0) < 1.8
+    inp_s = inputs.evolve_input_structs(SAMPLER_MIN_MASS=1e10)
+    n = cfuncs.get_expected_nhalo(inp_s, 8.0)
+    assert 10 < n < 1e7
+    assert cfuncs.get_halo_catalog_buffer_size(inp_s, 8.0) >= n
+    mt_a, mt_m = cfuncs.compute_mturns(
+        inputs.evolve_input_structs(USE_MINI_HALOS=True, USE_TS_FLUCT=True,
+                                    RECOMB_MODEL="inhomogeneous",
+                                    R_BUBBLE_MAX=5.0),
+        8.0, J_LW_21=1.0,
+    )
+    assert mt_a > 1e7 and 1e5 < mt_m < mt_a * 10
+    f = cfuncs.evaluate_FgtrM_cond(inputs, 8.0, 1e13, [0.0, 0.5])
+    assert 0 < f[0] < f[1] < 1
+    sfrd, _ = cfuncs.evaluate_SFRD_z(inputs, [8.0, 12.0])
+    assert sfrd[0] > sfrd[1] > 0
+    nion, _ = cfuncs.evaluate_Nion_z(inputs, [8.0, 12.0])
+    assert nion[0] > nion[1] > 0
+    ci = cfuncs.integrate_chmf_interval(inputs, 8.0, 1e9, 1e11, 1e13, [0.0, 0.5])
+    assert ci[1] > ci[0] > 0
