@@ -532,7 +532,7 @@ def _ts_shell_scan(
                 frac = t - i0
                 fcoll = table[i0] * (1 - frac) + table[i0 + 1] * frac
             fcoll = jnp.where(delta_zpp >= dhi, cap, fcoll)
-            fcoll = jnp.maximum(fcoll, 1e-40)
+            fcoll = jnp.maximum(fcoll, 1e-35)
 
             if const_model:
                 # `table` holds -dfcoll/dz (the SFRD proxy); the mean fix uses
@@ -540,11 +540,19 @@ def _ts_shell_scan(
                 # grid:1061-1073: ave_sfrd accumulates fcoll, grid holds dfcoll)
                 fc = table_fc[i0] * (1 - frac) + table_fc[i0 + 1] * frac
                 fc = jnp.where(delta_zpp >= dhi, 1.0, fc)
-                ave_fcoll = jnp.maximum(gops.mean(fc, shape), 1e-40)
+                ave_fcoll = jnp.maximum(gops.mean(fc, shape), 1e-35)
             else:
-                ave_fcoll = jnp.maximum(gops.mean(fcoll, shape), 1e-40)
-            avg_fix = msfrd / ave_fcoll
-            sfr_term = (1.0 + delta_zpp) * fcoll * (zfac * avg_fix * fstar10)
+                ave_fcoll = jnp.maximum(gops.mean(fcoll, shape), 1e-35)
+            # form the O(1) grid/mean ratio BEFORE scaling by the global
+            # expectation: the reference's avg_fix = mean_sfr_zpp/ave_fcoll
+            # (SpinTemperatureBox.c:1617) is a double; in f32 it overflows to
+            # inf when the shell's conditional SFRD is ~0 everywhere (e.g.
+            # GAMMA-APPROX sharp cutoffs with Mturn_LW > M_atomic), and
+            # inf * flushed-subnormal = NaN.  Floors sit in the f32 normal
+            # range for the same reason.
+            sfr_term = (
+                (1.0 + delta_zpp) * (fcoll / ave_fcoll) * (zfac * msfrd * fstar10)
+            )
             # L_X * s/yr and the unit conversions are folded into the tables (host)
             if use_minihalos:
                 if use_cheby:
@@ -567,11 +575,12 @@ def _ts_shell_scan(
                 fcoll_mini = (v00 * (1 - frac) + v01 * frac) * (1 - fm) + (
                     v10 * (1 - frac) + v11 * frac
                 ) * fm
-                fcoll_mini = jnp.maximum(fcoll_mini, 1e-40)
-                ave_mini = jnp.maximum(gops.mean(fcoll_mini, shape), 1e-40)
+                fcoll_mini = jnp.maximum(fcoll_mini, 1e-35)
+                ave_mini = jnp.maximum(gops.mean(fcoll_mini, shape), 1e-35)
+                # grid/mean ratio first — see the ACG avg_fix note above
                 sfr_term_mini = (
-                    (1.0 + delta_zpp) * fcoll_mini
-                    * (zfac * (msfrd_mini / ave_mini) * fstar7)
+                    (1.0 + delta_zpp) * (fcoll_mini / ave_mini)
+                    * (zfac * msfrd_mini * fstar7)
                 )
                 xray_sfr = (sfr_term + sfr_term_mini * lx_ratio) * xr_fac
             else:
