@@ -1,6 +1,9 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh: distributed
 FFT round-trips and the sharded drivers vs the single-device path."""
 
+import os
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -330,23 +333,53 @@ def test_sharded_halo_paint_matches_single_device(mesh8):
         assert np.abs(a - b).max() < 1e-4 * scale, name
 
 
-def test_sharded_coeval_sampler_end_to_end(mesh8):
+_SAMPLER_E2E_BODY = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import py21cmfast_tpu as p21
+from py21cmfast_tpu.parallel import mesh as pmesh
+from py21cmfast_tpu.parallel.driver import run_sharded_coeval
+
+mesh8 = pmesh.make_mesh(8)
+inputs = p21.InputParameters(random_seed=31).evolve_input_structs(
+    HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
+    SAMPLER_MIN_MASS=2e9, ZPRIME_STEP_FACTOR=1.2,
+).with_logspaced_redshifts(8.0, 12.0)
+[shard_out] = run_sharded_coeval(inputs, [8.0], mesh=mesh8)
+xh_sharded = np.asarray(shard_out.neutral_fraction)
+assert xh_sharded.shape == (16, 16, 16)
+assert np.all((xh_sharded >= 0) & (xh_sharded <= 1))
+
+[cv] = p21.run_coeval(inputs, [8.0])
+xh_single = np.asarray(cv.ionized_box.neutral_fraction)
+# same physics, independent halo realizations: global means agree loosely
+assert abs(xh_sharded.mean() - xh_single.mean()) < 0.15
+print("SAMPLER-E2E-OK")
+"""
+
+
+def test_sharded_coeval_sampler_end_to_end():
     """CHMF-SAMPLER through run_sharded_coeval (slab sampling + sharded
     painting + mesh ionization): statistics match the single-device driver
-    (different RNG partition, so compare means)."""
-    import py21cmfast_tpu as p21
-    from py21cmfast_tpu.parallel.driver import run_sharded_coeval
+    (different RNG partition, so compare means).
 
-    inputs = p21.InputParameters(random_seed=31).evolve_input_structs(
-        HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
-        SAMPLER_MIN_MASS=2e9, ZPRIME_STEP_FACTOR=1.2,
-    ).with_logspaced_redshifts(8.0, 12.0)
-    [shard_out] = run_sharded_coeval(inputs, [8.0], mesh=mesh8)
-    xh_sharded = np.asarray(shard_out.neutral_fraction)
-    assert xh_sharded.shape == (16, 16, 16)
-    assert np.all((xh_sharded >= 0) & (xh_sharded <= 1))
+    Runs in a fresh subprocess: the 8-way SPMD sampler program is the largest
+    CPU compile in the suite, and XLA's single-core LLVM backend segfaults on
+    it once the parent process has accumulated a few hundred JIT'd modules
+    (deterministic at full-suite scale, never in isolation).  A clean process
+    compiles it reliably and still exercises the identical code path."""
+    import subprocess
+    import sys
 
-    [cv] = p21.run_coeval(inputs, [8.0])
-    xh_single = np.asarray(cv.ionized_box.neutral_fraction)
-    # same physics, independent halo realizations: global means agree loosely
-    assert abs(xh_sharded.mean() - xh_single.mean()) < 0.15
+    env = dict(os.environ)
+    prev = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in prev:
+        env["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "-c", _SAMPLER_E2E_BODY],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SAMPLER-E2E-OK" in proc.stdout
