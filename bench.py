@@ -52,7 +52,7 @@ def _checksum(*arrays):
     return sum(float(jnp.sum(a)) for a in arrays if a is not None)
 
 
-def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime):
+def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime, minimize_memory=False):
     import py21cmfast_tpu as p21
 
     return p21.InputParameters(random_seed=seed).evolve_input_structs(
@@ -67,6 +67,7 @@ def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime):
         CELL_RECOMB=False,
         Z_HEAT_MAX=z_max,
         ZPRIME_STEP_FACTOR=zprime,
+        MINIMIZE_MEMORY=minimize_memory,
     ).with_logspaced_redshifts(z_min)
 
 
@@ -112,22 +113,32 @@ def run_512_segment(seed=4):
     import py21cmfast_tpu as p21
     from py21cmfast_tpu.drivers.coeval import generate_coeval
 
-    inputs = _headline_inputs(512, 512, seed, z_min=10.0, z_max=12.2, zprime=1.03)
+    # MINIMIZE_MEMORY: the reference's own knob for exactly this regime
+    # (SpinTemperatureBox.c:1583-1609, inputs.py:780) — drops the per-cell
+    # MFP carry + kinetic_temperature grid so the 512^3 node fits 16 GB HBM.
+    inputs = _headline_inputs(512, 512, seed, z_min=10.0, z_max=12.2, zprime=1.03,
+                              minimize_memory=True)
     t0 = time.perf_counter()
     ics = p21.compute_initial_conditions(inputs)
     _checksum(ics.lowres_density)
+    from py21cmfast_tpu.drivers.coeval import hostify
+    ics = hostify(ics)  # don't keep a device-side alias of the 4 GiB ICs
     t_ics = time.perf_counter() - t0
 
     times = []
     t_prev = time.perf_counter()
-    last = None
-    for cv in generate_coeval(inputs, out_redshifts=(), initial_conditions=ics):
-        last = cv
+    n_done = 0
+    xh_end = None
+    for cv in generate_coeval(inputs, out_redshifts=(), initial_conditions=ics,
+                              ics_on_host=True):
         _checksum(cv.brightness_temperature.brightness_temp)
+        xh_end = float(cv.ionized_box.neutral_fraction.mean())
+        del cv  # retaining the full Coeval would hold ~3 GiB through the next node
+        n_done += 1
         now = time.perf_counter()
         times.append(now - t_prev)
         t_prev = now
-    assert last is not None
+    assert n_done > 0 and xh_end is not None
     # the final node time is the steady-state figure (earlier ones compile)
     return {"t_ics_s": t_ics, "node_times_s": [round(t, 2) for t in times],
             "node_last_s": times[-1], "n_nodes": len(times)}

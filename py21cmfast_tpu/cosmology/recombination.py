@@ -1,21 +1,27 @@
 """Cosmological recombination history: x_e(z), T_k(z) of the neutral IGM.
 
-Replaces the reference's tabulated RECFAST output (heating_helper_progs.c:94-199
-reading `_data/recfast_LCDM.dat`) with an on-the-fly Peebles three-level-atom
-solve (with the standard RECFAST fudge factor) + Compton/adiabatic temperature
-evolution.  Agreement with RECFAST is ~1% in the 6 < z < 50 range that matters
-for 21cmFAST (both x_e ~ 2e-4 and Tk are smooth there); computed once per
-cosmology on host and cached.
+Default source is the bundled RECFAST table — the SAME fixed public data file
+the reference reads unconditionally (heating_helper_progs.c:94-199 reading
+`_data/recfast_LCDM.dat`; the reference does not re-solve recombination for
+the run's cosmology, so neither do we by default: the table IS the reference
+semantics, and using anything else shifts the thermal initial conditions by
+a few percent).  A from-scratch Peebles three-level-atom solve (+ Compton/
+adiabatic temperature evolution, RECFAST fudge factor) is kept as the
+``source="PEEBLES"`` fallback for cosmologies far from the table's LCDM —
+it agrees with RECFAST to ~3% in Tk and ~7% in x_e at 6 < z < 50.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
+from pathlib import Path
 
 import numpy as np
 from scipy.integrate import solve_ivp
 
 from .constants import physconst
+
+_RECFAST_TABLE = Path(__file__).parent.parent / "_data" / "recfast_LCDM.dat"
 
 _LAMBDA_2S1S = 8.227  # s^-1, 2s->1s two-photon rate
 _E_ION_H = 13.605693  # eV
@@ -120,12 +126,29 @@ def _solve(cosmo_key):
     return z_grid[::-1].copy(), np.clip(x[::-1], 1e-10, 1.0), np.maximum(T[::-1], 0.0)
 
 
-class RecombinationHistory:
-    """x_e(z) and Tk(z) lookup for one cosmology."""
+@lru_cache(maxsize=1)
+def _load_recfast_table():
+    """Columns: z, x_e, T_CMB, T_k (reference T_RECFAST/xion_RECFAST read
+    columns 4 and 2 respectively, heating_helper_progs.c:114,166)."""
+    dat = np.loadtxt(_RECFAST_TABLE)
+    z = dat[::-1, 0].copy()  # ascending z for np.interp
+    return z, dat[::-1, 1].copy(), dat[::-1, 3].copy()
 
-    def __init__(self, cosmo):
-        key = (cosmo.hlittle, cosmo.OMm, cosmo.OMb, cosmo.OMr, cosmo.OMl, cosmo.Y_He)
-        self.z_grid, self.x_e_grid, self.tk_grid = _solve(key)
+
+class RecombinationHistory:
+    """x_e(z) and Tk(z) lookup for one cosmology.
+
+    source="RECFAST-TABLE" (default): the bundled fixed table, exactly as the
+    reference.  source="PEEBLES": on-the-fly three-level-atom solve for the
+    run's actual cosmology."""
+
+    def __init__(self, cosmo, source: str = "RECFAST-TABLE"):
+        if source == "RECFAST-TABLE" and _RECFAST_TABLE.exists():
+            self.z_grid, self.x_e_grid, self.tk_grid = _load_recfast_table()
+        else:
+            key = (cosmo.hlittle, cosmo.OMm, cosmo.OMb, cosmo.OMr, cosmo.OMl,
+                   cosmo.Y_He)
+            self.z_grid, self.x_e_grid, self.tk_grid = _solve(key)
 
     def x_e(self, z):
         return np.interp(z, self.z_grid, self.x_e_grid)

@@ -52,12 +52,56 @@ class Coeval:
         return self.perturbed_field.density
 
 
+def _slim_chain_ion(ion: IonizedBox | None, keep_xh: bool) -> IonizedBox | None:
+    """Prune an IonizedBox to the fields the NEXT snapshot actually reads.
+
+    The chain consumes z_reion + ionisation_rate_G12 (spintemp/minihalo
+    feedback), cumulative_recombinations, the mean_f_coll scalars and the
+    unnormalised_nion stacks; neutral_fraction is only read by the
+    XraySourceBox lookback (halo-model sources), and mean_free_path /
+    kinetic_temperature are pure outputs.  At 512^3 each dropped grid is
+    0.5 GiB of HBM that would otherwise stay live through the next node's
+    ionization scan."""
+    if ion is None:
+        return ion
+    return dataclasses.replace(
+        ion,
+        neutral_fraction=ion.neutral_fraction if keep_xh else None,
+        mean_free_path=None,
+        kinetic_temperature=None,
+    )
+
+
+def _slim_chain_pf(pf: PerturbedField | None, needed: bool):
+    """The previous PerturbedField is only read by the minihalo Nion
+    trapezoid (ionization track_nion), and then only its density."""
+    if pf is None or not needed:
+        return None
+    return dataclasses.replace(
+        pf, velocity_z=None, velocity_x=None, velocity_y=None,
+    )
+
+
 def _required_redshifts(inputs: InputParameters, out_redshifts):
     """Union of node redshifts and requested outputs, descending
     (reference _get_required_redshifts_coeval, coeval.py:971)."""
     zs = set(float(z) for z in out_redshifts)
     zs |= set(float(z) for z in inputs.node_redshifts)
     return sorted(zs, reverse=True)
+
+
+def hostify(struct):
+    """Move an output struct's arrays to host numpy (the TPU analog of the
+    reference's purge-to-disk array state machine, wrapper/arrays.py:374-436):
+    jitted kernels re-upload the leaves per call and the upload buffers are
+    freed when the call returns, so the struct stops occupying HBM between
+    uses."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(jax.device_get(a)) if hasattr(a, "devices") else a,
+        struct,
+    )
 
 
 def generate_coeval(
@@ -67,6 +111,7 @@ def generate_coeval(
     cache=None,
     cache_config=None,
     regenerate: bool = False,
+    ics_on_host: bool = False,
 ):
     """Yield Coeval objects at each requested redshift, evolving down the
     node-redshift ladder (reference _redshift_loop_generator, coeval.py:749).
@@ -101,6 +146,10 @@ def generate_coeval(
         if initial_conditions is None:
             initial_conditions = compute_initial_conditions(inputs)
             _cache_write(initial_conditions)
+    if ics_on_host:
+        # big-box mode: ~DIM^3 x 8 fields of ICs would otherwise stay live in
+        # HBM through every node's ionization scan (4 GiB at 512^3)
+        initial_conditions = hostify(initial_conditions)
 
     # resume: index of the last node (in descending-z scroll order) for which
     # every chain-coupling box is already cached
@@ -203,6 +252,10 @@ def generate_coeval(
                 ics=initial_conditions,
             )
 
+        # prev_ts has no reader past this point in the iteration (the Ts
+        # evolution carrier is ts_state); release it before the heavy kernels
+        prev_ts = None
+
         ts = None
         if ao.USE_TS_FLUCT:
             source_box = None
@@ -265,7 +318,14 @@ def generate_coeval(
         if (not out_redshifts) or any(abs(z - oz) < 1e-8 for oz in out_redshifts):
             yield coeval
 
-        prev_ion, prev_ts, prev_z, prev_pf = ion, ts, z, pf
+        # chain memory discipline: keep only what the next snapshot reads —
+        # the consumer owns the full boxes through the yielded Coeval
+        uses_source_grids = halobox is not None
+        prev_ion = _slim_chain_ion(ion, keep_xh=uses_source_grids)
+        prev_ts = ts
+        prev_z = z
+        prev_pf = _slim_chain_pf(pf, needed=ao.USE_MINI_HALOS)
+        del coeval, ion, tb, pf, ts, halobox
         if not needs_evolution:
             prev_ion = None  # no coupling between snapshots
 

@@ -180,6 +180,7 @@ def _build_nion_tables(inputs, ladder, sigma_table, growth, m_min, sc):
         "use_exp_filter",
         "use_minihalos",
         "track_nion",
+        "track_mfp",
         "use_cheby",
         "paint_spheres",
         "gops",
@@ -242,6 +243,7 @@ def _ionize_scan(
     use_exp_filter,
     use_minihalos,
     track_nion,
+    track_mfp=True,
     use_cheby,
     paint_spheres,
     gops: GridOps = SINGLE,
@@ -450,7 +452,11 @@ def _ionize_scan(
                     r * (gamma_prefactor * fcoll + gamma_prefactor_mini * fcoll_mini),
                     gamma,
                 )
-            mfp = jnp.where(newly, r, mfp)
+            if track_mfp:
+                # MINIMIZE_MEMORY drops the per-cell MFP (the reference frees
+                # it too, IonisationBox.c:543,1137): skipping the update keeps
+                # the carry a (1,1,1) placeholder instead of a full grid.
+                mfp = jnp.where(newly, r, mfp)
 
         if paint_spheres:
             # IONISE_ENTIRE_SPHERE (reference update_in_sphere,
@@ -485,7 +491,7 @@ def _ionize_scan(
     # x-ray ionization enters via the criterion and the last-step partial branch
     xh0 = jnp.ones_like(delta)
     gamma0 = jnp.zeros_like(delta)
-    mfp0 = jnp.zeros_like(delta)
+    mfp0 = jnp.zeros_like(delta) if track_mfp else jnp.zeros((1, 1, 1), jnp.float32)
     xs = [
         r_values,
         sigma_r,
@@ -890,6 +896,7 @@ def compute_ionization_field(
         use_exp_filter=lagrangian and ao.USE_EXP_FILTER,
         use_minihalos=use_minihalos,
         track_nion=track_nion,
+        track_mfp=not mo.MINIMIZE_MEMORY,
         use_cheby=use_cheby,
         paint_spheres=ao.IONISE_ENTIRE_SPHERE,
     )
