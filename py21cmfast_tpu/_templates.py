@@ -30,6 +30,17 @@ def _resolve(name: str):
     )
 
 
+def write_template(inputs: InputParameters, template_file, mode: str = "full"):
+    """Write a set of input parameters to a TOML template file (reference
+    _templates.py:129-169 `write_template`).  The file round-trips through
+    `create_params_from_template` / `read_inputs_from_toml`."""
+    if mode not in ("full", "minimal"):
+        raise ValueError("mode must be 'full' or 'minimal'")
+    from .input_serialization import write_inputs_to_toml
+
+    return write_inputs_to_toml(inputs, template_file)
+
+
 def create_params_from_template(name: str, *, random_seed: int, **overrides):
     """Build InputParameters from one or more templates ('+'-separated),
     applied left to right, then flat overrides."""

@@ -143,7 +143,16 @@ class RecombinationHistory:
     run's actual cosmology."""
 
     def __init__(self, cosmo, source: str = "RECFAST-TABLE"):
-        if source == "RECFAST-TABLE" and _RECFAST_TABLE.exists():
+        if source == "RECFAST-TABLE":
+            if not _RECFAST_TABLE.exists():
+                # the reference throws IOError here (heating_helper_progs.c:103);
+                # silently switching to the Peebles solver would shift thermal
+                # ICs by a few percent with no warning
+                raise FileNotFoundError(
+                    f"bundled RECFAST table missing: {_RECFAST_TABLE} — "
+                    "broken install? Pass source='PEEBLES' for the on-the-fly "
+                    "three-level-atom solve instead."
+                )
             self.z_grid, self.x_e_grid, self.tk_grid = _load_recfast_table()
         else:
             key = (cosmo.hlittle, cosmo.OMm, cosmo.OMb, cosmo.OMr, cosmo.OMl,

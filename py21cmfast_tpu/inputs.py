@@ -689,13 +689,9 @@ class InputParameters:
         """Fill node_redshifts with the standard (1+z) log spacing, descending."""
         zmax = zmax if zmax is not None else self.simulation_options.Z_HEAT_MAX
         step = self.simulation_options.ZPRIME_STEP_FACTOR
-        zs = []
-        z = zmin
-        while z < zmax:
-            zs.append(z)
-            z = (1 + z) * step - 1
-        zs.append(z)
-        return attrs.evolve(self, node_redshifts=tuple(sorted(zs, reverse=True)))
+        return attrs.evolve(
+            self, node_redshifts=get_logspaced_redshifts(zmin, step, zmax)
+        )
 
     # convenience accessors used everywhere in the model layer
     @property
@@ -742,6 +738,20 @@ class InputParameters:
 # externally-computed CLASS transfer tables (the reference runs classy at
 # runtime, wrapper/classy_interface.py; classy is not bundled here, so the
 # user registers the tables once per process)
+def get_logspaced_redshifts(
+    min_redshift: float, z_step_factor: float, max_redshift: float
+) -> tuple[float, ...]:
+    """Log-spaced (1+z) redshift ladder, descending (reference
+    wrapper/inputs.py:1774-1789 `get_logspaced_redshifts`)."""
+    zs = []
+    z = float(min_redshift)
+    while z < max_redshift:
+        zs.append(z)
+        z = (1 + z) * z_step_factor - 1
+    zs.append(z)
+    return tuple(sorted(zs, reverse=True))
+
+
 _class_transfer = {"version": 0, "density": None, "vcb": None}
 
 

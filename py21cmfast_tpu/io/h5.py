@@ -79,3 +79,20 @@ def read_output_from_hdf5(path, cls=None):
         if "inputs" in f.attrs:
             inputs = deserialize_inputs(json.loads(f.attrs["inputs"]))
     return cls(**kwargs), inputs
+
+
+def read_output_struct(path, struct=None):
+    """Read one output box from an HDF5 file (reference io/h5.py:338
+    `read_output_struct`): returns the struct alone."""
+    box, _inputs = read_output_from_hdf5(path, cls=struct)
+    return box
+
+
+def read_inputs(path):
+    """Read the InputParameters stored in an output HDF5 file (reference
+    io/h5.py:384 `read_inputs`)."""
+    path = Path(path)
+    with h5py.File(path, "r") as f:
+        if "inputs" not in f.attrs:
+            raise KeyError(f"{path} stores no InputParameters")
+        return deserialize_inputs(json.loads(f.attrs["inputs"]))

@@ -132,6 +132,13 @@ def compute_xray_source_field(
     n_k = 2048
     if use_ms:
         if previous_ionized_box is not None:
+            if previous_ionized_box.neutral_fraction is None:
+                raise ValueError(
+                    "previous_ionized_box.neutral_fraction is None — the "
+                    "coeval chain slimming (drivers/coeval._slim_chain_ion) "
+                    "only keeps it on the halo-model path; if a new consumer "
+                    "needs it, update keep_xh there."
+                )
             x_HI = float(np.mean(np.asarray(previous_ionized_box.neutral_fraction)))
         else:
             x_HI = 1.0

@@ -18,6 +18,13 @@ Typical pod usage (one process per host, launched by the scheduler):
 Every process executes the same program; per-host host-side work (table
 building) is deterministic and redundant, so no broadcast is needed —
 the design is stateless-SPMD (SURVEY.md §2.3, multi-host row).
+
+NOTE on test coverage: this module is exercised single-process only
+(tests/test_parallel.py) — the development environment has one TPU chip and
+no DCN, so actual multi-process initialization has never run here.  The
+code paths beyond `initialize()` are the same mesh/shard_map programs the
+virtual-mesh tests cover, but treat multi-host as untested until it has run
+on a real pod slice.
 """
 
 from __future__ import annotations
