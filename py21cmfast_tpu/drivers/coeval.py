@@ -188,12 +188,25 @@ def generate_coeval(
             )
             catalogs[z] = cat
 
+    # one deposit plan for the whole scroll: stats at the lowest node bound
+    # every node, so the deposit kernels keep a single compiled variant and
+    # the per-node stats device-sync disappears (see perturb.plan_deposit_for_run)
+    deposit_plan = None
+    if mo.PERTURB_ALGORITHM != "LINEAR":
+        from ..models.perturb import plan_deposit_for_run, uses_swept_deposit
+
+        if uses_swept_deposit(inputs):
+            deposit_plan = plan_deposit_for_run(
+                inputs, initial_conditions, min(all_z)
+            )
+
     prev_ion: IonizedBox | None = None
     prev_ts = None
     prev_z = None
     prev_pf = None
     ts_state = None
     halobox_nodes = []  # (z, HaloBox) history for the XraySourceBox shells
+    pending_validation = None
 
     for i, z in enumerate(all_z):
         if z in resumed:
@@ -219,7 +232,8 @@ def generate_coeval(
             prev_ion, prev_ts, prev_z, prev_pf = ion, ts, z, pf
             continue
 
-        pf = perturb_field(z, inputs, initial_conditions)
+        pf = perturb_field(z, inputs, initial_conditions,
+                           deposit_plan=deposit_plan)
 
         halobox = None
         if mo.source_model_uses_halo_sampler:
@@ -293,9 +307,12 @@ def generate_coeval(
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
 
-        from ..exceptions import validate_snapshot
+        from ..exceptions import begin_validate_snapshot, check_nonfinite
 
-        validate_snapshot(z, pf, halobox, ts, ion, tb)
+        # lag-1 validation: check the PREVIOUS node's non-finite sweep now
+        # (its result is long since ready), launch this node's without a sync
+        check_nonfinite(pending_validation)
+        pending_validation = begin_validate_snapshot(z, pf, halobox, ts, ion, tb)
 
         if cache is not None:
             _cache_write(pf, z)
@@ -328,6 +345,11 @@ def generate_coeval(
         del coeval, ion, tb, pf, ts, halobox
         if not needs_evolution:
             prev_ion = None  # no coupling between snapshots
+
+    # the last node's sweep has no successor to check it
+    from ..exceptions import check_nonfinite
+
+    check_nonfinite(pending_validation)
 
 
 def run_coeval(

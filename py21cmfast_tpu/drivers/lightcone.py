@@ -159,6 +159,21 @@ def generate_lightcone(
 
     last_completed = _checkpoint_load(checkpoint_path, inputs, lightcones, gq)
 
+    # async slice plumbing: each node's interpolated slices start their
+    # device→host copy immediately but are only consumed one node later, so
+    # the ~MB-scale transfers overlap the next node's kernels instead of
+    # serializing the scroll.  Checkpointing forces a synchronous drain (the
+    # checkpoint must contain everything `_last_completed_node` claims).
+    pending_slices: list = []
+
+    def _drain():
+        for q, idx, vals in pending_slices:
+            arr = np.asarray(vals)
+            lightcones[q][:, :, idx] = arr[:, :, : len(idx)]
+        pending_slices.clear()
+
+    import jax.numpy as jnp
+
     for i_node, coeval in enumerate(
         generate_coeval(
             inputs, out_redshifts=node_z,
@@ -170,25 +185,37 @@ def generate_lightcone(
             yield coeval.redshift, coeval, lc
             continue
 
-        import jax.numpy as jnp
-
         for q in global_quantities:
-            gq[q].append(
-                float(jnp.mean(lightconer.get_field(coeval, q, device=True)))
-            )
+            # keep the mean as a device scalar — fetched at finalization
+            gq[q].append(jnp.mean(lightconer.get_field(coeval, q, device=True)))
 
+        _drain()
         if prev_coeval is not None:
+            make_async = getattr(lightconer, "make_lightcone_slices_async", None)
             for q in quantities:
-                idx, vals = lightconer.make_lightcone_slices(
-                    coeval, prev_coeval, cosmo, inputs, q
-                )
-                if idx is not None:
-                    lightcones[q][:, :, idx] = vals
+                if make_async is not None:
+                    idx, vals = make_async(coeval, prev_coeval, cosmo, inputs, q)
+                    if idx is not None:
+                        pending_slices.append((q, idx, vals))
+                else:
+                    idx, vals = lightconer.make_lightcone_slices(
+                        coeval, prev_coeval, cosmo, inputs, q
+                    )
+                    if idx is not None:
+                        lightcones[q][:, :, idx] = vals
         prev_coeval = coeval
-        _checkpoint_save(checkpoint_path, inputs, lightcones, gq, i_node)
+        if checkpoint_path is not None:
+            _drain()
+            _checkpoint_save(
+                checkpoint_path, inputs,
+                lightcones, {q: [float(v) for v in vs] for q, vs in gq.items()},
+                i_node,
+            )
         yield coeval.redshift, coeval, lc
 
-    lc.global_quantities = {q: np.array(v) for q, v in gq.items()}
+    _drain()
+    lc.global_quantities = {q: np.array([float(v) for v in vs])
+                            for q, vs in gq.items()}
 
     # ----- finalization: dvdr correction + RSDs (lightcone.py:249-372) -----
     lc_z = lightconer.lc_redshifts(cosmo)

@@ -95,11 +95,50 @@ class Lightconer:
 
 
 
+def _interp_slices_padded(box_lo, box_hi, pix, w, *, mean_max):
+    """Device-side distance interpolation at a PADDED static slice count.
+
+    `pix`/`w` are padded to a power-of-two length so a whole scroll compiles
+    ~4 gather programs instead of one per distinct per-node slice count
+    (each remote compile costs seconds on the tunnel)."""
+    import jax.numpy as jnp
+
+    lo = box_lo[:, :, pix]
+    hi = box_hi[:, :, pix]
+    vals = lo * (1 - w)[None, None, :] + hi * w[None, None, :]
+    if mean_max:
+        straddle = lo * hi < 0
+        vals = jnp.where(straddle, jnp.maximum(lo, hi), vals)
+    return vals
+
+
+_INTERP_JIT = None
+
+
+def _interp_slices_jit():
+    global _INTERP_JIT
+    if _INTERP_JIT is None:
+        import functools
+
+        import jax
+
+        _INTERP_JIT = jax.jit(
+            _interp_slices_padded, static_argnames=("mean_max",)
+        )
+    return _INTERP_JIT
+
+
 class RectilinearLightconer(Lightconer):
     """Slices taken along the box z-axis, periodic tiling in distance
     (reference RectilinearLightconer:483-540)."""
 
-    def make_lightcone_slices(self, coeval_low, coeval_high, cosmo, inputs, quantity):
+    def make_lightcone_slices_async(
+        self, coeval_low, coeval_high, cosmo, inputs, quantity
+    ):
+        """Launch slice interpolation on device; returns (idx, dev_vals) with
+        `dev_vals[..., :len(idx)]` valid once fetched.  The device→host copy
+        is started asynchronously so the caller can overlap it with the next
+        node's compute and fetch with np.asarray later."""
         d_low = cosmo.comoving_distance(coeval_low.redshift)
         d_high = cosmo.comoving_distance(coeval_high.redshift)
         sel = (self.lc_distances >= d_low) & (self.lc_distances < d_high)
@@ -110,9 +149,8 @@ class RectilinearLightconer(Lightconer):
 
         cell = inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM
         n_los = inputs.simulation_options.lowres_shape[2]
-        pix = np.round(dists / cell).astype(int) % n_los
-
-        import jax.numpy as jnp
+        pix = np.round(dists / cell).astype(np.int32) % n_los
+        w = ((dists - d_low) / max(d_high - d_low, 1e-30)).astype(np.float32)
 
         box_lo = self.get_field(coeval_low, quantity, device=True)
         box_hi = self.get_field(coeval_high, quantity, device=True)
@@ -120,15 +158,34 @@ class RectilinearLightconer(Lightconer):
             # the config doesn't populate this field (e.g. G12 without the
             # inhomogeneous-recombination bookkeeping); leave slices empty
             return None, None
-        w = jnp.asarray((dists - d_low) / max(d_high - d_low, 1e-30), jnp.float32)
-        pix_j = jnp.asarray(pix)
-        lo = box_lo[:, :, pix_j]
-        hi = box_hi[:, :, pix_j]
-        vals = lo * (1 - w)[None, None, :] + hi * w[None, None, :]
-        if self.interp_kinds.get(quantity) == "mean_max":
-            straddle = lo * hi < 0
-            vals = jnp.where(straddle, jnp.maximum(lo, hi), vals)
-        return idx, np.asarray(vals, np.float32)
+
+        n = len(idx)
+        L = max(4, 1 << int(np.ceil(np.log2(n))))
+        pix_pad = np.zeros(L, np.int32)
+        pix_pad[:n] = pix
+        w_pad = np.zeros(L, np.float32)
+        w_pad[:n] = w
+
+        import jax.numpy as jnp
+
+        vals = _interp_slices_jit()(
+            jnp.asarray(box_lo), jnp.asarray(box_hi),
+            pix_pad, w_pad,
+            mean_max=self.interp_kinds.get(quantity) == "mean_max",
+        )
+        try:
+            vals.copy_to_host_async()
+        except Exception:
+            pass
+        return idx, vals
+
+    def make_lightcone_slices(self, coeval_low, coeval_high, cosmo, inputs, quantity):
+        idx, vals = self.make_lightcone_slices_async(
+            coeval_low, coeval_high, cosmo, inputs, quantity
+        )
+        if idx is None:
+            return None, None
+        return idx, np.asarray(vals, np.float32)[:, :, : len(idx)]
 
 
 class AngularLightconer(Lightconer):

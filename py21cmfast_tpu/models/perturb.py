@@ -269,10 +269,103 @@ def _pallas_deposit(ics, d_fields, d_init, *, ratio, support, cap, lo_shape):
     return acc
 
 
+@partial(jax.jit, static_argnames=("cells_per_mpc", "use_2lpt"))
+def _displacement_cells(vx, vy, vz, v2x, v2y, v2z, fac_za, fac_2lpt,
+                        *, cells_per_mpc, use_2lpt):
+    """Displacement fields in lowres-cell units for the swept deposit.
+
+    Module-level jit with the growth factors traced: one compiled program
+    serves every node of a scroll (a per-call closure would re-trace each
+    node)."""
+    out = []
+    for a, (v, v2) in enumerate(((vx, v2x), (vy, v2y), (vz, v2z))):
+        da = v * (fac_za * cells_per_mpc[a])
+        if use_2lpt:
+            da = da - v2 * (fac_2lpt * cells_per_mpc[a])
+        out.append(da)
+    return tuple(out)
+
+
+def uses_swept_deposit(inputs: InputParameters) -> bool:
+    """True when perturb_field will take the swept (factored/Pallas) deposit
+    path, i.e. when a run-level deposit plan applies."""
+    so = inputs.simulation_options
+    mo = inputs.matter_options
+    hi_shape, lo_shape = so.hires_shape, so.lowres_shape
+    ratio_int = hi_shape[0] // lo_shape[0]
+    return (
+        mo.PERTURB_ALGORITHM != "LINEAR"
+        and mo.PERTURB_DEPOSIT == "SWEPT"
+        and not mo.PERTURB_ON_HIGH_RES
+        and all(h == ratio_int * l for h, l in zip(hi_shape, lo_shape))
+    )
+
+
+def plan_deposit_for_run(inputs: InputParameters, ics: InitialConditions,
+                         z_min: float):
+    """Pick one (support, cap) deposit plan for a whole redshift scroll.
+
+    Displacements scale with |fac_za(z)| (monotonically growing as z falls),
+    so the stats at the LOWEST node bound every node: one device sync at
+    setup replaces a per-node stats fetch AND pins the jit static args
+    (support, cap) for the whole run — the per-node support stepping at low
+    z otherwise recompiles the deposit kernels mid-scroll (~30-40 s bursts
+    on the remote-compile path)."""
+    from ..ops.deposit import deposit_plan, displacement_stats
+
+    so = inputs.simulation_options
+    mo = inputs.matter_options
+    lo_shape = so.lowres_shape
+    box_lens = so.box_lens
+    _, _, fac_za, fac_2lpt = _displacement_factors(inputs, z_min)
+    cells_per_mpc = tuple(lo_shape[a] / box_lens[a] for a in range(3))
+
+    use_2lpt = mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None
+    v2 = (
+        (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
+        if use_2lpt
+        else (ics.vx, ics.vy, ics.vz)  # unused when use_2lpt is False
+    )
+    d_fields = _displacement_cells(
+        ics.vx, ics.vy, ics.vz, *v2,
+        jnp.float32(fac_za), jnp.float32(fac_2lpt),
+        cells_per_mpc=cells_per_mpc, use_2lpt=use_2lpt,
+    )
+    bad_counts, dmax = displacement_stats(d_fields)
+    return deposit_plan(bad_counts, float(dmax), int(np.prod(lo_shape)))
+
+
+# run-level cache of max |psi| per ICs instance (the displacement bound only
+# depends on the velocity fields, not the node) — avoids two device syncs
+# per node on the windowed-deposit path
+_MAXPSI_CACHE: dict = {}
+
+
+def _max_psi_for(ics) -> tuple[float, float]:
+    import weakref
+
+    ent = _MAXPSI_CACHE.get("v")
+    if ent is not None and ent[0]() is ics.vx:
+        return ent[1]
+    m1 = float(jax.jit(lambda v: jnp.max(jnp.abs(v)))(ics.vx))
+    m2 = (
+        float(jax.jit(lambda v: jnp.max(jnp.abs(v)))(ics.vx_2LPT))
+        if ics.vx_2LPT is not None
+        else 0.0
+    )
+    _MAXPSI_CACHE["v"] = (weakref.ref(ics.vx), (m1, m2))
+    return m1, m2
+
+
 def perturb_field(
-    redshift: float, inputs: InputParameters, ics: InitialConditions
+    redshift: float, inputs: InputParameters, ics: InitialConditions,
+    deposit_plan=None,
 ) -> PerturbedField:
-    """Compute the Eulerian density/velocity at `redshift` from the ICs."""
+    """Compute the Eulerian density/velocity at `redshift` from the ICs.
+
+    `deposit_plan` — optional (support, cap) from `plan_deposit_for_run`;
+    when given, the per-node displacement-stats device sync is skipped and
+    the deposit kernels keep one compiled variant for the whole scroll."""
     so = inputs.simulation_options
     mo = inputs.matter_options
     cosmo = inputs.cosmology
@@ -290,27 +383,6 @@ def perturb_field(
         grid_1pd = delta_pt + 1.0
         mass_factor = 1.0
     else:
-        # slabs sized to keep the particle working set ~16M cells
-        per_slab = max(1, int(2**24 // (hi_shape[1] * hi_shape[2])))
-        n_slabs = max(1, hi_shape[0] // per_slab)
-        while hi_shape[0] % n_slabs:
-            n_slabs += 1
-        # windowed-deposit margin: bound the x displacement in out-grid cells
-        # (one device max + scalar fetch; rounded up to multiples of 8 to
-        # bound the number of compiled variants)
-        import jax.numpy as _jnp
-
-        max_psi = float(jax.jit(lambda v: _jnp.max(_jnp.abs(v)))(ics.vx))
-        max_disp = abs(fac_za) * max_psi * out_shape[0] / box_lens[0]
-        if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None:
-            max_psi2 = float(jax.jit(lambda v: _jnp.max(_jnp.abs(v)))(ics.vx_2LPT))
-            max_disp += abs(fac_2lpt) * max_psi2 * out_shape[0] / box_lens[0]
-        margin = ((int(np.ceil(max_disp)) + 2 + 7) // 8) * 8
-        slab_out = out_shape[0] // n_slabs
-        window_rows = slab_out + 2 * margin
-        if window_rows >= out_shape[0] or out_shape[0] % n_slabs:
-            window_rows, margin = None, 0
-
         ratio_int = hi_shape[0] // lo_shape[0]
         use_swept = (
             mo.PERTURB_DEPOSIT == "SWEPT"
@@ -320,33 +392,35 @@ def perturb_field(
             and all(h == ratio_int * l for h, l in zip(hi_shape, lo_shape))
         )
         if use_swept:
-            from ..ops.deposit import deposit_plan, displacement_stats
             from ..ops.sep_deposit import staged_factored_deposit
 
-            # host-side displacement stats pick the dense support + outlier
-            # capacity (one small reduction + scalar fetch per node)
             cells_per_mpc = tuple(out_shape[a] / box_lens[a] for a in range(3))
-
-            @jax.jit
-            def _d_fields(vx, vy, vz, v2x, v2y, v2z):
-                out = []
-                for a, (v, v2) in enumerate(((vx, v2x), (vy, v2y), (vz, v2z))):
-                    da = v * (fac_za * cells_per_mpc[a])
-                    if v2 is not None:
-                        da = da - v2 * (fac_2lpt * cells_per_mpc[a])
-                    out.append(da)
-                return tuple(out)
-
+            use_2lpt = (
+                mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None
+            )
             v2 = (
                 (ics.vx_2LPT, ics.vy_2LPT, ics.vz_2LPT)
-                if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None
+                if use_2lpt
                 else (None, None, None)
             )
-            d_fields = _d_fields(ics.vx, ics.vy, ics.vz, *v2)
-            bad_counts, dmax = displacement_stats(d_fields)
-            support, cap = deposit_plan(
-                bad_counts, float(dmax), int(np.prod(lo_shape))
+            d_fields = _displacement_cells(
+                ics.vx, ics.vy, ics.vz,
+                *(v2 if use_2lpt else (ics.vx, ics.vy, ics.vz)),
+                jnp.float32(fac_za), jnp.float32(fac_2lpt),
+                cells_per_mpc=cells_per_mpc, use_2lpt=use_2lpt,
             )
+            if deposit_plan is not None:
+                support, cap = deposit_plan
+            else:
+                from ..ops.deposit import deposit_plan as _plan
+                from ..ops.deposit import displacement_stats
+
+                # per-node displacement stats (one reduction + scalar fetch);
+                # scrolling drivers precompute a run-level plan instead
+                bad_counts, dmax = displacement_stats(d_fields)
+                support, cap = _plan(
+                    bad_counts, float(dmax), int(np.prod(lo_shape))
+                )
             # Pallas kernel needs tile-aligned lane extents (z % 128); smaller
             # boxes (e.g. gold-parity 50^3) take the staged XLA path instead
             use_pallas = (
@@ -378,6 +452,24 @@ def perturb_field(
                 )
             mass_factor = float(np.prod(out_shape) / np.prod(hi_shape))
         else:
+            # slabs sized to keep the particle working set ~16M cells
+            per_slab = max(1, int(2**24 // (hi_shape[1] * hi_shape[2])))
+            n_slabs = max(1, hi_shape[0] // per_slab)
+            while hi_shape[0] % n_slabs:
+                n_slabs += 1
+            # windowed-deposit margin: bound the x displacement in out-grid
+            # cells (run-cached max|psi|; rounded up to multiples of 8 to
+            # bound the number of compiled variants)
+            max_psi, max_psi2 = _max_psi_for(ics)
+            max_disp = abs(fac_za) * max_psi * out_shape[0] / box_lens[0]
+            if mo.PERTURB_ALGORITHM == "2LPT" and ics.vx_2LPT is not None:
+                max_disp += abs(fac_2lpt) * max_psi2 * out_shape[0] / box_lens[0]
+            margin = ((int(np.ceil(max_disp)) + 2 + 7) // 8) * 8
+            slab_out = out_shape[0] // n_slabs
+            window_rows = slab_out + 2 * margin
+            if window_rows >= out_shape[0] or out_shape[0] % n_slabs:
+                window_rows, margin = None, 0
+
             grid_1pd = _displace_and_deposit(
                 ics.hires_density,
                 (ics.vx, ics.vy, ics.vz),
