@@ -4,18 +4,18 @@ Baseline (BASELINE.md / JOSS v3 paper): the reference C code runs the full
 z=5-35 lightcone (92 nodes, USE_TS_FLUCT + INHOMO_RECO, HII_DIM=250, DIM=1000,
 i.e. DIM = 4 x HII_DIM) in 7.63 hr = 27468 s on a 16-core Xeon.
 
-This bench runs the REAL thing on one TPU chip — a full z=5-35 lightcone at
-HII_DIM=256, DIM=768 (3x hires ratio; the 4x DIM=1024 path runs but is not
-yet soak-stable on the axon runtime — see docs/performance.md), USE_TS_FLUCT
-+ inhomogeneous recombinations, RSDs applied — and reports the measured
-wall-clock (ICs + all nodes + lightcone assembly; compile time for cold
-kernels is included in the wall-clock but also broken out via the median
-per-node time).  A second segment runs a short HII_DIM=512 node scroll and
-reports its steady per-node time (the 512^3 single-chip feasibility
-figure).
+Segment order is budget-driven (round-3 lesson: BENCH_r03 timed out with the
+512 segment first): the HEADLINE full lightcone runs FIRST with a hard
+per-segment timeout, its result is what the single JSON line reports, and the
+HII_DIM=512 feasibility segment runs only with the time that remains.
 
-No silent size fallback: if the headline config fails, the bench emits
-`bench_failed` with the error class instead of quietly shrinking the box.
+Headline: a full z=5-35 lightcone at HII_DIM=256 / DIM=1024 (the reference's
+faithful 4x hires ratio), USE_TS_FLUCT + inhomogeneous recombinations, RSDs
+applied, measured wall-clock including ICs, all 92 nodes, device-side
+lightcone assembly and the final fetch.  If the 4x run fails, the 3x
+(DIM=768) configuration runs INSTEAD and the metric name says so — no silent
+fallback.
+
 Prints exactly one JSON line.
 """
 
@@ -29,11 +29,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_S = 27468.0
+TOTAL_BUDGET_S = 3000.0  # stay inside the driver's window with margin
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return TOTAL_BUDGET_S - (time.monotonic() - _T0)
 
 
 def _enable_compile_cache():
     import jax
-    import jax.numpy as jnp
 
     cache_dir = Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
@@ -71,7 +76,7 @@ def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime, minimize_memory=F
     ).with_logspaced_redshifts(z_min)
 
 
-def run_full_lightcone(hii_dim=256, dim=768, seed=3):
+def run_full_lightcone(hii_dim=256, dim=1024, seed=3):
     """The measured headline: full z=5-35 ladder, all fields, RSDs."""
     import numpy as np
 
@@ -104,25 +109,25 @@ def run_full_lightcone(hii_dim=256, dim=768, seed=3):
         "n_nodes": n_nodes,
         "node_median_s": float(np.median(node_times)),
         "node_p90_s": float(np.percentile(node_times, 90)),
+        "finalize_s": total - t_ics - float(np.sum(node_times)),
         "global_xh_end": float(lc.global_quantities["neutral_fraction"][-1]),
     }
 
 
 def run_512_segment(seed=4):
-    """Short HII_DIM=512 node scroll: per-node steady time."""
+    """Short HII_DIM=512 / DIM=1536 (3x) node scroll: per-node steady time."""
     import py21cmfast_tpu as p21
-    from py21cmfast_tpu.drivers.coeval import generate_coeval
+    from py21cmfast_tpu.drivers.coeval import generate_coeval, hostify
 
     # MINIMIZE_MEMORY: the reference's own knob for exactly this regime
     # (SpinTemperatureBox.c:1583-1609, inputs.py:780) — drops the per-cell
     # MFP carry + kinetic_temperature grid so the 512^3 node fits 16 GB HBM.
-    inputs = _headline_inputs(512, 512, seed, z_min=10.0, z_max=12.2, zprime=1.03,
+    inputs = _headline_inputs(512, 1536, seed, z_min=10.0, z_max=12.2, zprime=1.03,
                               minimize_memory=True)
     t0 = time.perf_counter()
     ics = p21.compute_initial_conditions(inputs)
     _checksum(ics.lowres_density)
-    from py21cmfast_tpu.drivers.coeval import hostify
-    ics = hostify(ics)  # don't keep a device-side alias of the 4 GiB ICs
+    ics = hostify(ics)  # don't keep a device-side alias of the multi-GiB ICs
     t_ics = time.perf_counter() - t0
 
     times = []
@@ -141,19 +146,25 @@ def run_512_segment(seed=4):
     assert n_done > 0 and xh_end is not None
     # the final node time is the steady-state figure (earlier ones compile)
     return {"t_ics_s": t_ics, "node_times_s": [round(t, 2) for t in times],
-            "node_last_s": times[-1], "n_nodes": len(times)}
+            "node_last_s": times[-1], "n_nodes": len(times),
+            "xh_end": round(xh_end, 4)}
 
 
-def _run_segment_subprocess(segment: str, timeout_s: int):
+def _run_segment_subprocess(segment: str, timeout_s: float):
     """Run one bench segment in a fresh process: a failed segment must not
     poison the other's HBM or allocator state."""
     import subprocess
 
-    r = subprocess.run(
-        [sys.executable, __file__, "--segment", segment],
-        capture_output=True, text=True, timeout=timeout_s,
-        cwd=str(Path(__file__).parent),
-    )
+    if timeout_s < 60:
+        return {"error": "skipped: insufficient budget remaining"}
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--segment", segment],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=str(Path(__file__).parent),
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"segment timeout after {timeout_s:.0f}s"}
     for line in reversed(r.stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -164,10 +175,14 @@ def _run_segment_subprocess(segment: str, timeout_s: int):
 
 def main():
     detail = {}
-    seg = _run_segment_subprocess("512", timeout_s=3000)
-    detail["hii512"] = seg
+    # headline FIRST: DIM = 4 x HII_DIM (the reference's own ratio)
+    full = _run_segment_subprocess("full1024", timeout_s=min(2300.0, _remaining()))
+    ratio_tag = "dim1024"
+    if "error" in full:
+        detail["dim1024_error"] = full["error"]
+        ratio_tag = "dim768"
+        full = _run_segment_subprocess("full768", timeout_s=min(1800.0, _remaining()))
 
-    full = _run_segment_subprocess("full", timeout_s=7000)
     if "error" in full:
         print(json.dumps({
             "metric": "bench_failed",
@@ -179,9 +194,18 @@ def main():
         return
 
     detail.update(full)
-    detail["config"] = "hii256_dim768_z5-35_ts_recomb_rsds_measured"
+    detail["config"] = f"hii256_{ratio_tag}_z5-35_ts_recomb_rsds_measured"
+
+    # feasibility segment with whatever budget remains
+    if _remaining() > 500:
+        detail["hii512"] = _run_segment_subprocess(
+            "512", timeout_s=min(1200.0, _remaining() - 120.0)
+        )
+    else:
+        detail["hii512"] = {"error": "skipped: insufficient budget remaining"}
+
     print(json.dumps({
-        "metric": "ts_recomb_lightcone_measured_hii256_dim768_seconds",
+        "metric": f"ts_recomb_lightcone_measured_hii256_{ratio_tag}_seconds",
         "value": full["total_s"],
         "unit": "s",
         "vs_baseline": round(BASELINE_S / full["total_s"], 1),
@@ -198,15 +222,18 @@ def _segment_main(segment: str):
                 "t_ics_s": round(seg["t_ics_s"], 1),
                 "node_last_s": round(seg["node_last_s"], 2),
                 "n_nodes": seg["n_nodes"],
+                "xh_end": seg["xh_end"],
             }))
         else:
-            full = run_full_lightcone()
+            dim = 1024 if segment == "full1024" else 768
+            full = run_full_lightcone(dim=dim)
             print(json.dumps({
                 "total_s": round(full["total_s"], 1),
                 "t_ics_s": round(full["t_ics_s"], 1),
                 "n_nodes": full["n_nodes"],
                 "node_median_s": round(full["node_median_s"], 2),
                 "node_p90_s": round(full["node_p90_s"], 2),
+                "finalize_s": round(full["finalize_s"], 1),
                 "global_xh_end": round(full["global_xh_end"], 4),
             }))
     except Exception as e:  # noqa: BLE001

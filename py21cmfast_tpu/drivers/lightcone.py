@@ -159,11 +159,39 @@ def generate_lightcone(
 
     last_completed = _checkpoint_load(checkpoint_path, inputs, lightcones, gq)
 
-    # async slice plumbing: each node's interpolated slices start their
-    # device→host copy immediately but are only consumed one node later, so
-    # the ~MB-scale transfers overlap the next node's kernels instead of
-    # serializing the scroll.  Checkpointing forces a synchronous drain (the
-    # checkpoint must contain everything `_last_completed_node` claims).
+    # --- device-side assembly (TPU path) ---------------------------------
+    # When no checkpointing or cache-resume interleaves host state, the whole
+    # lightcone lives in HBM for the scroll: each node's slices are
+    # interpolated AND scattered on device (donated buffers, zero per-node
+    # device->host traffic), dvdr/RSD finalization runs on device, and the
+    # finished product is fetched once.  Round-tripping ~GB lightcones
+    # through the remote-TPU tunnel per node costs ~1-2 s/node + ~100 s at
+    # finalization.
+    import jax
+
+    n_q = len(quantities)
+    dev_bytes = n_q * (np.prod(shape2d) * (n_slices + 1) * 4)
+    assemble_on_device = (
+        checkpoint_path is None
+        and last_completed < 0
+        and hasattr(lightconer, "scatter_slices_device")
+        and dev_bytes < 6e9
+    )
+    dev_lc: dict = {}
+    if assemble_on_device:
+        import jax.numpy as _jnp
+
+        dev_lc = {
+            q: _jnp.zeros(shape2d + (n_slices + 1,), _jnp.float32)
+            for q in quantities
+        }
+
+    # async slice plumbing (host path): each node's interpolated slices start
+    # their device→host copy immediately but are only consumed one node
+    # later, so the ~MB-scale transfers overlap the next node's kernels
+    # instead of serializing the scroll.  Checkpointing forces a synchronous
+    # drain (the checkpoint must contain everything `_last_completed_node`
+    # claims).
     pending_slices: list = []
 
     def _drain():
@@ -193,7 +221,11 @@ def generate_lightcone(
         if prev_coeval is not None:
             make_async = getattr(lightconer, "make_lightcone_slices_async", None)
             for q in quantities:
-                if make_async is not None:
+                if assemble_on_device:
+                    dev_lc[q] = lightconer.scatter_slices_device(
+                        dev_lc[q], coeval, prev_coeval, cosmo, inputs, q
+                    )
+                elif make_async is not None:
                     idx, vals = make_async(coeval, prev_coeval, cosmo, inputs, q)
                     if idx is not None:
                         pending_slices.append((q, idx, vals))
@@ -217,6 +249,11 @@ def generate_lightcone(
     lc.global_quantities = {q: np.array([float(v) for v in vs])
                             for q, vs in gq.items()}
 
+    if assemble_on_device:
+        # drop the scratch padding slice; finalization below runs on device
+        lightcones = {q: a[:, :, :n_slices] for q, a in dev_lc.items()}
+        lc.lightcones = lightcones
+
     # ----- finalization: dvdr correction + RSDs (lightcone.py:249-372) -----
     lc_z = lightconer.lc_redshifts(cosmo)
     if include_dvdr_in_tau21 and "brightness_temp" in lightcones:
@@ -237,6 +274,11 @@ def generate_lightcone(
             inputs,
             periodic=False,
         )
+    if assemble_on_device:
+        # single device->host fetch of the finished product
+        for q in list(lightcones):
+            lightcones[q] = np.asarray(lightcones[q], np.float32)
+        lc.lightcones = lightcones
     yield None, None, lc
 
 

@@ -436,7 +436,14 @@ class AstroParams:
 
     @property
     def fstar_7(self):
-        f = self.F_STAR7_MINI if self.F_STAR7_MINI is not None else self.F_STAR10 - 1.0
+        # default continues the ACG power law down to 1e7 Msun:
+        # F_STAR10 - 3*ALPHA_STAR in log10, since 1e7/1e10 = 1e-3
+        # (reference inputs.py:1685-1687 _F_STAR7_MINI_default)
+        f = (
+            self.F_STAR7_MINI
+            if self.F_STAR7_MINI is not None
+            else self.F_STAR10 - 3.0 * self.ALPHA_STAR
+        )
         return 10.0**f
 
     @property

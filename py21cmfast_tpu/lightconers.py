@@ -112,6 +112,29 @@ def _interp_slices_padded(box_lo, box_hi, pix, w, *, mean_max):
     return vals
 
 
+def _interp_scatter_padded(buf, box_lo, box_hi, pix, w, idx_pad, *, mean_max):
+    """Interpolate padded slices and scatter them into the device lightcone
+    buffer.  `buf` has one scratch slice at index n_slices that the padding
+    tail writes into; it is donated (updated in place in HBM)."""
+    vals = _interp_slices_padded(box_lo, box_hi, pix, w, mean_max=mean_max)
+    return buf.at[:, :, idx_pad].set(vals)
+
+
+_SCATTER_JIT = None
+
+
+def _interp_scatter_jit():
+    global _SCATTER_JIT
+    if _SCATTER_JIT is None:
+        import jax
+
+        _SCATTER_JIT = jax.jit(
+            _interp_scatter_padded, static_argnames=("mean_max",),
+            donate_argnums=(0,),
+        )
+    return _SCATTER_JIT
+
+
 _INTERP_JIT = None
 
 
@@ -132,18 +155,16 @@ class RectilinearLightconer(Lightconer):
     """Slices taken along the box z-axis, periodic tiling in distance
     (reference RectilinearLightconer:483-540)."""
 
-    def make_lightcone_slices_async(
-        self, coeval_low, coeval_high, cosmo, inputs, quantity
-    ):
-        """Launch slice interpolation on device; returns (idx, dev_vals) with
-        `dev_vals[..., :len(idx)]` valid once fetched.  The device→host copy
-        is started asynchronously so the caller can overlap it with the next
-        node's compute and fetch with np.asarray later."""
+    def _slice_schedule(self, coeval_low, coeval_high, cosmo, inputs):
+        """Padded (idx, pix, w) arrays for the slices between two coevals.
+
+        The per-node slice count is padded to power-of-two buckets so a
+        whole scroll compiles ~4 gather programs instead of one per count."""
         d_low = cosmo.comoving_distance(coeval_low.redshift)
         d_high = cosmo.comoving_distance(coeval_high.redshift)
         sel = (self.lc_distances >= d_low) & (self.lc_distances < d_high)
         if not np.any(sel):
-            return None, None
+            return None
         idx = np.where(sel)[0]
         dists = self.lc_distances[idx]
 
@@ -152,19 +173,32 @@ class RectilinearLightconer(Lightconer):
         pix = np.round(dists / cell).astype(np.int32) % n_los
         w = ((dists - d_low) / max(d_high - d_low, 1e-30)).astype(np.float32)
 
-        box_lo = self.get_field(coeval_low, quantity, device=True)
-        box_hi = self.get_field(coeval_high, quantity, device=True)
-        if box_lo is None or box_hi is None:
-            # the config doesn't populate this field (e.g. G12 without the
-            # inhomogeneous-recombination bookkeeping); leave slices empty
-            return None, None
-
         n = len(idx)
         L = max(4, 1 << int(np.ceil(np.log2(n))))
         pix_pad = np.zeros(L, np.int32)
         pix_pad[:n] = pix
         w_pad = np.zeros(L, np.float32)
         w_pad[:n] = w
+        return idx, pix_pad, w_pad
+
+    def make_lightcone_slices_async(
+        self, coeval_low, coeval_high, cosmo, inputs, quantity
+    ):
+        """Launch slice interpolation on device; returns (idx, dev_vals) with
+        `dev_vals[..., :len(idx)]` valid once fetched.  The device→host copy
+        is started asynchronously so the caller can overlap it with the next
+        node's compute and fetch with np.asarray later."""
+        sched = self._slice_schedule(coeval_low, coeval_high, cosmo, inputs)
+        if sched is None:
+            return None, None
+        idx, pix_pad, w_pad = sched
+
+        box_lo = self.get_field(coeval_low, quantity, device=True)
+        box_hi = self.get_field(coeval_high, quantity, device=True)
+        if box_lo is None or box_hi is None:
+            # the config doesn't populate this field (e.g. G12 without the
+            # inhomogeneous-recombination bookkeeping); leave slices empty
+            return None, None
 
         import jax.numpy as jnp
 
@@ -178,6 +212,28 @@ class RectilinearLightconer(Lightconer):
         except Exception:
             pass
         return idx, vals
+
+    def scatter_slices_device(
+        self, buf, coeval_low, coeval_high, cosmo, inputs, quantity
+    ):
+        """Interpolate this node pair's slices and scatter them into the
+        on-device lightcone buffer `buf` of shape (N, N, n_slices + 1) —
+        the +1 is a scratch slice absorbing the padding tail.  Returns the
+        updated buffer (donated: no copy, no device->host traffic)."""
+        sched = self._slice_schedule(coeval_low, coeval_high, cosmo, inputs)
+        if sched is None:
+            return buf
+        idx, pix_pad, w_pad = sched
+        box_lo = self.get_field(coeval_low, quantity, device=True)
+        box_hi = self.get_field(coeval_high, quantity, device=True)
+        if box_lo is None or box_hi is None:
+            return buf
+        idx_pad = np.full(len(pix_pad), self.n_slices, np.int32)
+        idx_pad[: len(idx)] = idx
+        return _interp_scatter_jit()(
+            buf, box_lo, box_hi, pix_pad, w_pad, idx_pad,
+            mean_max=self.interp_kinds.get(quantity) == "mean_max",
+        )
 
     def make_lightcone_slices(self, coeval_low, coeval_high, cosmo, inputs, quantity):
         idx, vals = self.make_lightcone_slices_async(

@@ -113,10 +113,15 @@ def mass_limit_where_scaling_hits_unity(alpha: float, norm: float) -> float:
 def lyman_werner_threshold(z, J_21_LW, vcb, astro_params) -> np.ndarray:
     """Minimum MCG mass under LW feedback + relative velocities
     (reference thermochem.c lyman_werner_threshold; Munoz+21 eq. 12)."""
-    mcrit_noLW = 3.314e7 * ((1.0 + z) / 21.0) ** -1.5
+    # Visbal+15 fit: 3.314e7 (1+z)^-1.5 — NOT pivoted at z=20
+    # (thermochem.c:281-303)
+    mcrit_noLW = 3.314e7 * (1.0 + z) ** -1.5
     f_LW = 1.0 + astro_params.A_LW * np.power(np.maximum(J_21_LW, 0.0), astro_params.BETA_LW)
     mcrit = mcrit_noLW * f_LW
-    f_vcb = (1.0 + astro_params.A_VCB * vcb / 25.86) ** astro_params.BETA_VCB
+    # vcb normalized by the rms speed at kinematic decoupling
+    # sigma_vcb = V_CB_AVG * sqrt(3 pi / 8) ~ 28.1 km/s
+    sigmavcb = 25.86 * np.sqrt(3.0 * np.pi / 8.0)
+    f_vcb = (1.0 + astro_params.A_VCB * vcb / sigmavcb) ** astro_params.BETA_VCB
     return mcrit * f_vcb
 
 
@@ -129,9 +134,20 @@ def set_scaling_constants(z: float, inputs, flag_options_esc=True) -> ScalingCon
     mturn_a = ap.m_turn
     if ao.USE_MINI_HALOS:
         mturn_a = max(acg_thresh, mturn_a)
+    # constant relative velocity entering scalar Mturn consumers (reference
+    # scaling_relations.c:85-98): the AVG models pin it; FLUCTS uses the
+    # per-cell box wherever one is wired, so its CONSTANT must be 0 — using
+    # the mean speed here would double-suppress MCGs through the
+    # mturn_m_nofb floor (f_vcb(25.86 km/s) ~ 3x)
+    if inputs.matter_options.V_CB_MODEL == "AVG-DEBUG":
+        vcb_const = ap.V_CB_AVG_DEBUG
+    elif inputs.matter_options.V_CB_MODEL == "AVG-AUTO":
+        vcb_const = cosmo.V_CB_AVG
+    else:  # NONE or FLUCTS
+        vcb_const = 0.0
     mturn_m = 0.0
     if ao.USE_MINI_HALOS:
-        mturn_m = float(lyman_werner_threshold(z, 0.0, 0.0, ap))
+        mturn_m = float(lyman_werner_threshold(z, 0.0, vcb_const, ap))
 
     fstar_7 = ap.fstar_7
     alpha_mini = ap.alpha_star_mini
@@ -163,14 +179,7 @@ def set_scaling_constants(z: float, inputs, flag_options_esc=True) -> ScalingCon
         acg_thresh=acg_thresh,
         mturn_a_nofb=mturn_a,
         mturn_m_nofb=mturn_m,
-        vcb_const=(
-            inputs.astro_params.V_CB_AVG_DEBUG
-            if inputs.matter_options.V_CB_MODEL in ("AVG-DEBUG", "AVG-AUTO")
-            # FLUCTS: per-cell boxes are used where wired (ionization Mturn
-            # grids); scalar consumers (Ts shell averages) take the global
-            # mean speed at kinematic decoupling.
-            else (25.86 if inputs.matter_options.V_CB_MODEL == "FLUCTS" else 0.0)
-        ),
+        vcb_const=vcb_const,
         Mlim_Fstar=mass_limit_where_scaling_hits_unity(ap.ALPHA_STAR, ap.fstar_10),
         Mlim_Fesc=mass_limit_where_scaling_hits_unity(ap.ALPHA_ESC, ap.fesc_10),
         Mlim_Fstar_mini=mass_limit_where_scaling_hits_unity(

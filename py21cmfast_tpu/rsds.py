@@ -4,9 +4,17 @@ Behavioral equivalent of reference rsds.py:16-266: the velocity-gradient
 correction to tau_21/brightness temperature, and the sub-cell CIC shift of
 cells along the line of sight.  The LoS scatter is a vectorized 1D CIC
 (`jnp .at[].add`), not a per-sightline Python loop.
+
+Both entry points accept either host numpy (returns numpy) or jax device
+arrays (stays on device): the lightcone driver assembles the full lightcone
+in HBM and finalizes it there, so the only device->host transfer is the
+finished product — round-tripping ~GB lightcones through the remote-TPU
+tunnel for finalization costs minutes.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +30,32 @@ def _hubble_of_z(inputs: InputParameters, redshifts):
     return np.asarray(inputs.cosmology.hubble(np.asarray(redshifts)))  # 1/s
 
 
+def _gradient_last_axis(arr, dx, periodic: bool):
+    """np.gradient(edge_order=2) equivalent along the last axis, in jnp."""
+    if periodic:
+        n = arr.shape[-1]
+        k = jnp.fft.rfftfreq(n, dx) * 2 * jnp.pi
+        return jnp.fft.irfft(1j * k * jnp.fft.rfft(arr, axis=-1), n=n, axis=-1)
+    interior = (arr[..., 2:] - arr[..., :-2]) / (2 * dx)
+    lo = (-3 * arr[..., :1] + 4 * arr[..., 1:2] - arr[..., 2:3]) / (2 * dx)
+    hi = (3 * arr[..., -1:] - 4 * arr[..., -2:-1] + arr[..., -3:-2]) / (2 * dx)
+    return jnp.concatenate([lo, interior, hi], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("periodic", "use_tau"))
+def _dvdr_kernel(bt, vel, H, tau, max_dvdr, *, periodic, use_tau, dx):
+    vel_grad = _gradient_last_axis(vel, dx, periodic)
+    if not use_tau:
+        lim = max_dvdr * H
+        dvdx = jnp.clip(vel_grad, -lim, lim)
+        return bt / jnp.abs(1.0 + dvdx / H)
+    grad_comp = jnp.abs(1.0 + vel_grad / H)
+    # expm1 keeps the small-tau ratio well-conditioned in f32
+    factor = jnp.expm1(-tau / grad_comp) / jnp.expm1(-tau)
+    factor = jnp.where(tau < 1e-10, 1.0, factor).astype(jnp.float32)
+    return bt * factor
+
+
 def include_dvdr_in_tau21(
     brightness_temp,
     los_velocity,
@@ -34,23 +68,34 @@ def include_dvdr_in_tau21(
 
     Without Ts: Tb -> Tb / |1 + dv/dr / H| (clipped at MAX_DVDR).
     With Ts: full (1-exp(-tau/grad))/(1-exp(-tau)) factor (rsds.py:83-104)."""
+    dx = inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM
+    use_tau = tau_21 is not None
+    if not use_tau and inputs.astro_options.USE_TS_FLUCT:
+        raise ValueError("tau_21 required when USE_TS_FLUCT is True")
+
+    if isinstance(brightness_temp, jax.Array):
+        H = _hubble_of_z(inputs, redshifts).astype(np.float32)
+        tau = tau_21 if use_tau else jnp.zeros((), jnp.float32)
+        return _dvdr_kernel(
+            brightness_temp, los_velocity, jnp.asarray(H), tau,
+            jnp.float32(inputs.astro_params.MAX_DVDR),
+            periodic=periodic, use_tau=use_tau, dx=float(dx),
+        )
+
+    # host path: f64 numpy, bit-identical to the pre-device implementation
     bt = np.asarray(brightness_temp)
     vel = np.asarray(los_velocity)  # comoving Mpc/s
     n_los = bt.shape[-1]
-    dx = inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM
-
     if periodic:
         k_los = np.fft.rfftfreq(n_los, dx) * 2 * np.pi
-        vel_grad = np.fft.irfft(1j * k_los * np.fft.rfft(vel, axis=-1), n=n_los, axis=-1)
+        vel_grad = np.fft.irfft(
+            1j * k_los * np.fft.rfft(vel, axis=-1), n=n_los, axis=-1
+        )
     else:
         vel_grad = np.gradient(vel, dx, axis=-1, edge_order=2)
-
     H = _hubble_of_z(inputs, redshifts)
-    # H in 1/s; vel_grad in (Mpc/s)/Mpc = 1/s
 
     if tau_21 is None:
-        if inputs.astro_options.USE_TS_FLUCT:
-            raise ValueError("tau_21 required when USE_TS_FLUCT is True")
         max_dvdr = inputs.astro_params.MAX_DVDR * H
         dvdx = np.clip(vel_grad, -max_dvdr, max_dvdr)
         return bt / np.abs(1.0 + dvdx / H)
@@ -61,6 +106,16 @@ def include_dvdr_in_tau21(
         factor = (1.0 - np.exp(-tau / grad_comp)) / (1.0 - np.exp(-tau))
     factor = np.where(tau < 1e-10, 1.0, factor).astype(np.float32)
     return bt * factor
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_rsd_subcells", "periodic"))
+def rsds_shift_jit(field, los_displacement_pix, n_rsd_subcells: int = 4,
+                   periodic: bool = False):
+    return rsds_shift(field, los_displacement_pix,
+                      n_rsd_subcells=n_rsd_subcells, periodic=periodic)
 
 
 def rsds_shift(field, los_displacement_pix, n_rsd_subcells: int = 4, periodic: bool = False):
@@ -118,6 +173,22 @@ def rsds_shift(field, los_displacement_pix, n_rsd_subcells: int = 4, periodic: b
     return out.reshape(n_slices, n_sub, n_coords).sum(axis=1)
 
 
+@_partial(jax.jit, static_argnames=("n_sub", "periodic", "n_chunks"))
+def _rsds_chunked(field2d, disp2d, *, n_sub, periodic, n_chunks):
+    """Device RSD shift over (n_coords, n_slices), chunked along sightlines
+    with lax.map so the fine-grid intermediates stay ~100 MB."""
+    n_coords, n_slices = field2d.shape
+    fc = field2d.reshape(n_chunks, n_coords // n_chunks, n_slices)
+    dc = disp2d.reshape(n_chunks, n_coords // n_chunks, n_slices)
+
+    def body(args):
+        f, d = args
+        return rsds_shift(f.T, d.T, n_rsd_subcells=n_sub, periodic=periodic).T
+
+    out = jax.lax.map(body, (fc, dc))
+    return out.reshape(n_coords, n_slices)
+
+
 def apply_rsds(
     field,
     los_velocity,
@@ -128,10 +199,37 @@ def apply_rsds(
 ):
     """Apply RSDs to a (rectilinear or flattened-angular) field
     (reference apply_rsds:106-183)."""
-    field = np.asarray(field)
-    vel = np.asarray(los_velocity)
+    on_device = isinstance(field, jax.Array)
     H = _hubble_of_z(inputs, redshifts)  # 1/s
     cell = inputs.simulation_options.box_len / inputs.simulation_options.HII_DIM
+
+    if on_device:
+        vel = los_velocity
+        disp_pix = vel / jnp.asarray((H * cell).astype(np.float32))
+        shape3d = field.ndim == 3
+        if shape3d:
+            nx, ny = field.shape[0], field.shape[1]
+            field2d = field.reshape(nx * ny, -1)
+            disp2d = disp_pix.reshape(nx * ny, -1)
+        else:
+            field2d, disp2d = field, disp_pix
+        n_coords, n_slices = field2d.shape
+        # chunk so fine-grid intermediates stay ~<=128 MB
+        target = max(1, int(2**25 // max(n_slices * n_rsd_subcells, 1)))
+        n_chunks = 1
+        while n_coords // n_chunks > target or n_coords % n_chunks:
+            n_chunks += 1
+            if n_chunks > n_coords:
+                n_chunks = n_coords
+                break
+        shifted = _rsds_chunked(
+            field2d, disp2d, n_sub=n_rsd_subcells, periodic=periodic,
+            n_chunks=n_chunks,
+        )
+        return shifted.reshape(nx, ny, -1) if shape3d else shifted
+
+    field = np.asarray(field)
+    vel = np.asarray(los_velocity)
     disp_pix = vel / H / cell  # comoving Mpc / Mpc-per-pixel
 
     shape3d = field.ndim == 3
@@ -149,7 +247,7 @@ def apply_rsds(
     for c0 in range(0, n_coords, chunk):
         sl = slice(c0, c0 + chunk)
         outs.append(np.asarray(
-            rsds_shift(
+            rsds_shift_jit(
                 field[sl].T, disp_pix[sl].T,
                 n_rsd_subcells=n_rsd_subcells, periodic=periodic,
             )

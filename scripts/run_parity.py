@@ -148,7 +148,9 @@ CONFIGS = {
             "ZPRIME_STEP_FACTOR": 1.1,
             "INTEGRATION_METHOD_MINI": "GAMMA-APPROX",
             "INTEGRATION_METHOD_ATOMIC": "GAMMA-APPROX",
-            "V_CB_MODEL": "FLUCTS",
+            # NOTE: the reference config does NOT set V_CB_MODEL — it
+            # defaults to "NONE" (vcb = 0 in the LW threshold), see
+            # reference inputs.py:827-833 _default_v_cb_model
         },
     ),
     "multiple_scattering_mini": (
