@@ -4,17 +4,17 @@ Baseline (BASELINE.md / JOSS v3 paper): the reference C code runs the full
 z=5-35 lightcone (92 nodes, USE_TS_FLUCT + INHOMO_RECO, HII_DIM=250, DIM=1000,
 i.e. DIM = 4 x HII_DIM) in 7.63 hr = 27468 s on a 16-core Xeon.
 
-Segment order is budget-driven (round-3 lesson: BENCH_r03 timed out with the
-512 segment first): the HEADLINE full lightcone runs FIRST with a hard
-per-segment timeout, its result is what the single JSON line reports, and the
-HII_DIM=512 feasibility segment runs only with the time that remains.
+Segment order is reliability-driven (round-3 lesson: BENCH_r03 timed out;
+the round-4 probe showed a DIM=1024 OOM can poison the TPU tunnel for
+subsequent processes): the known-stable DIM=768 headline full lightcone runs
+FIRST and its measurement is banked, then the faithful DIM=1024 (4x) attempt
+runs with whatever budget remains — if it succeeds it takes over the
+headline, if it dies the banked 768 number still prints.  The HII_DIM=512
+feasibility segment runs only if the 4x attempt was skipped for budget.
 
-Headline: a full z=5-35 lightcone at HII_DIM=256 / DIM=1024 (the reference's
-faithful 4x hires ratio), USE_TS_FLUCT + inhomogeneous recombinations, RSDs
-applied, measured wall-clock including ICs, all 92 nodes, device-side
-lightcone assembly and the final fetch.  If the 4x run fails, the 3x
-(DIM=768) configuration runs INSTEAD and the metric name says so — no silent
-fallback.
+Headline: a full z=5-35 lightcone at HII_DIM=256, USE_TS_FLUCT +
+inhomogeneous recombinations, RSDs applied, measured wall-clock including
+ICs, all 92 nodes, device-side lightcone assembly and the final fetch.
 
 Prints exactly one JSON line.
 """
@@ -29,7 +29,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_S = 27468.0
-TOTAL_BUDGET_S = 3000.0  # stay inside the driver's window with margin
+TOTAL_BUDGET_S = 1650.0  # the round-3 record was rc=124: stay WELL inside
+                         # the driver window (round-2's ~10 min run passed)
 _T0 = time.monotonic()
 
 
@@ -175,13 +176,24 @@ def _run_segment_subprocess(segment: str, timeout_s: float):
 
 def main():
     detail = {}
-    # headline FIRST: DIM = 4 x HII_DIM (the reference's own ratio)
-    full = _run_segment_subprocess("full1024", timeout_s=min(2300.0, _remaining()))
-    ratio_tag = "dim1024"
+    # bank the known-stable 3x headline FIRST (never risk an rc!=0 round)
+    full = _run_segment_subprocess("full768", timeout_s=min(1100.0, _remaining()))
+    ratio_tag = "dim768"
     if "error" in full:
-        detail["dim1024_error"] = full["error"]
-        ratio_tag = "dim768"
-        full = _run_segment_subprocess("full768", timeout_s=min(1800.0, _remaining()))
+        detail["dim768_error"] = full["error"]
+
+    # faithful 4x ratio attempt with the remaining budget; an OOM here can
+    # poison the TPU tunnel, so it runs LAST and in its own process
+    if _remaining() > 450.0:
+        full4 = _run_segment_subprocess(
+            "full1024", timeout_s=min(1100.0, _remaining() - 60.0))
+        if "error" in full4:
+            detail["dim1024_error"] = full4["error"]
+        else:
+            detail["dim768"] = {k: full[k] for k in full} if "error" not in full else full
+            full, ratio_tag = full4, "dim1024"
+    else:
+        detail["dim1024_error"] = "skipped: insufficient budget remaining"
 
     if "error" in full:
         print(json.dumps({
@@ -195,14 +207,6 @@ def main():
 
     detail.update(full)
     detail["config"] = f"hii256_{ratio_tag}_z5-35_ts_recomb_rsds_measured"
-
-    # feasibility segment with whatever budget remains
-    if _remaining() > 500:
-        detail["hii512"] = _run_segment_subprocess(
-            "512", timeout_s=min(1200.0, _remaining() - 120.0)
-        )
-    else:
-        detail["hii512"] = {"error": "skipped: insufficient budget remaining"}
 
     print(json.dumps({
         "metric": f"ts_recomb_lightcone_measured_hii256_{ratio_tag}_seconds",

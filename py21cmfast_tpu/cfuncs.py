@@ -339,7 +339,8 @@ def compute_mturns(inputs: InputParameters, redshift, J_LW_21=0.0, v_cb=0.0,
     m_turn_a = max(acg, m_re, ap.m_turn)
     m_turn_m = None
     if inputs.astro_options.USE_MINI_HALOS:
-        mlw = float(hmf.lyman_werner_threshold(z, J_LW_21, v_cb, ap))
+        mlw = float(hmf.lyman_werner_threshold(
+            z, J_LW_21, v_cb, ap, v_cb_avg=inputs.cosmology.V_CB_AVG))
         m_turn_m = max(mlw, m_re, ap.m_turn)
     return m_turn_a, m_turn_m
 

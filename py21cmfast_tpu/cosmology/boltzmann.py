@@ -1,0 +1,587 @@
+"""First-order Boltzmann solver for the relative baryon-CDM velocity transfer.
+
+The reference obtains T_vcb(k) (and the matter transfer) from CLASS
+(classy_interface.py:53-294); classy is not available in the TPU runtime
+image, so this module integrates the standard linear perturbation system
+itself — CDM + baryons + photon multipoles (with polarization) + massless
+neutrinos in the conformal Newtonian gauge, following Ma & Bertschinger 1995
+(MB95) — well enough to tabulate
+
+  * T_vcb(k) = |theta_b - theta_c| / k  at kinematic decoupling (units v/c
+    per unit primordial curvature zeta), the quantity `power_in_vcb`
+    (reference cosmology.c:310-325) needs, and
+  * T_m(k, z)  (CLASS convention, delta_m per unit zeta, here with the
+    opposite overall sign — only T^2 enters the power spectrum).
+
+Numerical scheme (the parts that make it work):
+
+  * The metric potential phi is ALGEBRAIC, from the Einstein constraints
+    (MB95 eq 23a+23b combined):
+        k^2 phi = -4 pi G a^2 [sum rho_i delta_i
+                               + (3 aH / k^2) sum (rho_i + p_i) theta_i]
+    Integrating phi as an ODE through the momentum constraint lets
+    quadrature drift accumulate with no restoring force — a sustained
+    spurious psi that reverses theta_c after enough acoustic cycles
+    (observed: delta_m sign flips at k ~ 0.7/Mpc and a 20x blowup by
+    k = 4/Mpc).  The constraint form ties phi to the integrated matter
+    variables exactly, as CLASS/CAMB do.
+  * The photon-baryon slip Delta = theta_g - theta_b is a STATE VARIABLE.
+    Storing theta_g and theta_b separately makes the Thomson term
+    kappa'(theta_g - theta_b) a catastrophic cancellation at kappa' up to
+    1e9/Mpc; as a state, Delta is a diagonally stiff relaxation variable
+    that an implicit integrator keeps on its slow manifold exactly.
+  * Three stages per mode: a tight-coupling fluid stage deep in the
+    photon-baryon era (common velocity, first-order shear
+    sigma_g = 16/45 theta/kappa' carrying the dominant Silk damping), the
+    full hierarchy with the slip variable through recombination, and a
+    matter-only stage (CDM + baryons, psi = phi) once radiation
+    perturbations stop mattering for the potentials (a > A_LATE and
+    k tau >> 1) — the analog of CLASS's radiation-streaming approximation,
+    without which every sub-horizon radiation multipole must be tracked to
+    z = 0.
+  * Sub-horizon neutrinos switch to a fluid closure (CLASS's UFA idea):
+    the l=3 recursion asymptote closes the shear equation as
+    sigma' = (2/3) theta - 3 sigma/tau, phase-mixing the free-streaming
+    oscillations instead of reflecting them off l_max.
+
+Everything is host-side float64 numpy/scipy; the output ships as package
+data (see scripts/r4_make_class_tables.py) and loads through the same
+`register_class_transfer` path a live CLASS run would use.
+
+Accuracy: validated against the CLASS transfer table stored in the
+reference's gold files (tests/test_data/power_spectra_mini.h5,
+cosmo_tables/transfer_density) — see tests/test_boltzmann.py.  Known
+omissions vs the reference's CLASS setup: the 0.06 eV massive neutrino is
+treated as massless (<~1% shape effect after sigma8 renormalization) and
+recombination is Saha + Peebles rather than RECFAST's multi-level atom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.integrate import solve_ivp
+
+from .constants import physconst
+
+__all__ = ["BoltzmannSolver", "compute_vcb_transfer"]
+
+# Mpc in cm, sigma_T in cm^2, G in cgs
+_CM_PER_MPC = physconst.cm_per_Mpc
+_SIGMA_T = physconst.sigma_T
+_C_CMS = physconst.c_cms
+
+
+class BoltzmannSolver:
+    """Linear perturbations for one LCDM cosmology (no massive neutrinos).
+
+    Units: lengths in Mpc, conformal time tau in Mpc (c=1), k in 1/Mpc.
+    """
+
+    def __init__(self, *, hlittle=0.6766, OMm=0.30966, OMb=0.04897,
+                 T_cmb=2.7255, Y_He=0.245, N_ur=3.044,
+                 lmax_g=12, lmax_nu=12, lmax_pol=8):
+        self.h = float(hlittle)
+        self.OMm = float(OMm)
+        self.OMb = float(OMb)
+        self.OMc = self.OMm - self.OMb
+        self.T_cmb = float(T_cmb)
+        self.Y_He = float(Y_He)
+        self.lmax_g = int(lmax_g)
+        self.lmax_nu = int(lmax_nu)
+        self.lmax_pol = int(lmax_pol)
+
+        H0 = 100.0 * self.h / (_C_CMS * 1e-5)  # 1/Mpc (H0/c)
+        self.H0 = H0
+        # photon + neutrino densities today (Omega h^2 from T_cmb)
+        omega_g = 2.47282e-5 * (self.T_cmb / 2.7255) ** 4  # Omega_gamma h^2
+        self.OMg = omega_g / self.h**2
+        self.OMnu = self.OMg * (7.0 / 8.0) * (4.0 / 11.0) ** (4.0 / 3.0) * N_ur
+        self.OMr = self.OMg + self.OMnu
+        self.OMl = 1.0 - self.OMm - self.OMr
+
+        # comoving baryon number densities for the Thomson term
+        rho_crit = 3 * (self.h * 3.2407e-18) ** 2 / (8 * np.pi * physconst.G)
+        self.n_H0 = rho_crit * self.OMb * (1 - self.Y_He) / physconst.m_p  # cm^-3
+
+        self._xe_tab = None
+        # background tau(a) lookup, shared by every solve_k call
+        self._a_grid = np.logspace(-9, 0.001, 6000)
+        self._tau_grid = self.tau_of_a_grid(self._a_grid)
+
+    # ---------------------------------------------------------------- background
+    def hubble_conf(self, a):
+        """Conformal Hubble a'/a in 1/Mpc."""
+        return self.H0 * np.sqrt(
+            self.OMm / a + self.OMr / a**2 + self.OMl * a**2
+        )
+
+    def tau_of_a_grid(self, a_grid):
+        """Conformal time tau(a) in Mpc by quadrature."""
+        from scipy.integrate import cumulative_trapezoid
+
+        integrand = 1.0 / (a_grid**2 * (self.hubble_conf(a_grid) / a_grid))
+        tau = cumulative_trapezoid(integrand, a_grid, initial=0.0)
+        return tau
+
+    # ------------------------------------------------------------- recombination
+    def x_e(self, z):
+        """Free-electron fraction n_e/n_H: Saha (H + He) above z=1500,
+        Peebles three-level solve below (recombination._solve)."""
+        if self._xe_tab is None:
+            self._xe_tab = self._build_xe_table()
+        zt, xt = self._xe_tab
+        return np.interp(np.log(1 + np.asarray(z)), zt, xt)
+
+    def _build_xe_table(self):
+        f_He = self.Y_He / (3.9715 * (1 - self.Y_He))
+        # low-z: Peebles solver for this cosmology
+        from .recombination import _solve
+
+        z_lo, x_lo, _T = _solve((self.h, self.OMm, self.OMb,
+                                 self.OMr, self.OMl, self.Y_He))
+        # high-z: Saha for H; He singly/doubly ionized steps
+        z_hi = np.logspace(np.log10(1500.0), 7.5, 600)
+        T = self.T_cmb * (1 + z_hi)
+        kT_eV = physconst.k_B * T / 1.60218e-12
+        n_H = self.n_H0 * (1 + z_hi) ** 3
+        saha = 2.4147e15 * T**1.5 * np.exp(-13.5984 / kT_eV) / n_H
+        x_H = 0.5 * (-saha + np.sqrt(saha**2 + 4 * saha))
+        x_H = np.clip(x_H, 0.0, 1.0)
+        # He: doubly ionized above ~ kT > 54.4/35, singly above 24.6/30 (Saha-ish)
+        saha2 = 2.4147e15 * T**1.5 * np.exp(-54.4178 / kT_eV) / n_H * 4.0
+        x_he2 = 0.5 * (-saha2 + np.sqrt(saha2**2 + 4 * saha2))
+        saha1 = 2.4147e15 * T**1.5 * np.exp(-24.5874 / kT_eV) / n_H * 4.0
+        x_he1 = 0.5 * (-saha1 + np.sqrt(saha1**2 + 4 * saha1))
+        x_hi = x_H + f_He * (np.clip(x_he1, 0, 1) + np.clip(x_he2, 0, 1))
+
+        sel = z_lo <= 1500.0
+        z_all = np.concatenate([z_lo[sel], z_hi])
+        x_all = np.concatenate([x_lo[sel], x_hi])
+        order = np.argsort(z_all)
+        return np.log(1 + z_all[order]), x_all[order]
+
+    def dkappa_dtau(self, a):
+        """Thomson opacity a n_e sigma_T, in 1/Mpc."""
+        z = 1.0 / a - 1.0
+        n_e = self.x_e(z) * self.n_H0 / a**3  # cm^-3
+        return a * n_e * _SIGMA_T * _CM_PER_MPC
+
+    def _cs2_baryon(self, a):
+        """Baryon sound speed squared (units of c^2), T_b = T_gamma (tightly
+        coupled; adequate through decoupling, after which the term is
+        negligible at the k this solver serves)."""
+        T_b = self.T_cmb / a
+        mu = 1.0 / (1 - 0.75 * self.Y_He)
+        return (physconst.k_B * T_b / (mu * physconst.m_p)) / (_C_CMS**2) * (4.0 / 3.0)
+
+    # --------------------------------------------------------------- potentials
+    def _potentials(self, a, ach, k, dens, mom, shear_src):
+        """phi, psi, phi' from the Einstein constraints (MB95 eq 23):
+        dens = sum rho_i delta_i, mom = sum (rho_i+p_i) theta_i,
+        shear_src = sum (rho_i+p_i) sigma_i; rho in Omega_i/a^n units."""
+        H0sq = self.H0**2
+        phi = -1.5 * H0sq * a**2 * (dens + 3.0 * ach * mom / k**2) / k**2
+        psi = phi - 4.5 * H0sq * a**2 * shear_src / k**2
+        dphi = -ach * psi + 1.5 * H0sq * a**2 * mom / k**2
+        return phi, psi, dphi
+
+    # ------------------------------------------------------------------- the ODE
+    # Full-hierarchy state layout:
+    #   [a, d_c, th_c, d_b, th_b, Delta, F0, F2..F_lg, G0..G_lp, F_nu 0..l]
+    # where Delta = theta_g - theta_b is the photon-baryon slip; F1 is NOT
+    # stored (theta_g = th_b + Delta; F1 = 4 theta_g / 3k) and phi is
+    # algebraic.
+
+    def _n_full(self):
+        return 6 + 1 + (self.lmax_g - 1) + (self.lmax_pol + 1) + (self.lmax_nu + 1)
+
+    def _rhs(self, tau, y, k):
+        lg, ln, lp = self.lmax_g, self.lmax_nu, self.lmax_pol
+        a = y[0]
+        ach = self.hubble_conf(a)
+        da = a * ach
+
+        d_c, th_c = y[1], y[2]
+        d_b, th_b = y[3], y[4]
+        Delta = y[5]
+        d_g = y[6]
+        Fg2 = y[7: 7 + lg - 1]          # F_2 .. F_lg
+        i = 7 + lg - 1
+        Gp = y[i: i + lp + 1]; i += lp + 1
+        Fn = y[i: i + ln + 1]; i += ln + 1
+
+        th_g = th_b + Delta
+        sig_g = 0.5 * Fg2[0]
+        d_n = Fn[0]
+        th_n = 0.75 * k * Fn[1]
+        sig_n = 0.5 * Fn[2]
+
+        rho_c = self.OMc / a**3
+        rho_b = self.OMb / a**3
+        rho_g = self.OMg / a**4
+        rho_n = self.OMnu / a**4
+
+        dens = rho_c * d_c + rho_b * d_b + rho_g * d_g + rho_n * d_n
+        mom = (rho_c * th_c + rho_b * th_b
+               + (4.0 / 3.0) * (rho_g * th_g + rho_n * th_n))
+        shear_src = (4.0 / 3.0) * (rho_g * sig_g + rho_n * sig_n)
+        phi, psi, dphi = self._potentials(a, ach, k, dens, mom, shear_src)
+
+        kap = self.dkappa_dtau(a)
+        R = (4.0 / 3.0) * rho_g / rho_b
+        cs2 = self._cs2_baryon(a)
+
+        dd_c = -th_c + 3 * dphi
+        dth_c = -ach * th_c + k**2 * psi
+
+        dd_b = -th_b + 3 * dphi
+        dth_b = (-ach * th_b + cs2 * k**2 * d_b + k**2 * psi
+                 + R * kap * Delta)
+        # slip: Delta' = theta_g' - theta_b'
+        dth_g_nc = k**2 * (0.25 * d_g - sig_g) + k**2 * psi  # non-collisional part
+        dDelta = (dth_g_nc - kap * Delta) - dth_b
+
+        dd_g = -(4.0 / 3.0) * th_g + 4 * dphi
+
+        Pi = Fg2[0] + Gp[0] + (Gp[2] if lp >= 2 else 0.0)
+        dFg2 = np.empty_like(Fg2)
+        # F2' = 8/15 th_g - 3/5 k F3 - 9/5 kap sig_g + 1/10 kap (G0 + G2)
+        F3 = Fg2[1] if lg >= 3 else 0.0
+        dFg2[0] = ((8.0 / 15.0) * th_g - (3.0 / 5.0) * k * F3
+                   - 1.8 * kap * sig_g
+                   + 0.1 * kap * (Gp[0] + (Gp[2] if lp >= 2 else 0.0)))
+        for ell in range(3, lg):
+            dFg2[ell - 2] = ((k / (2 * ell + 1)) * (ell * Fg2[ell - 3]
+                                                    - (ell + 1) * Fg2[ell - 1])
+                             - kap * Fg2[ell - 2])
+        # truncation (MB95 eq 51)
+        dFg2[lg - 2] = (k * Fg2[lg - 3] - ((lg + 1) / max(tau, 1e-12)) * Fg2[lg - 2]
+                        - kap * Fg2[lg - 2])
+
+        dGp = np.empty_like(Gp)
+        for ell in range(0, lp):
+            below = Gp[ell - 1] if ell >= 1 else 0.0
+            dGp[ell] = ((k / (2 * ell + 1)) * (ell * below - (ell + 1) * Gp[ell + 1])
+                        + kap * (-Gp[ell]
+                                 + 0.5 * Pi * ((1.0 if ell == 0 else 0.0)
+                                               + (0.2 if ell == 2 else 0.0))))
+        dGp[lp] = (k * Gp[lp - 1] - ((lp + 1) / max(tau, 1e-12)) * Gp[lp]
+                   - kap * Gp[lp])
+
+        dFn = self._dFn(Fn, tau, k, dphi, psi)
+
+        out = np.empty_like(y)
+        out[0] = da
+        out[1] = dd_c; out[2] = dth_c
+        out[3] = dd_b; out[4] = dth_b
+        out[5] = dDelta
+        out[6] = dd_g
+        out[7: 7 + lg - 1] = dFg2
+        i = 7 + lg - 1
+        out[i: i + lp + 1] = dGp; i += lp + 1
+        out[i: i + ln + 1] = dFn
+        return out
+
+    # Massless-neutrino block.  Deep sub-horizon (k tau > UFA_KTAU) the
+    # truncated hierarchy reflects power off l_max and corrupts the
+    # potentials exactly where neutrinos carry 40% of the energy (RD); the
+    # standard cure (CLASS's ultra-relativistic fluid approximation,
+    # Blas/Lesgourgues/Tram 2011) closes the system at the fluid level.  Here
+    # the l=3 recursion asymptote F3 = (5/k tau) F2 - F1 closes the shear
+    # equation: sigma' = (2/3) theta - 3 sigma / tau, which phase-mixes the
+    # free-streaming oscillations instead of reflecting them.
+    UFA_KTAU = 30.0
+
+    def _dFn(self, Fn, tau, k, dphi, psi):
+        ln = self.lmax_nu
+        th_n = 0.75 * k * Fn[1]
+        sig_n = 0.5 * Fn[2]
+        d_n = Fn[0]
+
+        dFn = np.zeros_like(Fn)
+        dFn[0] = -(4.0 / 3.0) * th_n + 4 * dphi
+        dth_n = k**2 * (0.25 * d_n - sig_n) + k**2 * psi
+        dFn[1] = (4.0 / (3.0 * k)) * dth_n
+        if k * tau > self.UFA_KTAU:
+            # fluid closure; higher moments frozen (they no longer feed back)
+            dFn[2] = k * Fn[1] - 3.0 * Fn[2] / tau
+            return dFn
+        if ln >= 3:
+            dFn[2] = (8.0 / 15.0) * th_n - (3.0 / 5.0) * k * Fn[3]
+        for ell in range(3, ln):
+            dFn[ell] = (k / (2 * ell + 1)) * (ell * Fn[ell - 1]
+                                              - (ell + 1) * Fn[ell + 1])
+        dFn[ln] = k * Fn[ln - 1] - ((ln + 1) / max(tau, 1e-12)) * Fn[ln]
+        return dFn
+
+    # ------------------------------------------------- tight-coupling stage
+    # Deep in the photon-baryon era kappa' reaches ~1e9/Mpc; even with the
+    # slip variable the full hierarchy wastes steps there.  Evolve one
+    # combined fluid (common velocity th, first-order shear
+    # sigma_g = 16/45 th/kappa' — the dominant 16/15 part of the Silk
+    # damping rate) until kappa' < S max(k, aH), then hand over.
+    # TC state: [a, d_c, th_c, d_b, th, d_g, F_nu 0..l]
+
+    def _rhs_tc(self, tau, y, k):
+        ln = self.lmax_nu
+        a = y[0]
+        ach = self.hubble_conf(a)
+        da = a * ach
+
+        d_c, th_c = y[1], y[2]
+        d_b, th = y[3], y[4]
+        d_g = y[5]
+        Fn = y[6: 6 + ln + 1]
+
+        th_n = 0.75 * k * Fn[1]
+        sig_n = 0.5 * Fn[2]
+        d_n = Fn[0]
+
+        kap = self.dkappa_dtau(a)
+        sig_g = (16.0 / 45.0) * th / kap
+
+        rho_c = self.OMc / a**3
+        rho_b = self.OMb / a**3
+        rho_g = self.OMg / a**4
+        rho_n = self.OMnu / a**4
+
+        dens = rho_c * d_c + rho_b * d_b + rho_g * d_g + rho_n * d_n
+        mom = (rho_c * th_c + rho_b * th
+               + (4.0 / 3.0) * (rho_g * th + rho_n * th_n))
+        shear_src = (4.0 / 3.0) * (rho_g * sig_g + rho_n * sig_n)
+        phi, psi, dphi = self._potentials(a, ach, k, dens, mom, shear_src)
+
+        R = (4.0 / 3.0) * rho_g / rho_b
+        cs2 = self._cs2_baryon(a)
+
+        dd_c = -th_c + 3 * dphi
+        dth_c = -ach * th_c + k**2 * psi
+        dd_b = -th + 3 * dphi
+        dd_g = -(4.0 / 3.0) * th + 4 * dphi
+        dth = ((-ach * th + cs2 * k**2 * d_b
+                + R * k**2 * (0.25 * d_g - sig_g)) / (1.0 + R)
+               + k**2 * psi)
+
+        dFn = self._dFn(Fn, tau, k, dphi, psi)
+
+        out = np.empty_like(y)
+        out[0] = da
+        out[1] = dd_c; out[2] = dth_c
+        out[3] = dd_b; out[4] = dth
+        out[5] = dd_g
+        out[6: 6 + ln + 1] = dFn
+        return out
+
+    # -------------------------------------------------------- late matter stage
+    # Once a > A_LATE and k tau >> 1, radiation perturbations are irrelevant
+    # for the potentials (rho_r delta_r / rho_m delta_m << 1% sub-horizon) and
+    # residual Thomson drag is negligible: CDM + baryons with psi = phi.
+    # State: [a, d_c, th_c, d_b, th_b]
+
+    def _rhs_late(self, tau, y, k):
+        a = y[0]
+        ach = self.hubble_conf(a)
+        d_c, th_c = y[1], y[2]
+        d_b, th_b = y[3], y[4]
+
+        rho_c = self.OMc / a**3
+        rho_b = self.OMb / a**3
+        dens = rho_c * d_c + rho_b * d_b
+        mom = rho_c * th_c + rho_b * th_b
+        phi, psi, dphi = self._potentials(a, ach, k, dens, mom, 0.0)
+        cs2 = self._cs2_baryon(a)
+
+        return np.array([
+            a * ach,
+            -th_c + 3 * dphi,
+            -ach * th_c + k**2 * psi,
+            -th_b + 3 * dphi,
+            -ach * th_b + cs2 * k**2 * d_b + k**2 * psi,
+        ])
+
+    # --------------------------------------------------------- initial conditions
+    def _adiabatic_ic_tc(self, k, tau0, a0):
+        """Super-horizon adiabatic ICs for the TC stage, normalized to
+        comoving curvature R = 1 (MB95 eq 98).
+
+        In the radiation era with the constant growing mode, the comoving
+        curvature is R = psi (3/2 + 2 R_nu / 5), so psi = 1/(3/2 + 2 R_nu/5)
+        gives unit curvature — the CLASS transfer normalization."""
+        ln = self.lmax_nu
+        rho_n = self.OMnu / a0**4
+        rho_g = self.OMg / a0**4
+        R_nu = rho_n / (rho_n + rho_g)
+        psi = 1.0 / (1.5 + 0.4 * R_nu)
+        phi = (1.0 + 2.0 * R_nu / 5.0) * psi
+        kt = k * tau0
+        d_g = -2.0 * psi
+        th = 0.5 * k * kt * psi  # = k^2 tau / 2 * psi
+
+        y = np.zeros(6 + ln + 1)
+        y[0] = a0
+        y[1] = 0.75 * d_g; y[2] = th   # CDM
+        y[3] = 0.75 * d_g; y[4] = th   # photon-baryon common velocity
+        y[5] = d_g
+        y[6] = d_g                     # neutrino F0
+        y[7] = 4.0 / (3.0 * k) * th    # neutrino F1
+        if ln >= 2:
+            # MB95 eq 98: sigma_nu = (k tau)^2 (phi + psi) / 15; F2 = 2 sigma
+            y[8] = 2.0 * kt**2 * (phi + psi) / 15.0
+        return y
+
+    def _tc_to_full(self, y_tc, k):
+        """Map the TC state onto the full hierarchy at the switch, seeding
+        Delta/F2/F3/G0/G1/G2 with their first-order tight-coupling values
+        (sigma_g = 16/45 th/kap, Pi = 5 sigma, G0 = 5 sig/2, G2 = sig/2)."""
+        lg, ln, lp = self.lmax_g, self.lmax_nu, self.lmax_pol
+        a = y_tc[0]
+        th = y_tc[4]
+        d_g = y_tc[5]
+        d_b = y_tc[3]
+        kap = self.dkappa_dtau(a)
+        ach = self.hubble_conf(a)
+        sig = (16.0 / 45.0) * th / kap
+        # zeroth-order slip: Delta relaxes to
+        # [k^2 (delta_g/4 - sigma) + H th - cs2 k^2 d_b] / ((1+R) kap)
+        R = (4.0 / 3.0) * (self.OMg / a**4) / (self.OMb / a**3)
+        cs2 = self._cs2_baryon(a)
+        Delta0 = (k**2 * (0.25 * d_g - sig) + ach * th
+                  - cs2 * k**2 * d_b) / ((1.0 + R) * kap)
+
+        y = np.zeros(self._n_full())
+        y[0:4] = y_tc[0:4]
+        y[4] = th - Delta0 * R / (1.0 + R)   # theta_b (th was the mixture velocity)
+        y[5] = Delta0
+        y[6] = d_g
+        y[7] = 2.0 * sig                      # F2
+        if lg >= 3:
+            y[8] = 3.0 * k * (2.0 * sig) / (7.0 * kap)  # F3
+        i = 7 + lg - 1
+        y[i] = 2.5 * sig                      # G0
+        if lp >= 1:
+            y[i + 1] = 0.5 * k * sig / kap    # G1 = (k/3kap)(G0 - 2 G2)
+        if lp >= 2:
+            y[i + 2] = 0.5 * sig              # G2
+        i += lp + 1
+        y[i: i + ln + 1] = y_tc[6: 6 + ln + 1]
+        return y
+
+    # ----------------------------------------------------------------- the solve
+    A_START_MAX = 1e-5    # ICs must sit deep in radiation domination
+    A_SWITCH_MAX = 4e-4   # hierarchy must be live well before recombination
+    A_LATE = 2.5e-3       # z ~ 400: radiation forcing of phi is < 1% sub-horizon
+    KTAU_LATE = 25.0      # ...but only for well-sub-horizon modes
+
+    def solve_k(self, k, z_out=(1059.94,), rtol=1e-7, atol=1e-12,
+                tc_switch=500.0):
+        """Integrate one k from deep radiation era to min(z_out).
+
+        Returns dict with delta_c/delta_b/theta_c/theta_b/delta_m and v_cb
+        (= |theta_b - theta_c| / k, units of c) at each z in z_out."""
+        a_grid, tau_grid = self._a_grid, self._tau_grid
+        # start with the mode super-horizon (k tau0 <= 0.05, IC error
+        # O((k tau)^2) ~ 2.5e-3) and deep in RD
+        tau0 = min(0.05 / k, float(np.interp(self.A_START_MAX, a_grid, tau_grid)))
+        a0 = float(np.interp(tau0, tau_grid, a_grid))
+
+        # TC -> full switch scale factor
+        kap_grid = self.dkappa_dtau(a_grid)
+        ach_grid = self.hubble_conf(a_grid)
+        loose = kap_grid <= tc_switch * np.maximum(k, ach_grid)
+        a_sw = float(a_grid[np.argmax(loose)]) if loose.any() else self.A_SWITCH_MAX
+        a_sw = min(a_sw, self.A_SWITCH_MAX)
+        tau_sw = float(np.interp(a_sw, a_grid, tau_grid))
+
+        z_out = np.sort(np.asarray(z_out, np.float64))[::-1]
+        a_out = 1.0 / (1 + z_out)
+        if a_out[0] <= a_sw:
+            raise ValueError(f"z_out {z_out[0]} is inside the TC stage")
+        tau_out = np.interp(a_out, a_grid, tau_grid)
+
+        # stage 1: tight coupling
+        if tau_sw > tau0 * 1.05:
+            sol1 = solve_ivp(
+                self._rhs_tc, (tau0, tau_sw), self._adiabatic_ic_tc(k, tau0, a0),
+                args=(k,), method="BDF", rtol=rtol, atol=atol,
+                first_step=tau0 * 0.01,
+            )
+            if not sol1.success:
+                raise RuntimeError(
+                    f"TC Boltzmann stage failed at k={k}: {sol1.message}")
+            y0, t_start = self._tc_to_full(sol1.y[:, -1], k), tau_sw
+        else:
+            y0, t_start = self._tc_to_full(
+                self._adiabatic_ic_tc(k, tau0, a0), k), tau0
+
+        # stage boundary to the late matter-only system
+        tau_late = float(np.interp(self.A_LATE, a_grid, tau_grid))
+        tau_late = max(tau_late, self.KTAU_LATE / k)
+        tau_end = float(tau_out[-1])
+
+        if tau_late >= tau_end:
+            # everything fits in the full-hierarchy stage
+            sol = solve_ivp(
+                self._rhs, (t_start, tau_end), y0, args=(k,),
+                method="BDF", t_eval=tau_out, rtol=rtol, atol=atol,
+            )
+            if not sol.success:
+                raise RuntimeError(f"Boltzmann solve failed at k={k}: {sol.message}")
+            ys = sol.y.T
+        else:
+            mid_mask = tau_out <= tau_late
+            t_eval_full = np.concatenate([tau_out[mid_mask], [tau_late]])
+            sol = solve_ivp(
+                self._rhs, (t_start, tau_late), y0, args=(k,),
+                method="BDF", t_eval=t_eval_full, rtol=rtol, atol=atol,
+            )
+            if not sol.success:
+                raise RuntimeError(f"Boltzmann solve failed at k={k}: {sol.message}")
+            y_mid = sol.y[:, -1]
+            sol_late = solve_ivp(
+                self._rhs_late, (tau_late, tau_end), y_mid[:5], args=(k,),
+                method="BDF", t_eval=tau_out[~mid_mask], rtol=rtol, atol=atol,
+            )
+            if not sol_late.success:
+                raise RuntimeError(
+                    f"late Boltzmann stage failed at k={k}: {sol_late.message}")
+            ys = list(sol.y[:, :-1].T)
+            for col in sol_late.y.T:
+                full = np.zeros(self._n_full())
+                full[:5] = col
+                ys.append(full)
+            ys = np.asarray(ys)
+
+        res = []
+        for j, z in enumerate(z_out):
+            y = ys[j]
+            a = y[0]
+            d_c, th_c, d_b, th_b = y[1], y[2], y[3], y[4]
+            rho_c, rho_b = self.OMc, self.OMb
+            d_m = (rho_c * d_c + rho_b * d_b) / (rho_c + rho_b)
+            res.append({
+                "z": float(z), "a": float(a),
+                "delta_c": float(d_c), "delta_b": float(d_b),
+                "delta_m": float(d_m),
+                "theta_c": float(th_c), "theta_b": float(th_b),
+                "v_cb": float(abs(th_b - th_c) / k),
+            })
+        return res
+
+
+def compute_vcb_transfer(k_arr, *, z_dec=None, solver=None, **cosmo_kwargs):
+    """T_vcb(k) at kinematic decoupling, units v/c per unit zeta.
+
+    Also returns delta_m(k, z_dec) for diagnostics."""
+    if solver is None:
+        solver = BoltzmannSolver(**cosmo_kwargs)
+    if z_dec is None:
+        from .classy_interface import find_redshift_kinematic_decoupling
+
+        z_dec = find_redshift_kinematic_decoupling()
+    t_vcb = np.empty(len(k_arr))
+    d_m = np.empty(len(k_arr))
+    for i, k in enumerate(k_arr):
+        r = solver.solve_k(float(k), z_out=(z_dec,))[0]
+        t_vcb[i] = r["v_cb"]
+        d_m[i] = r["delta_m"]
+    return t_vcb, d_m

@@ -88,6 +88,7 @@ class Cosmology:
         power_spectrum: int = 0,
         filter_type: int = FILTER_TOPHAT,
         transfer_table: tuple[np.ndarray, np.ndarray] | None = None,
+        vcb_suppression: bool = False,
     ):
         self.hlittle = float(hlittle)
         self.OMm = float(OMm)
@@ -102,6 +103,10 @@ class Cosmology:
         self.power_spectrum = int(power_spectrum)
         self.filter_type = int(filter_type)
         self.transfer_table = transfer_table
+        # mean relative-velocity suppression of small-scale matter power
+        # (Munoz+ fit; reference cosmology.c:27-29 + power_in_k:295-300):
+        # active when CLASS transfers are used together with a v_cb model
+        self.vcb_suppression = bool(vcb_suppression) and self.power_spectrum == 5
 
         self.Ho = self.hlittle * H0_PER_h  # s^-1
         # critical density in Msun / Mpc^3 at z=0
@@ -207,20 +212,39 @@ class Cosmology:
             if self.power_spectrum < 5:
                 T = T * k * k  # match CLASS convention where T ~ k^2 at low k
             p = self.sigma_norm * self.primordial_curvature_power(k) * T * T / k**3
+            if self.vcb_suppression:
+                # 24% dip centred at k=300/Mpc, 0.9 dex wide — the mean-v_cb
+                # suppression of minihalo-scale power (cosmology.c:295-300)
+                p = p * (1.0 - 0.24 * np.exp(
+                    -np.log(k / 300.0) ** 2 / (2.0 * 0.9**2)
+                ))
         return np.where(k == 0.0, 0.0, p)
 
     # ------------------------------------------------------- relative velocity
-    V_CB_AVG = 25.86  # mean |v_cb| at kinematic decoupling [km/s], Planck18
+    # mean |v_cb| at kinematic decoupling [km/s]: the reference default
+    # (V_CB_AVG_DEFAULT, wrapper/inputs.py:138), overwritten from the actual
+    # velocity-transfer table when one is injected (wrapper/inputs.py:1940-1947
+    # computes it as sqrt(8/3pi) * V_CB_RMS from the CLASS run)
+    V_CB_AVG = 27.0
 
     def set_vcb_power_table(self, k, p_vcb):
         """Inject an externally computed P_vcb(k) table (e.g. from a CLASS run
         with output velocity transfer, as the reference ingests via
         classy_interface.py).  Overrides the built-in analytic shape; values
-        are |v_cb| power at kinematic decoupling in (km/s)^2 Mpc^3."""
-        self._vcb_table = (
-            np.asarray(k, dtype=np.float64),
-            np.asarray(p_vcb, dtype=np.float64),
-        )
+        are |v_cb| power at kinematic decoupling in (km/s)^2 Mpc^3.
+
+        Also recomputes V_CB_AVG from the table's rms, mirroring the
+        reference's CosmoTables construction (wrapper/inputs.py:1938-1947)."""
+        k = np.asarray(k, dtype=np.float64)
+        p_vcb = np.asarray(p_vcb, dtype=np.float64)
+        self._vcb_table = (k, p_vcb)
+        # rms^2 = int k^2 dk / (2 pi^2) P_vcb(k), log-k Simpson like compute_rms
+        pos = k > 0
+        lnk = np.log(k[pos])
+        from scipy.integrate import simpson
+
+        var = simpson(k[pos] ** 3 * p_vcb[pos], x=lnk) / (2.0 * np.pi**2)
+        self.V_CB_AVG = float(np.sqrt(8.0 / (3.0 * np.pi)) * np.sqrt(var))
 
     def power_vcb(self, k):
         """P_vcb(k): 3D power of the DM-baryon relative speed at kinematic

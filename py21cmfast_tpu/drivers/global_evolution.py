@@ -160,10 +160,13 @@ def run_global_evolution(
     hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
     ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
 
-    # global v_cb entering the LW threshold (reference :95-101): the analytic
-    # rms average for the FLUCTS/AVG models, 0 when relative velocities are off
+    # global v_cb entering the LW threshold (reference drivers/
+    # global_evolution.py:92-99): mean speed for FLUCTS/AVG-AUTO, the debug
+    # constant for AVG-DEBUG, 0 when relative velocities are off
     if inputs.matter_options.V_CB_MODEL in ("FLUCTS", "AVG-AUTO"):
-        v_cb_avg = float(getattr(cosmo, "v_cb_avg", 25.86))
+        v_cb_avg = float(cosmo.V_CB_AVG)
+    elif inputs.matter_options.V_CB_MODEL == "AVG-DEBUG":
+        v_cb_avg = float(ap.V_CB_AVG_DEBUG)
     else:
         v_cb_avg = 0.0
 
@@ -212,7 +215,8 @@ def run_global_evolution(
             nion_m, zeta_m = 0.0, 0.0
             if ao.USE_MINI_HALOS:
                 mcrit_lw = float(
-                    hmf.lyman_werner_threshold(float(z), jlw_ave, v_cb_avg, ap)
+                    hmf.lyman_werner_threshold(float(z), jlw_ave, v_cb_avg, ap,
+                                               v_cb_avg=cosmo.V_CB_AVG)
                 )
                 nion_m = float(
                     hmf.nion_general_mini(

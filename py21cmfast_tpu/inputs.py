@@ -113,7 +113,8 @@ class CosmoParams:
         """An astropy-free stand-in: the host-side Cosmology for this param set."""
         return self.cosmology()
 
-    def cosmology(self, power_spectrum: int = 0, transfer_table=None) -> Cosmology:
+    def cosmology(self, power_spectrum: int = 0, transfer_table=None,
+                  vcb_suppression: bool = False) -> Cosmology:
         # The reference ALWAYS normalizes by sigma8 for non-CLASS transfer
         # functions (inputs.py:1963-1966: the A_s convention is only
         # meaningful with dimensionful CLASS transfer tables); A_s-given runs
@@ -133,6 +134,7 @@ class CosmoParams:
             wl=self.wl,
             power_spectrum=power_spectrum,
             transfer_table=transfer_table,
+            vcb_suppression=vcb_suppression,
         )
 
     @property
@@ -416,7 +418,8 @@ class AstroParams:
     SIGMA_SFR_LIM: float = field(default=0.19, converter=float)
     SIGMA_SFR_INDEX: float = field(default=-0.12, converter=float)
     T_RE: float = field(default=2e4, converter=float)
-    V_CB_AVG_DEBUG: float = field(default=25.86, converter=float)
+    # reference default V_CB_AVG_DEFAULT=27.0 (wrapper/inputs.py:138,1734-1737)
+    V_CB_AVG_DEBUG: float = field(default=27.0, converter=float)
     POP2_ION: float = field(default=5000.0, converter=float)
     POP3_ION: float = field(default=44021.0, converter=float)
     PHOTONCONS_CALIBRATION_END: float = field(default=3.5, converter=float)
@@ -707,6 +710,7 @@ class InputParameters:
             self.cosmo_params,
             self.matter_options.power_spectrum_int,
             _class_transfer["version"],
+            uses_vcb=self.matter_options.V_CB_MODEL != "NONE",
         )
 
     def _hash_of(self, *groups) -> str:
@@ -782,7 +786,8 @@ def register_class_transfer(k, transfer_density, k_vcb=None, transfer_vcb=None):
 
 
 @lru_cache(maxsize=8)
-def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0) -> Cosmology:
+def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0,
+                      uses_vcb: bool = False) -> Cosmology:
     # sigma_norm quadrature is the expensive part; cache per parameter set
     table = None
     if ps_int == 5:
@@ -793,7 +798,8 @@ def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0) -> Co
                 "py21cmfast_tpu.register_class_transfer(k, T[, k_vcb, T_vcb]) "
                 "with the output of a CLASS run first"
             )
-    cosmo = cosmo_params.cosmology(power_spectrum=ps_int, transfer_table=table)
+    cosmo = cosmo_params.cosmology(power_spectrum=ps_int, transfer_table=table,
+                                   vcb_suppression=uses_vcb)
     if ps_int == 5 and _class_transfer["vcb"] is not None:
         kv, tv = _class_transfer["vcb"]
         with np.errstate(divide="ignore", invalid="ignore"):

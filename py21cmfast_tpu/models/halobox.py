@@ -256,6 +256,7 @@ def _mcrit_grids(redshift, inputs, sc, previous_spin_temp, previous_ionized_box,
         vcb,
         jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
         jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
+        jnp.float32(sc.v_cb_avg * np.sqrt(3.0 * np.pi / 8.0)),
     )
     return mt_a, mt_m
 

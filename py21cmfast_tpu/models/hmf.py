@@ -77,6 +77,9 @@ class ScalingConstants:
     Mlim_Fesc: float
     Mlim_Fstar_mini: float = 0.0
     Mlim_Fesc_mini: float = 0.0
+    # mean |v_cb| at decoupling [km/s] (cosmo_tables_global->V_CB_AVG):
+    # normalizes the Schauer+20 f_vcb in lyman_werner_threshold
+    v_cb_avg: float = 27.0
 
     def without_esc(self) -> "ScalingConstants":
         sc = dataclasses.replace(self)
@@ -110,7 +113,7 @@ def mass_limit_where_scaling_hits_unity(alpha: float, norm: float) -> float:
     return 0.0
 
 
-def lyman_werner_threshold(z, J_21_LW, vcb, astro_params) -> np.ndarray:
+def lyman_werner_threshold(z, J_21_LW, vcb, astro_params, v_cb_avg=27.0) -> np.ndarray:
     """Minimum MCG mass under LW feedback + relative velocities
     (reference thermochem.c lyman_werner_threshold; Munoz+21 eq. 12)."""
     # Visbal+15 fit: 3.314e7 (1+z)^-1.5 — NOT pivoted at z=20
@@ -118,9 +121,10 @@ def lyman_werner_threshold(z, J_21_LW, vcb, astro_params) -> np.ndarray:
     mcrit_noLW = 3.314e7 * (1.0 + z) ** -1.5
     f_LW = 1.0 + astro_params.A_LW * np.power(np.maximum(J_21_LW, 0.0), astro_params.BETA_LW)
     mcrit = mcrit_noLW * f_LW
-    # vcb normalized by the rms speed at kinematic decoupling
-    # sigma_vcb = V_CB_AVG * sqrt(3 pi / 8) ~ 28.1 km/s
-    sigmavcb = 25.86 * np.sqrt(3.0 * np.pi / 8.0)
+    # vcb normalized by the rms speed at kinematic decoupling:
+    # sigma_vcb = V_CB_AVG * sqrt(3 pi / 8) ~ 29.3 km/s for Planck18
+    # (thermochem.c:295, reading cosmo_tables_global->V_CB_AVG)
+    sigmavcb = v_cb_avg * np.sqrt(3.0 * np.pi / 8.0)
     f_vcb = (1.0 + astro_params.A_VCB * vcb / sigmavcb) ** astro_params.BETA_VCB
     return mcrit * f_vcb
 
@@ -147,7 +151,9 @@ def set_scaling_constants(z: float, inputs, flag_options_esc=True) -> ScalingCon
         vcb_const = 0.0
     mturn_m = 0.0
     if ao.USE_MINI_HALOS:
-        mturn_m = float(lyman_werner_threshold(z, 0.0, vcb_const, ap))
+        mturn_m = float(
+            lyman_werner_threshold(z, 0.0, vcb_const, ap, v_cb_avg=cosmo.V_CB_AVG)
+        )
 
     fstar_7 = ap.fstar_7
     alpha_mini = ap.alpha_star_mini
@@ -180,6 +186,7 @@ def set_scaling_constants(z: float, inputs, flag_options_esc=True) -> ScalingCon
         mturn_a_nofb=mturn_a,
         mturn_m_nofb=mturn_m,
         vcb_const=vcb_const,
+        v_cb_avg=float(cosmo.V_CB_AVG),
         Mlim_Fstar=mass_limit_where_scaling_hits_unity(ap.ALPHA_STAR, ap.fstar_10),
         Mlim_Fesc=mass_limit_where_scaling_hits_unity(ap.ALPHA_ESC, ap.fesc_10),
         Mlim_Fstar_mini=mass_limit_where_scaling_hits_unity(

@@ -682,6 +682,7 @@ def compute_ionization_field(
              else jnp.float32(sc.vcb_const)),
             jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
             jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
+            jnp.float32(sc.v_cb_avg * np.sqrt(3.0 * np.pi / 8.0)),
         )
         log10_mturn_ave = float(jnp.mean(mturn_a_box))
         log10_mturn_m_ave = float(jnp.mean(mturn_m_box))
@@ -1038,7 +1039,8 @@ def _get_sigma_table(inputs: InputParameters):
 
 @jax.jit
 def _mcrit_kernel(prev_g12, prev_zre, j21, redshift, mturn_a_nofb, mturn_m_nofb,
-                  vcb_const, a_lw, beta_lw, a_vcb, beta_vcb):
+                  vcb_const, a_lw, beta_lw, a_vcb, beta_vcb,
+                  sigmavcb=jnp.float32(27.0 * np.sqrt(3.0 * np.pi / 8.0))):
     """Per-cell feedback turnover masses (calculate_mcrit_boxes:403-460 +
     thermochem.c reionization_feedback / lyman_werner_threshold)."""
     # Sobacchi & Mesinger 2013 reionization feedback
@@ -1051,7 +1053,6 @@ def _mcrit_kernel(prev_g12, prev_zre, j21, redshift, mturn_a_nofb, mturn_m_nofb,
     # Lyman-Werner + streaming-velocity feedback (Visbal+15 / Schauer+20 form)
     mcrit_nolw = 3.314e7 * (1.0 + redshift) ** -1.5
     f_lw = 1.0 + a_lw * jnp.maximum(j21, 0.0) ** beta_lw
-    sigmavcb = 25.86 * jnp.sqrt(3.0 * jnp.pi / 8.0)
     f_vcb = (1.0 + a_vcb * vcb_const / sigmavcb) ** beta_vcb
     mcrit_lw = mcrit_nolw * f_lw * f_vcb
 

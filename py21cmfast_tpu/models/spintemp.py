@@ -249,18 +249,6 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
 # device kernel
 
 
-@jax.jit
-def _mcrit_lw_box(j21, vcb, zp, a_lw, beta_lw, a_vcb, beta_vcb, mturn_m_nofb):
-    """Per-cell log10 MCG turnover from LW + streaming-velocity feedback
-    (reference make_mturn boxes; Visbal+15 / Schauer+20 form as in
-    thermochem.c lyman_werner_threshold)."""
-    mcrit_nolw = 3.314e7 * (1.0 + zp) ** -1.5
-    f_lw = 1.0 + a_lw * jnp.maximum(j21, 0.0) ** beta_lw
-    sigmavcb = 25.86 * jnp.sqrt(3.0 * jnp.pi / 8.0)
-    f_vcb = (1.0 + a_vcb * vcb / sigmavcb) ** beta_vcb
-    return jnp.log10(jnp.maximum(mcrit_nolw * f_lw * f_vcb, mturn_m_nofb))
-
-
 def _trilerp_pair(tbl_pair, t, s, g, t_ax, s_ax, g_ax):
     """Trilinear interpolation of TWO stacked tables (nt, ns, ng, 2) with ONE
     row-gather per cell: the 8 corners x 2 tables are pre-expanded into
@@ -1145,6 +1133,7 @@ def compute_spin_temperature(
             vcb,
             jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
             jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
+            jnp.float32(sc_zp.v_cb_avg * np.sqrt(3.0 * np.pi / 8.0)),
         )
         mcrit_clip = float(np.log10(hmf.lyman_werner_threshold(redshift, 0.0, 0.0, ap)))
         ave_mcrit = float(jnp.mean(mcrit_box))

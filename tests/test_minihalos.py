@@ -86,8 +86,8 @@ def test_vcb_flucts_box_statistics():
     v = np.asarray(ics.lowres_vcb)
     assert v.shape == (32, 32, 32)
     assert np.all(v >= 0)
-    # mean |v_cb| ~ 25.86 km/s; finite box misses super-box power
-    assert 15.0 < v.mean() < 30.0
+    # mean |v_cb| ~ 27 km/s (V_CB_AVG_DEFAULT); finite box misses super-box power
+    assert 15.0 < v.mean() < 31.0
     # rms/mean ratio of a 3D MB speed field ~ sqrt(3pi/8) ~ 1.085
     ratio = np.sqrt((v**2).mean()) / v.mean()
     assert 1.0 < ratio < 1.2
@@ -135,17 +135,21 @@ def test_ts_mcrit_box_per_cell(inputs):
     """Cells with higher v_cb must form fewer MCG stars: the per-cell Mcrit box
     (LW + streaming) feeds the Ts shell SFRD via 2D tables."""
     import jax.numpy as jnp
-    from py21cmfast_tpu.models.spintemp import _mcrit_lw_box
+    from py21cmfast_tpu.models.ionization import _mcrit_kernel
 
     shape = (4, 4, 4)
     j21 = jnp.zeros(shape, jnp.float32)
+    zeros = jnp.zeros(shape, jnp.float32)
+    no_reion = jnp.full(shape, -1.0, jnp.float32)
     low_v = jnp.zeros(shape, jnp.float32)
     high_v = jnp.full(shape, 40.0, jnp.float32)
     ap = inputs.astro_params
-    args = (jnp.float32(15.0), jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
-            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB), jnp.float32(1e5))
-    m_lo = _mcrit_lw_box(j21, low_v, *args)
-    m_hi = _mcrit_lw_box(j21, high_v, *args)
+    args = (jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
+            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB))
+    _, m_lo = _mcrit_kernel(zeros, no_reion, j21, jnp.float32(15.0),
+                            jnp.float32(1e5), jnp.float32(1e5), low_v, *args)
+    _, m_hi = _mcrit_kernel(zeros, no_reion, j21, jnp.float32(15.0),
+                            jnp.float32(1e5), jnp.float32(1e5), high_v, *args)
     assert float(m_hi.mean()) > float(m_lo.mean())
     # zero feedback recovers the z-only threshold
     assert np.isclose(
