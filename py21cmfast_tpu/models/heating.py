@@ -255,7 +255,11 @@ def tau_x(nu_at_zp, zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He, n
 
     `nion_of_z` is a callable giving the global relative Nion at z (the mean
     collapsed/ionizing fraction entering the HI filling factor estimate)."""
-    zhat = np.linspace(zpp, zp, n_nodes)
+    # ascending grid: zhat runs zp -> zpp so the trapezoid weights are
+    # positive (a descending grid silently returned tau < 0, which made
+    # nu_tau_one bail to its 24.6 eV floor and turned OFF all X-ray
+    # attenuation — hugely over-heating every USE_TS_FLUCT config)
+    zhat = np.linspace(zp, zpp, n_nodes)
     nuhat = nu_at_zp / (1 + zp) * (1 + zhat)
     fcoll = nion_of_z(zhat)
     fill = np.where(fcoll < 1e-20, 1.0, 1 - ion_eff * fcoll / (1.0 - x_e_ave))

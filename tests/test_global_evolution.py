@@ -149,17 +149,15 @@ def _gold_inputs():
 def test_gold_parity():
     """Our global histories vs the reference's stored global_evolution.h5.
 
-    Current state (round 3, regression-ratcheted — see docs/ROADMAP.md):
-    the adiabatic era matches to ~2% (Ts node-1 84.42 vs 84.46, tau_21
-    exact), the absorption-trough depth to ~10%, and the late thermal sector
-    to ~15%; but the early MCG (minihalo) SFRD lags the gold by a large,
-    z-shrinking factor (J_21_LW ~80x low at z~33, converging to ~1x by
-    z~7), shifting the trough ~1 node late, and reionization completes
-    ~Delta z = 1 early.  Two config-level causes were already root-caused
-    and fixed (A_s-given runs must still be sigma8-normalized for non-CLASS
-    transfers; the gold sets ALPHA_STAR_MINI=0 explicitly); the residual
-    early-MCG deficit is a real model gap under investigation — these gates
-    ratchet it."""
+    Current state (round 4): after fixing the LW-threshold pivot, the
+    V_CB_AVG normalization, and the tau_X sign bug (a descending trapezoid
+    grid returned tau < 0, disabling ALL X-ray attenuation), the histories
+    track the gold closely over the whole ladder: J_21_LW within 1.5%, Tk
+    within 0.5% through the trough (worst 11% at z~6.5 post-overlap), the
+    trough depth -92.7 vs -95.0 mK (~2.4%), xH within 0.004 pre-overlap.
+    The remaining late-z Tk deficit traces to nu_tau_one approximations
+    (ours omits the reference's HII_DIM==1 fcoll=0 early-tau special case
+    and the MCG term in the filling factor)."""
     import h5py
 
     with h5py.File(GOLD, "r") as f:
@@ -172,11 +170,11 @@ def test_gold_parity():
 
     # neutral fraction history: absolute agreement over the whole ladder
     xh_dev = np.max(np.abs(ge.quantities["neutral_fraction"] - gold["neutral_fraction"]))
-    assert xh_dev < 0.55, f"xH max dev {xh_dev:.3f}"
+    assert xh_dev < 0.02, f"xH max dev {xh_dev:.3f}"
 
     # kinetic temperature of the neutral IGM: relative agreement
     tk_ratio = ge.quantities["kinetic_temp_neutral"] / gold["kinetic_temp_neutral"]
-    assert np.max(np.abs(np.log(tk_ratio))) < 0.65, (
+    assert np.max(np.abs(np.log(tk_ratio))) < 0.15, (
         f"Tk ratio range {tk_ratio.min():.3f}-{tk_ratio.max():.3f}"
     )
 
@@ -193,13 +191,13 @@ def test_gold_parity():
     # spin temperature where the signal lives (pre-overlap)
     sel = gold["neutral_fraction"] > 0.05
     ts_ratio = ge.quantities["spin_temperature"][sel] / gold["spin_temperature"][sel]
-    assert np.max(np.abs(np.log(ts_ratio))) < 0.75
+    assert np.max(np.abs(np.log(ts_ratio))) < 0.12
 
-    # global signal: trough depth within 15%, worst deviation ratcheted
+    # global signal: trough depth within 4%, worst deviation ratcheted
     depth = np.abs(gold["brightness_temp"]).max()
     ours_depth = np.abs(ge.quantities["brightness_temp"]).max()
-    assert abs(ours_depth - depth) < 0.15 * depth, (
+    assert abs(ours_depth - depth) < 0.04 * depth, (
         f"trough depth {ours_depth:.1f} vs {depth:.1f} mK"
     )
     tb_dev = np.max(np.abs(ge.quantities["brightness_temp"] - gold["brightness_temp"]))
-    assert tb_dev < 0.60 * depth, f"Tb max dev {tb_dev:.1f} mK vs depth {depth:.1f} mK"
+    assert tb_dev < 0.04 * depth, f"Tb max dev {tb_dev:.1f} mK vs depth {depth:.1f} mK"
