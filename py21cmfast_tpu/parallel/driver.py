@@ -12,11 +12,14 @@ functions as the single-device pipeline (`compute_spin_temperature`,
 distributed FFTs (parallel/pfft.py all_to_all transposes) and psum means
 (parallel/shardcall.py).  There is no duplicated physics.
 
-Scope: the Eulerian source models (CONST-ION-EFF / E-INTEGRAL) with
-USE_TS_FLUCT and RECOMB_MODEL=INHOMOGENEOUS; displacements are Zel'dovich or
-2LPT (PERTURB_ALGORITHM, second-order field through the distributed FFT).
-The halo-sampler source models keep their single-device path (catalogs are
-host-compacted).
+Scope: every source model.  Eulerian (CONST-ION-EFF / E-INTEGRAL / L-INTEGRAL)
+with USE_TS_FLUCT, USE_MINI_HALOS (sharded v_cb realization + feedback
+turnover grids) and RECOMB_MODEL=INHOMOGENEOUS; the halo-sampler models run
+the slab CHMF sampler (host-compacted catalogs), sharded painting with
+per-halo Mturn reads (parallel/halopaint.py) and the Lagrangian Ts ladder
+(models/xray_source.py annular filtering under the mesh GridOps seam).
+Displacements are Zel'dovich or 2LPT (PERTURB_ALGORITHM, second-order field
+through the distributed FFT).
 """
 
 from __future__ import annotations
@@ -61,12 +64,6 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     n_shards = mesh.devices.size
 
     use_halos = mo.source_model_uses_halo_sampler
-    if use_halos and (ao.USE_MINI_HALOS or ao.USE_TS_FLUCT):
-        raise NotImplementedError(
-            "the mesh halo-sampler path currently covers the saturated-Ts, "
-            "non-minihalo configs (sampler / sampler_ir); minihalo feedback "
-            "grids and the Lagrangian Ts ladder stay single-device"
-        )
 
     # ----- sharded ICs -----
     ln_k, sqrtp = power_amplitude_table(inputs)
@@ -74,14 +71,24 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     white = jax.random.normal(key, hi_shape, dtype=jnp.float32)
     white = jax.device_put(white, NamedSharding(mesh, P(GRID_AXIS, None, None)))
     use_2lpt = mo.PERTURB_ALGORITHM == "2LPT"
+    with_vcb = mo.V_CB_MODEL == "FLUCTS"
     ics_fn = build_sharded_lowres_ics(
-        mesh, hi_shape, lo_shape, box_lens, use_2lpt=use_2lpt
+        mesh, hi_shape, lo_shape, box_lens, use_2lpt=use_2lpt, with_vcb=with_vcb
     )
+    vcb_args = ()
+    if with_vcb:
+        from ..models.ics import vcb_ratio_table
+
+        vcb_args = vcb_ratio_table(inputs)
+    lowres_vcb = None
+    fields = ics_fn(white, ln_k, sqrtp, *vcb_args)
+    if with_vcb:
+        *fields, lowres_vcb = fields
     if use_2lpt:
         (hires_density, lowres_density, psi_x, psi_y, psi_z,
-         psi2_x, psi2_y, psi2_z) = ics_fn(white, ln_k, sqrtp)
+         psi2_x, psi2_y, psi2_z) = fields
     else:
-        hires_density, lowres_density, psi_x, psi_y, psi_z = ics_fn(white, ln_k, sqrtp)
+        hires_density, lowres_density, psi_x, psi_y, psi_z = fields
         psi2_x = psi2_y = psi2_z = jnp.zeros_like(psi_x)
 
     out_redshifts = [float(z) for z in np.atleast_1d(np.asarray(out_redshifts))]
@@ -113,20 +120,21 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     # per-node sharded painting (parallel/halopaint.py).  The catalogs are
     # host-compacted (same as single-device); DexM's first-snapshot grid scan
     # runs on the sharded hires density through the global-view jnp ops.
+    from ..outputs import InitialConditions
+
+    ics_obj = InitialConditions(
+        hires_density=hires_density,
+        lowres_density=lowres_density,
+        lowres_vcb=lowres_vcb,
+        vx=psi_x, vy=psi_y, vz=psi_z,
+        vx_2LPT=psi2_x if use_2lpt else None,
+        vy_2LPT=psi2_y if use_2lpt else None,
+        vz_2LPT=psi2_z if use_2lpt else None,
+    )
     halo_cats = None
-    ics_obj = None
     if use_halos:
-        from ..outputs import InitialConditions
         from .sampler import determine_halo_catalog_slabs
 
-        ics_obj = InitialConditions(
-            hires_density=hires_density,
-            lowres_density=lowres_density,
-            vx=psi_x, vy=psi_y, vz=psi_z,
-            vx_2LPT=psi2_x if use_2lpt else None,
-            vy_2LPT=psi2_y if use_2lpt else None,
-            vz_2LPT=psi2_z if use_2lpt else None,
-        )
         halo_cats = {}
         cat = None
         for z in sorted(all_z):
@@ -138,7 +146,9 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
     prev_ion = None
     prev_pf = None
     ts_state = None
+    prev_ts = None
     prev_z = None
+    halobox_nodes = []  # (z, HaloBox) history for the XraySourceBox shells
     out = []
     for z in all_z:
         D = float(cosmo.dicke(z))
@@ -154,34 +164,67 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
             redshift=np.float32(z), density=delta, velocity_z=v_z
         )
 
-        ts = None
-        if ao.USE_TS_FLUCT:
-            ts, ts_state = compute_spin_temperature(
-                z, inputs, pf,
-                prev_state=ts_state,
-                prev_redshift=prev_z,
-                previous_ionized_box=prev_ion,
-                mesh=mesh,
-            )
-
         halobox = None
         if use_halos:
-            from ..models.halobox import compute_fixed_halo_grid
+            from ..models.halobox import _mcrit_grids, compute_fixed_halo_grid
             from ..models.halos import perturb_halo_catalog
+            from ..models.hmf import set_scaling_constants
             from .halopaint import sharded_halo_grids
 
             pt_halos = perturb_halo_catalog(z, inputs, ics_obj, halo_cats[z])
-            halobox = sharded_halo_grids(z, inputs, pt_halos, mesh)
+            halobox = sharded_halo_grids(
+                z, inputs, pt_halos, mesh,
+                previous_spin_temp=prev_ts,
+                previous_ionized_box=prev_ion,
+                lowres_vcb=lowres_vcb,
+            )
             # deterministic sub-SAMPLER_MIN_MASS sources (HaloBox.c:626-640);
             # the table kernel is elementwise in delta, sharding-transparent
+            mt_a_grid = mt_m_grid = None
+            if ao.USE_MINI_HALOS:
+                mt_a_grid, mt_m_grid = _mcrit_grids(
+                    z, inputs, set_scaling_constants(z, inputs),
+                    prev_ts, prev_ion, lowres_vcb,
+                )
             sub = compute_fixed_halo_grid(
                 z, inputs, lowres_density, m_max=so.SAMPLER_MIN_MASS,
+                mt_a_grid=mt_a_grid, mt_m_grid=mt_m_grid, ics=ics_obj,
             )
             if sub is not None:
                 halobox.n_ion = halobox.n_ion + sub.n_ion
                 halobox.halo_sfr = halobox.halo_sfr + sub.halo_sfr
                 halobox.whalo_sfr = halobox.whalo_sfr + sub.whalo_sfr
                 halobox.halo_xray = halobox.halo_xray + sub.halo_xray
+                if ao.USE_MINI_HALOS and sub.halo_sfr_mini is not None:
+                    halobox.halo_sfr_mini = (
+                        halobox.halo_sfr_mini + sub.halo_sfr_mini
+                    )
+                    halobox.halo_stars_mini = (
+                        halobox.halo_stars_mini + sub.halo_stars_mini
+                    )
+
+        ts = None
+        if ao.USE_TS_FLUCT:
+            source_box = None
+            if halobox is not None:
+                from ..models.xray_source import compute_xray_source_field
+
+                halobox_nodes.append((z, halobox))
+                ts_started = ts_state is not None and z < so.Z_HEAT_MAX
+                if ts_started:
+                    source_box = compute_xray_source_field(
+                        z, inputs, halobox_nodes,
+                        previous_ionized_box=prev_ion, mesh=mesh,
+                    )
+            ts, ts_state = compute_spin_temperature(
+                z, inputs, pf,
+                prev_state=ts_state,
+                prev_redshift=prev_z,
+                initial_conditions=ics_obj,
+                source_box=source_box,
+                previous_ionized_box=prev_ion,
+                mesh=mesh,
+            )
 
         ion = compute_ionization_field(
             z, inputs, pf,
@@ -190,6 +233,7 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
             halobox=halobox,
             previous_perturbed_field=prev_pf,
             prev_redshift=prev_z,
+            vcb_box=lowres_vcb,
             mesh=mesh,
         )
         tb = brightness_temperature(inputs, ion, pf, spin_temp=ts)
@@ -209,7 +253,7 @@ def run_sharded_coeval(inputs: InputParameters, out_redshifts, mesh=None):
                 spin_temp=ts,
                 brightness_temperature=tb,
             ))
-        prev_ion, prev_pf, prev_z = ion, pf, z
+        prev_ion, prev_pf, prev_ts, prev_z = ion, pf, ts, z
     return out
 
 

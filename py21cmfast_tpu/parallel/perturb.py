@@ -28,7 +28,8 @@ from .mesh import GRID_AXIS
 __all__ = ["build_sharded_lowres_ics", "build_sharded_perturb"]
 
 
-def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False):
+def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False,
+                             with_vcb=False):
     """Sharded GRF + lowres density + lowres displacement fields.
 
     Returns jitted fn(white, ln_k, sqrtp) -> (hires_density, lowres_density,
@@ -41,6 +42,13 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False)
     computed through the distributed FFT (models/ics.py:_compute_2lpt on-mesh:
     six phi_ij transforms, the real-space source product, one forward FFT and
     three gradients — all slab-local with all_to_all transposes in pfft).
+
+    With `with_vcb` the returned fn takes two extra (replicated) table args
+    `(ln_k_v, ratio_v)` from `models.ics.vcb_ratio_table` and appends the
+    lowres |v_cb| box [km/s] to the outputs — the same
+    d_k * i k_i/k * sqrt(P_vcb/P_m) realization per component as
+    `models.ics.compute_vcb_box` (reference InitialConditions.c:141-239),
+    through the distributed FFT.
     """
     from ..cosmology.constants import physconst
     from ..ops import filters
@@ -63,7 +71,7 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False)
             return x
         return x[::ratio, ::ratio, ::ratio]
 
-    def per_shard(white, ln_k, sqrtp):
+    def per_shard(white, ln_k, sqrtp, ln_k_v=None, ratio_v=None):
         d_k = pfft.rfft3(white)
         kx, ky, kz = pfft.local_k_axes(hi_shape, box_lens, n_shards)
         kmag = jnp.sqrt(
@@ -77,14 +85,34 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False)
         amp = jnp.where(kmag > 0, uniform_lerp(lnk, x0, inv_dx, sqrtp), 0.0) * amp_fac
         d_k = d_k * amp
         hires_density = pfft.irfft3(d_k, nz)
+        ksq = kmag * kmag
+        ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
+        kmag_safe = jnp.sqrt(ksq_safe)
+
+        vcb = None
+        if with_vcb:
+            # |v_cb| from the same realization (models/ics.compute_vcb_box
+            # through the distributed FFT; reference InitialConditions.c:141)
+            xv0 = ln_k_v[0]
+            inv_dxv = (ln_k_v.shape[0] - 1) / (ln_k_v[-1] - ln_k_v[0])
+            ramp = jnp.where(
+                kmag > 0, uniform_lerp(lnk, xv0, inv_dxv, ratio_v), 0.0
+            )
+            v2 = None
+            for kvec in (kx[:, None, None], ky[None, :, None], kz[None, None, :]):
+                g = d_k * (1j * kvec / kmag_safe) * ramp
+                if do_filter:
+                    g = filters.filter_kbox(g, kmag, filters.TOPHAT, smooth_R)
+                comp = _subsample_local(pfft.irfft3(g, nz))
+                v2 = comp * comp if v2 is None else v2 + comp * comp
+            vcb = jnp.sqrt(v2)
+
         d_k_f = (
             filters.filter_kbox(d_k, kmag, filters.TOPHAT, smooth_R)
             if do_filter
             else d_k
         )
         density = _subsample_local(pfft.irfft3(d_k_f, nz))
-        ksq = kmag * kmag
-        ksq_safe = jnp.where(ksq > 0, ksq, 1.0)
 
         def grad(kvec):
             g = jnp.where(ksq > 0, d_k_f * (1j * kvec / ksq_safe), 0.0)
@@ -94,7 +122,8 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False)
         psi_y = grad(ky[None, :, None])
         psi_z = grad(kz[None, None, :])
         if not use_2lpt:
-            return hires_density, density, psi_x, psi_y, psi_z
+            out = (hires_density, density, psi_x, psi_y, psi_z)
+            return out + (vcb,) if with_vcb else out
 
         # --- 2LPT source: lap(phi2) = sum_{i<j} phi_ii phi_jj - phi_ij^2 ---
         # phi_ij from the UNFILTERED field; the lowres-cell smoothing is
@@ -128,13 +157,19 @@ def build_sharded_lowres_ics(mesh, hi_shape, lo_shape, box_lens, use_2lpt=False)
         psi2_x = grad2(kvecs[0])
         psi2_y = grad2(kvecs[1])
         psi2_z = grad2(kvecs[2])
-        return hires_density, density, psi_x, psi_y, psi_z, psi2_x, psi2_y, psi2_z
+        out = (hires_density, density, psi_x, psi_y, psi_z, psi2_x, psi2_y, psi2_z)
+        return out + (vcb,) if with_vcb else out
 
-    n_out = 8 if use_2lpt else 5
+    n_out = (8 if use_2lpt else 5) + (1 if with_vcb else 0)
+    n_in = 5 if with_vcb else 3
+    if not with_vcb:
+        fn = lambda white, ln_k, sqrtp: per_shard(white, ln_k, sqrtp)  # noqa: E731
+    else:
+        fn = per_shard
     sharded = shard_map(
-        per_shard,
+        fn,
         mesh=mesh,
-        in_specs=(P(GRID_AXIS, None, None), P(), P()),
+        in_specs=(P(GRID_AXIS, None, None),) + (P(),) * (n_in - 1),
         out_specs=(P(GRID_AXIS, None, None),) * n_out,
     )
     return jax.jit(sharded)

@@ -383,3 +383,96 @@ def test_sharded_coeval_sampler_end_to_end():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SAMPLER-E2E-OK" in proc.stdout
+
+
+def test_sharded_vcb_matches_single_device(mesh8):
+    """The sharded v_cb realization (build_sharded_lowres_ics with_vcb) is
+    the same field the single-device ICs produce (models/ics.compute_vcb_box)
+    — identical white noise, distributed FFT, f32-level agreement."""
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models.ics import vcb_ratio_table, power_amplitude_table
+    from py21cmfast_tpu.parallel.mesh import GRID_AXIS
+    from py21cmfast_tpu.parallel.perturb import build_sharded_lowres_ics
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inputs = p21.InputParameters(random_seed=21).evolve_input_structs(
+        HII_DIM=16, DIM=32, BOX_LEN=32.0, USE_MINI_HALOS=True,
+        V_CB_MODEL="FLUCTS", USE_TS_FLUCT=True, M_TURN=5.0,
+    )
+    so = inputs.simulation_options
+    ln_k, sqrtp = power_amplitude_table(inputs)
+    key = jax.random.PRNGKey(inputs.random_seed)
+    white = jax.random.normal(key, so.hires_shape, dtype=jnp.float32)
+    white = jax.device_put(
+        white, NamedSharding(mesh8, P(GRID_AXIS, None, None))
+    )
+    fn = build_sharded_lowres_ics(
+        mesh8, so.hires_shape, so.lowres_shape, so.box_lens, with_vcb=True
+    )
+    *_, vcb_sh = fn(white, ln_k, sqrtp, *vcb_ratio_table(inputs))
+
+    ics = p21.compute_initial_conditions(inputs)
+    vcb_1 = np.asarray(ics.lowres_vcb)
+    vcb_8 = np.asarray(vcb_sh)
+    assert vcb_1.shape == vcb_8.shape
+    np.testing.assert_allclose(vcb_8, vcb_1, rtol=2e-4, atol=2e-3)
+
+
+_SAMPLER_TS_MINI_E2E_BODY = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import py21cmfast_tpu as p21
+from py21cmfast_tpu.parallel import mesh as pmesh
+from py21cmfast_tpu.parallel.driver import run_sharded_coeval
+
+mesh8 = pmesh.make_mesh(8)
+inputs = p21.InputParameters(random_seed=7).evolve_input_structs(
+    HII_DIM=16, DIM=32, BOX_LEN=48.0, SOURCE_MODEL="CHMF-SAMPLER",
+    SAMPLER_MIN_MASS=2e9, USE_TS_FLUCT=True, USE_MINI_HALOS=True,
+    V_CB_MODEL="FLUCTS", M_TURN=5.0, RECOMB_MODEL="inhomogeneous",
+    R_BUBBLE_MAX=15.0, ZPRIME_STEP_FACTOR=1.3, Z_HEAT_MAX=18.0,
+).with_logspaced_redshifts(10.0, 17.0)
+[shard_out] = run_sharded_coeval(inputs, [10.0], mesh=mesh8)
+xh_sharded = np.asarray(shard_out.neutral_fraction)
+tb_sharded = np.asarray(shard_out.brightness_temp)
+ts_sharded = np.asarray(shard_out.spin_temperature)
+assert xh_sharded.shape == (16, 16, 16)
+assert np.all(np.isfinite(xh_sharded)) and np.all(np.isfinite(tb_sharded))
+assert np.all((xh_sharded >= 0) & (xh_sharded <= 1))
+assert np.all(ts_sharded > 0)
+
+[cv] = p21.run_coeval(inputs, [10.0])
+xh_single = np.asarray(cv.ionized_box.neutral_fraction)
+tb_single = np.asarray(cv.brightness_temperature.brightness_temp)
+# same physics, independent halo realizations: global means agree loosely
+assert abs(xh_sharded.mean() - xh_single.mean()) < 0.15
+assert abs(tb_sharded.mean() - tb_single.mean()) < 0.25 * abs(tb_single.mean()) + 10.0
+print("SAMPLER-TS-MINI-E2E-OK")
+"""
+
+
+def test_sharded_coeval_sampler_ts_mini_end_to_end():
+    """The hardest mesh combination end-to-end: CHMF sampler + Lagrangian Ts
+    ladder (sharded XraySourceBox) + minihalo feedback grids with per-halo
+    Mturn CIC reads and the sharded v_cb realization, vs the single-device
+    driver (independent halo RNG partition -> loose global comparison).
+
+    Subprocess-isolated for the same XLA CPU LLVM reason as
+    test_sharded_coeval_sampler_end_to_end."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    prev = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in prev:
+        env["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "-c", _SAMPLER_TS_MINI_E2E_BODY],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SAMPLER-TS-MINI-E2E-OK" in proc.stdout
