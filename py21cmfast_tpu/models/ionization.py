@@ -1040,7 +1040,9 @@ def _get_sigma_table(inputs: InputParameters):
 @jax.jit
 def _mcrit_kernel(prev_g12, prev_zre, j21, redshift, mturn_a_nofb, mturn_m_nofb,
                   vcb_const, a_lw, beta_lw, a_vcb, beta_vcb,
-                  sigmavcb=jnp.float32(27.0 * np.sqrt(3.0 * np.pi / 8.0))):
+                  # plain float, NOT jnp: a jnp default would allocate a device
+                  # array at import time (breaking jax.distributed.initialize)
+                  sigmavcb=np.float32(27.0 * np.sqrt(3.0 * np.pi / 8.0))):
     """Per-cell feedback turnover masses (calculate_mcrit_boxes:403-460 +
     thermochem.c reionization_feedback / lyman_werner_threshold)."""
     # Sobacchi & Mesinger 2013 reionization feedback

@@ -99,3 +99,28 @@ def test_find_zdec_near_planck():
 
     z_dec = find_redshift_kinematic_decoupling()
     assert 1000 < z_dec < 1150  # reference quotes ~1070 for Planck18
+
+
+def test_import_does_not_initialize_jax_backend():
+    """Importing the package must not touch the XLA backend: users (and our
+    own multihost path) must be able to call jax.distributed.initialize()
+    after `import py21cmfast_tpu`.  A module-level jnp constant (e.g. a jnp
+    default argument, evaluated at def time) silently breaks this."""
+    import subprocess
+    import sys
+    import os
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax._src import xla_bridge\n"
+        "import py21cmfast_tpu\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        "print('IMPORT_CLEAN')\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, env=env,
+    )
+    assert "IMPORT_CLEAN" in out.stdout, (out.stderr or out.stdout)[-500:]

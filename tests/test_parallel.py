@@ -215,8 +215,14 @@ def test_multihost_initialize_single_process():
         "assert multihost.process_info() == (0, 1)\n"
         "print('MULTIHOST_OK')\n"
     )
+    # force CPU via env too: the ambient JAX_PLATFORMS=axon makes the TPU
+    # plugin initialize the XLA backend at import (before
+    # jax.distributed.initialize), which is exactly what this test must avoid
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120,
+        env=env,
     )
     assert "MULTIHOST_OK" in out.stdout, out.stderr[-500:]
 
