@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from functools import lru_cache
+from pathlib import Path
 
 import attrs
 import numpy as np
@@ -785,6 +786,23 @@ def register_class_transfer(k, transfer_density, k_vcb=None, transfer_vcb=None):
     _cached_cosmology.cache_clear()
 
 
+def _bundled_class_transfer(cosmo_params: CosmoParams):
+    """The packaged Planck18 CLASS density transfer
+    (_data/class_transfer_density_planck18.dat; provenance in its header
+    and _data/README.md) — valid only for the default cosmology, checked
+    here to 0.1%.  Returns (k, T) or None."""
+    defaults = CosmoParams()
+    for attr in ("hlittle", "OMm", "OMb", "POWER_INDEX"):
+        a, b = float(getattr(cosmo_params, attr)), float(getattr(defaults, attr))
+        if abs(a - b) > 1e-3 * max(abs(b), 1e-10):
+            return None
+    path = Path(__file__).parent / "_data" / "class_transfer_density_planck18.dat"
+    if not path.exists():
+        return None
+    dat = np.loadtxt(path)
+    return dat[:, 0].copy(), dat[:, 1].copy()
+
+
 @lru_cache(maxsize=8)
 def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0,
                       uses_vcb: bool = False) -> Cosmology:
@@ -793,8 +811,15 @@ def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0,
     if ps_int == 5:
         table = _class_transfer["density"]
         if table is None:
+            # fall back to the packaged default-cosmology table (the
+            # reference runs classy live, wrapper/inputs.py:1861-1966;
+            # classy is not in this image so the deterministic default
+            # table ships as package data, like recfast_LCDM.dat)
+            table = _bundled_class_transfer(cosmo_params)
+        if table is None:
             raise ValueError(
-                "POWER_SPECTRUM='CLASS' needs transfer tables: call "
+                "POWER_SPECTRUM='CLASS' needs transfer tables for a "
+                "non-default cosmology: call "
                 "py21cmfast_tpu.register_class_transfer(k, T[, k_vcb, T_vcb]) "
                 "with the output of a CLASS run first"
             )

@@ -110,6 +110,66 @@ def euler_q(nion_fn, ion_eff, z_end=3.5):
     return np.array(z_arr), np.array(q_arr)
 
 
+def _dsig2_unstable(cosmo, m: float) -> float:
+    """The reference's dsigma^2/dM evaluation, verbatim: the cancellation-
+    prone top-hat dW/dr of dwdm_filter (filtering.c:49-78) under adaptive
+    Gauss-Kronrod quadrature over k (cosmology.c dsigmasqdm_z0:421-455,
+    GSL QAG rel_tol 1e-6).  In f64 the two O(u^-2) terms cancel to O(u) as
+    u = kR -> 0, and the adaptive integrator chases that noise; for
+    M >~ 1e9 this inflates |dsigma^2/dM| by a systematic 20-30%
+    (quantified in scripts/photoncons_repro.py: scipy QUADPACK, the same
+    Gauss-Kronrod family, reproduces it)."""
+    from scipy import integrate
+
+    rho = float(cosmo.rho_mean)
+    R = (3.0 * m / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    pk = cosmo.power_in_k
+
+    def f(k):
+        kR = k * R
+        w = 1.0 if kR < 1e-4 else 3.0 * (np.sin(kR) / kR**3 - np.cos(kR) / kR**2)
+        if kR < 1e-10:
+            dwdr = 0.0
+        else:
+            dwdr = 9.0 * np.cos(kR) * k / kR**3 + 3.0 * np.sin(kR) * (
+                1.0 - 3.0 / (kR * kR)
+            ) / (kR * R)
+        drdm = 1.0 / (4.0 * np.pi * rho * R * R)
+        return k * k * pk(k) * 2.0 * w * dwdr * drdm / (2.0 * np.pi**2)
+
+    import warnings
+
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return integrate.quad(f, 1e-12, 350.0 / R, limit=1000, epsrel=1e-6)[0]
+
+
+_noisy_table_cache: dict = {}
+
+
+def _noisy_sigma_table(inputs: InputParameters, n: int = 128):
+    """SigmaTable whose dsigma^2/dM carries the reference's quadrature-noise
+    inflation (_dsig2_unstable) — used ONLY by the photon-conservation
+    analytic Q(z), whose gold histories inherit that inflation through the
+    reference's forced-QAG Nion_General (photoncons.c:168-172 'We Force
+    QAG').  sigma(M) itself has no cancellation and stays the stable table."""
+    from ..cosmology.power import SigmaTable
+    from .ionization import _get_sigma_table
+
+    key = inputs.matter_cosmo_hash if hasattr(inputs, "matter_cosmo_hash") else (
+        inputs.full_hash
+    )
+    if key in _noisy_table_cache:
+        return _noisy_table_cache[key]
+    base = _get_sigma_table(inputs)
+    cosmo = inputs.cosmology
+    ln_m = np.linspace(np.log(1e5), np.log(hmf.M_MAX_INTEGRAL), n)
+    ds = np.array([_dsig2_unstable(cosmo, float(m)) for m in np.exp(ln_m)])
+    tbl = SigmaTable(ln_m=ln_m, sigma=base.sigma_of_lnm(ln_m), dsigmasq_dm=ds)
+    _noisy_table_cache[key] = tbl
+    return tbl
+
+
 def analytic_Q_history(inputs: InputParameters, z_min=None, z_max=None, n=None):
     """Photon-conserving analytic filling factor Q(z)
     (InitialisePhotonCons, photoncons.c:75-293).
@@ -122,11 +182,11 @@ def analytic_Q_history(inputs: InputParameters, z_min=None, z_max=None, n=None):
     minimum_source_mass; for CONST-ION-EFF it is HII_EFF_FACTOR * Fcoll
     over M > M(ION_Tvir_MIN).  `z_min`/`n` are accepted for backward
     compatibility; the grid is the Euler a-grid."""
-    from .ionization import _get_sigma_table
-
     cosmo = inputs.cosmology
     ap = inputs.astro_params
-    sigma_table = _get_sigma_table(inputs)
+    # the reference forces direct QAG here (photoncons.c:168-172), so its
+    # Nion carries the unstable-dsigma^2/dM inflation — emulate it
+    sigma_table = _noisy_sigma_table(inputs)
     hmf_int = hmf.HMF_NAMES[inputs.matter_options.HMF]
     ln_mmax = np.log(hmf.M_MAX_INTEGRAL)
     z_end = z_min if z_min is not None else float(ap.PHOTONCONS_CALIBRATION_END)

@@ -36,8 +36,10 @@ artifacts in the reference's evaluation:
    by integrating the SAME unstable expression with scipy QUADPACK (the
    same Gauss-Kronrod family): it reproduces the inflation, while a
    series-stabilized evaluation agrees with our production table to <0.1%.
-   This one is NOT adopted in production (it is float noise, not an
-   algorithm), only documented.
+   Since round 4 this IS adopted in the photoncons analytic curve
+   (models/photoncons._noisy_sigma_table) — the reference forces direct QAG
+   there (photoncons.c:168-172), so its gold histories inherit the
+   inflation; everywhere else production keeps the stable table.
 
 Combined, the two artifacts account for x1.31 (z=12) to x1.40 (z=14.2) of
 the measured x1.59-1.95 gap; the residual x1.2-1.4 presumably lives in the

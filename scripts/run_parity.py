@@ -618,11 +618,14 @@ def write_report():
         "not stored, so V_CB_MODEL=FLUCTS keeps our analytic envelope.",
         "photoncons-z: root-caused (scripts/photoncons_repro.py) — the reference's",
         "analytic Q(z) carries (1) a deterministic Euler da-weighting bias",
-        "(photoncons.c:205-228, +15-25%), now reproduced faithfully by",
+        "(photoncons.c:205-228, +15-25%), reproduced faithfully by",
         "models/photoncons.euler_q, and (2) dsigma^2/dM cancellation noise",
-        "(filtering.c:62 under GSL QAG, +22-27% at M>~1e9), float noise that is",
-        "documented but not emulated — the residual xHI/Tb amplitude ratchet",
-        "covers it.",
+        "(filtering.c:62 under GSL QAG GAUSS61, +22-27% at M>~1e9), emulated",
+        "since round 4 by models/photoncons._noisy_sigma_table (the same",
+        "unstable integrand under scipy's Gauss-Kronrod; photoncons-only).",
+        "Lightcone global-xH max dev 0.021 -> 0.0116; the remainder is GSL's",
+        "GK61 vs QUADPACK's GK21 noise realization of the same cancellation",
+        "(unreproducible without GSL), covered by a tight ratchet.",
         "",
         "`band_z` places the gold's band power inside our per-seed distribution",
         "(in log): |band_z| <~ 3 is indistinguishable from one of our own seeds.",

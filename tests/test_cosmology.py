@@ -113,8 +113,9 @@ def test_class_transfer_registration():
         bad = p21.InputParameters(random_seed=1).evolve_input_structs(
             POWER_SPECTRUM="CLASS"
         )
+        # non-default cosmology: no bundled table applies, must raise
         with pytest.raises(ValueError, match="register_class_transfer"):
-            _ = bad.cosmology
+            _ = bad.evolve_input_structs(hlittle=0.70).cosmology
 
         ref = p21.InputParameters(random_seed=1)
         cosmo_eh = ref.cosmology
@@ -129,3 +130,29 @@ def test_class_transfer_registration():
     finally:
         inp_mod._class_transfer.update(saved)
         inp_mod._cached_cosmology.cache_clear()
+
+
+def test_bundled_class_transfer_autoloads_for_default_cosmology():
+    """POWER_SPECTRUM='CLASS' with the default Planck18 cosmology uses the
+    packaged CLASS density transfer (_data/class_transfer_density_planck18.dat)
+    without a register_class_transfer call; non-default cosmologies still
+    require registration (reference runs classy live, inputs.py:1861-1966)."""
+    import numpy as np
+    import pytest
+    import py21cmfast_tpu as p21
+
+    inputs = p21.InputParameters(random_seed=1).evolve_input_structs(
+        POWER_SPECTRUM="CLASS"
+    )
+    cos = inputs.cosmology
+    k = np.array([0.01, 0.1, 1.0])
+    p_class = cos.power_in_k(k)
+    p_eh = p21.InputParameters(random_seed=1).cosmology.power_in_k(k)
+    assert np.all(p_class > 0)
+    # CLASS vs the EH fit: same sigma8 normalization, few-% shape differences
+    assert np.all(np.abs(p_class / p_eh - 1.0) < 0.10)
+
+    with pytest.raises(ValueError, match="register_class_transfer"):
+        p21.InputParameters(random_seed=1).evolve_input_structs(
+            POWER_SPECTRUM="CLASS", hlittle=0.70
+        ).cosmology.power_in_k(0.1)

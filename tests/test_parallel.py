@@ -72,6 +72,7 @@ def test_local_kmag_matches_global(mesh8):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_coeval_matches_single_device():
     """Full sharded driver (ICs -> perturb w/ halo exchange -> ionize -> Tb)
     matches the single-device pipeline at float32 precision."""
@@ -98,6 +99,7 @@ def test_sharded_coeval_matches_single_device():
     assert np.mean(np.round(xh_sh, 3) != np.round(xh1, 3)) < 5e-3
 
 
+@pytest.mark.slow
 def test_sharded_ts_recomb_matches_single_device():
     """The Ts shell ladder + inhomogeneous recombinations + ionization produce
     the same snapshot under shard_map (GridOps seam) as on a single device,
@@ -148,6 +150,7 @@ def test_sharded_ts_recomb_matches_single_device():
     np.testing.assert_allclose(rec8, rec1, rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_driver_full_ts_recomb_pipeline():
     """run_sharded_coeval scrolls the node ladder with Ts + recombinations,
     producing finite x-slab-sharded outputs."""
@@ -171,6 +174,7 @@ def test_sharded_driver_full_ts_recomb_pipeline():
     assert "x" in str(o.neutral_fraction.sharding.spec)
 
 
+@pytest.mark.slow
 def test_sharded_coeval_2lpt_matches_single_device():
     """2LPT displacements on-mesh (phi_ij through the distributed FFT) match
     the single-device 2LPT perturb at float32 precision."""
@@ -227,6 +231,7 @@ def test_multihost_initialize_single_process():
     assert "MULTIHOST_OK" in out.stdout, out.stderr[-500:]
 
 
+@pytest.mark.slow
 def test_slab_parallel_sampler_statistics(mesh8):
     """Slab-decomposed halo sampling reproduces the single-device statistics
     (same CMF + stopping rules, independent streams per slab)."""
@@ -258,6 +263,7 @@ def test_slab_parallel_sampler_statistics(mesh8):
     assert x.min() < 6.0 and x.max() > 42.0
 
 
+@pytest.mark.slow
 def test_slab_parallel_progenitor_scroll(mesh8):
     """Slab-partitioned progenitor sampling conserves the catalog's statistics
     through one scroll step."""
@@ -287,6 +293,7 @@ def test_slab_parallel_progenitor_scroll(mesh8):
     assert abs(n_s - n_r) < 6 * np.sqrt(max(n_r, 1) + 1), (n_s, n_r)
 
 
+@pytest.mark.slow
 def test_sharded_lightcone_matches_single_device(mesh8):
     """run_sharded_lightcone assembles the same cone as the single-device
     driver (same seed; float32-level tolerance)."""
@@ -365,6 +372,7 @@ print("SAMPLER-E2E-OK")
 """
 
 
+@pytest.mark.slow
 def test_sharded_coeval_sampler_end_to_end():
     """CHMF-SAMPLER through run_sharded_coeval (slab sampling + sharded
     painting + mesh ionization): statistics match the single-device driver
@@ -460,6 +468,7 @@ print("SAMPLER-TS-MINI-E2E-OK")
 """
 
 
+@pytest.mark.slow
 def test_sharded_coeval_sampler_ts_mini_end_to_end():
     """The hardest mesh combination end-to-end: CHMF sampler + Lagrangian Ts
     ladder (sharded XraySourceBox) + minihalo feedback grids with per-halo
