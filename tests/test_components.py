@@ -358,6 +358,7 @@ def test_fixed_grids_velocity_displaced():
     assert np.mean(r_moved[hi]) > np.mean(r_fixed[hi])
 
 
+@pytest.mark.slow
 def test_factored_deposit_matches_scatter():
     """The factored dense deposit (+ outlier scatter) is exact vs the
     per-particle scatter path — across even/odd hires ratios and when the

@@ -129,6 +129,8 @@ def test_class_transfer_registration():
         )
     finally:
         inp_mod._class_transfer.update(saved)
+        # drop cosmologies built against the temporary EH-derived table so
+        # later tests do not see them through the lru cache
         inp_mod._cached_cosmology.cache_clear()
 
 
@@ -140,6 +142,12 @@ def test_bundled_class_transfer_autoloads_for_default_cosmology():
     import numpy as np
     import pytest
     import py21cmfast_tpu as p21
+    from py21cmfast_tpu import inputs as inp_mod
+
+    # isolate from any table another test registered
+    saved = dict(inp_mod._class_transfer)
+    inp_mod._class_transfer.update({"density": None, "vcb": None})
+    inp_mod._cached_cosmology.cache_clear()
 
     inputs = p21.InputParameters(random_seed=1).evolve_input_structs(
         POWER_SPECTRUM="CLASS"
@@ -150,9 +158,16 @@ def test_bundled_class_transfer_autoloads_for_default_cosmology():
     p_eh = p21.InputParameters(random_seed=1).cosmology.power_in_k(k)
     assert np.all(p_class > 0)
     # CLASS vs the EH fit: same sigma8 normalization, few-% shape differences
-    assert np.all(np.abs(p_class / p_eh - 1.0) < 0.10)
+    # at k << 1; near k~1 the reference's cubic spline rings through the
+    # table's sign flip at k~1.1 (deliberately emulated — see power.py)
+    assert np.all(np.abs(p_class[:2] / p_eh[:2] - 1.0) < 0.10)
+    assert abs(p_class[2] / p_eh[2] - 1.0) < 0.50
 
-    with pytest.raises(ValueError, match="register_class_transfer"):
-        p21.InputParameters(random_seed=1).evolve_input_structs(
-            POWER_SPECTRUM="CLASS", hlittle=0.70
-        ).cosmology.power_in_k(0.1)
+    try:
+        with pytest.raises(ValueError, match="register_class_transfer"):
+            p21.InputParameters(random_seed=1).evolve_input_structs(
+                POWER_SPECTRUM="CLASS", hlittle=0.70
+            ).cosmology.power_in_k(0.1)
+    finally:
+        inp_mod._class_transfer.update(saved)
+        inp_mod._cached_cosmology.cache_clear()
