@@ -155,3 +155,36 @@ def test_stellar_spectra_normalization():
     for nu in [1.01, 1.1, 1.2, 1.3]:
         assert s.emissivity(nu, 2) > 0
         assert s.emissivity(nu, 3) > 0
+
+
+def test_tau_x_positive_and_monotonic():
+    """Regression for the round-4 tau_X sign bug: a descending trapezoid grid
+    returned tau < 0, so nu_tau_one bailed to its 24.6 eV floor and the
+    freq-integral lower limit collapsed to NU_X_THRESH — zero X-ray
+    attenuation in every USE_TS_FLUCT config (reference
+    heating_helper_progs.c:1019-1226)."""
+    import numpy as np
+    import py21cmfast_tpu as p21
+    from py21cmfast_tpu.models import heating
+
+    cosmo = p21.InputParameters(random_seed=1).cosmology
+    zp, xe = 19.0, 2e-4
+    ion_eff = 5000 * 10**-1.25 * 10**-1.35
+    nion = lambda z: 1e-4 * np.exp(-(np.asarray(z) - 19.0) / 2.0)  # noqa: E731
+
+    taus, nu1s = [], []
+    for zpp in (19.3, 20.5, 22.0, 25.0):
+        taus.append(heating.tau_x(
+            500 * heating.physconst.eV_to_Hz, zp, zpp, xe, nion, ion_eff,
+            cosmo.N_b0, cosmo.dtdz, cosmo.Y_He,
+        ))
+        nu1s.append(heating.nu_tau_one(
+            zp, zpp, xe, nion, ion_eff, cosmo.N_b0, cosmo.dtdz, cosmo.Y_He,
+        ))
+    taus, nu1s = np.array(taus), np.array(nu1s)
+    assert np.all(taus > 0), taus
+    assert np.all(np.diff(taus) > 0), taus  # more path -> more optical depth
+    assert np.all(np.diff(nu1s) > 0), nu1s  # horizon hardens with distance
+    # physical scale: photons from dz ~ 3 away are opaque below ~1 keV at z~19
+    assert 800 < nu1s[2] / heating.physconst.eV_to_Hz < 2000, nu1s
+
