@@ -48,12 +48,20 @@ Everything is host-side float64 numpy/scipy; the output ships as package
 data (see scripts/r4_make_class_tables.py) and loads through the same
 `register_class_transfer` path a live CLASS run would use.
 
-Accuracy: validated against the CLASS transfer table stored in the
-reference's gold files (tests/test_data/power_spectra_mini.h5,
-cosmo_tables/transfer_density) — see tests/test_boltzmann.py.  Known
-omissions vs the reference's CLASS setup: the 0.06 eV massive neutrino is
-treated as massless (<~1% shape effect after sigma8 renormalization) and
-recombination is Saha + Peebles rather than RECFAST's multi-level atom.
+STATUS (round 4): WORK IN PROGRESS — NOT yet production quality.  Against
+the CLASS transfer table stored in the reference's gold data
+(power_spectra_mini.h5 cosmo_tables/transfer_density), the z=0 delta_m
+shape is off by large factors outside k ~ 0.05-0.2/Mpc (flat instead of
+k^2-suppressed at low k; a k^2-growing contamination above k ~ 0.2 —
+likely the matter-only late stage's potential closure).  The production
+CLASS path instead uses the bundled Planck18 table
+(_data/class_transfer_density_planck18.dat) or a user-registered table;
+the v_cb realization uses the analytic acoustic envelope
+(cosmology/power.py power_vcb).  This module is kept as the base for a
+future first-principles table generator for non-default cosmologies.
+Known omissions vs the reference's CLASS setup: the 0.06 eV massive
+neutrino is treated as massless and recombination is Saha + Peebles
+rather than RECFAST's multi-level atom.
 """
 
 from __future__ import annotations
