@@ -306,6 +306,11 @@ def _subsample_jit(x, *, out_shape):
     return grids.subsample(x, out_shape)
 
 
+@partial(jax.jit, static_argnames=("out_shape",))
+def _irfft3_small(k_small, out_shape):
+    return fft.irfft3(k_small, out_shape)
+
+
 def _big_irfft_owned(g_k_box, hi_shape):
     """Top-level staged inverse of a CONSUMED buffer: pass [g_k] and drop
     your reference (see fft.irfft3_consume for the async-lifetime rationale)."""
@@ -475,10 +480,22 @@ def compute_initial_conditions(
                     do_filter=do_filter, out_res=out_res, axis=axis,
                 )
             jax.block_until_ready(k)
+            out_shape = lo_shape if axis is None else pt_shape
+            if out_shape != hi_shape and fft.can_fold(hi_shape, out_shape):
+                # fold the spectrum down to the decimated grid's spectrum and
+                # inverse-transform at LOWRES: exact (see fold_kt_spectrum),
+                # and never materializes a second hires real grid — at
+                # DIM=1024 that second grid pushed peak HBM past the chip
+                k_small = fft.fold_kt_spectrum(
+                    k, hi_shape=hi_shape, out_shape=out_shape
+                )
+                del k
+                out = _irfft3_small(k_small, out_shape)
+                jax.block_until_ready(out)
+                return out
             kbox = [k]
             del k
             x = fft.irfft3_kt_consume(kbox, hi_shape)
-            out_shape = lo_shape if axis is None else pt_shape
             out = (
                 _subsample_jit(x, out_shape=out_shape)
                 if out_shape != hi_shape else x

@@ -306,6 +306,65 @@ def rfft3_kt(x):
     return out
 
 
+def _fold_kt_spectrum_body(y, *, hi_shape, out_shape):
+    """Alias-fold a kz-major hires spectrum down to the STANDARD-layout
+    spectrum of its stride-decimated real field (exact identity: taking
+    every R-th sample of an N-point IDFT equals the IDFT of the spectrum
+    folded modulo N/R, X'[k'] = (1/R) sum_m X[k' + m N/R]).
+
+    This lets the big-grid ICs path produce its lowres fields WITHOUT ever
+    materializing a second hires real grid (reference filters-then-decimates
+    in real space, InitialConditions.c:700-740; the decimation step commutes
+    with the inverse FFT via this fold).  Requires integer ratios.
+    """
+    nx, ny, nz = hi_shape
+    ox, oy, oz = out_shape
+    rx, ry, rz = nx // ox, ny // oy, nz // oz
+    nzh = nz // 2 + 1
+    ozh = oz // 2 + 1
+    assert y.shape == (nzh, nx, ny)
+    # fold the two full-FFT axes: k = k' + m*(N/R) with the block index major
+    y2 = y.reshape(nzh, rx, ox, ry, oy).sum(axis=(1, 3))
+    # fold the rfft half-axis: contributions beyond nz/2 come from the
+    # Hermitian mirror conj(Y[nz-k, -kx, -ky]) (fold and xy-flip commute)
+    flip = None
+    kzp = np.arange(ozh)
+    acc = None
+    for m in range(rz):
+        k = kzp + m * oz
+        direct = k <= nz // 2
+        if direct.all():
+            term = jax.lax.dynamic_slice_in_dim(y2, m * oz, ozh, axis=0)
+        else:
+            if flip is None:
+                flip = jnp.conj(
+                    jnp.roll(y2[:, ::-1, ::-1], (1, 1), axis=(1, 2))
+                )
+            idx_d = jnp.asarray(np.where(direct, k, 0))
+            idx_m = jnp.asarray(np.where(direct, 0, nz - k))
+            term = jnp.where(
+                jnp.asarray(direct)[:, None, None],
+                jnp.take(y2, idx_d, axis=0),
+                jnp.take(flip, idx_m, axis=0),
+            )
+        acc = term if acc is None else acc + term
+    acc = acc * jnp.float32(1.0 / (rx * ry * rz))
+    # kz-major (ozh, ox, oy) -> standard (ox, oy, ozh)
+    return jnp.transpose(acc, (1, 2, 0))
+
+
+# no donation: the output is a small spectrum, never reusable as the input
+fold_kt_spectrum = partial(
+    jax.jit, static_argnames=("hi_shape", "out_shape")
+)(_fold_kt_spectrum_body)
+
+
+def can_fold(hi_shape, out_shape) -> bool:
+    """Fold decimation applies when every axis ratio is an exact integer
+    (then grids.resample_indices is exactly stride-R with offset 0)."""
+    return all(h % o == 0 for h, o in zip(hi_shape, out_shape))
+
+
 def irfft3_kt_consume(y_box, shape):
     """kz-major spectrum -> (nx, ny, nz) f32; consumes its input."""
     y = y_box.pop()

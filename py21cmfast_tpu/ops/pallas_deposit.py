@@ -102,15 +102,19 @@ def _deposit_kernel(
     chan_hbm, dok_hbm, rho_ref, out_ref, chan_l, dok_l, sems,
     *, R, S, Bx, ny, nz,
 ):
+    # grid = (gx, rx, ry): holding only the R channels that share (rx, ry)
+    # keeps the VMEM window R planes instead of R^2 — at R=4/S=3/256^3 the
+    # R^2 form overflowed the 128 MB VMEM (the support-3 halo adds 2 planes
+    # per channel); output revisits across both rx and ry.
     gx = pl.program_id(0)
     rx = pl.program_id(1)
+    ry = pl.program_id(2)
     Hp = S + 1
     off = PAD_X - Hp
     BxH = Bx + 2 * Hp
-    RR = R * R
 
     c_dma = pltpu.make_async_copy(
-        chan_hbm.at[pl.ds(rx * RR, RR), pl.ds(gx * Bx + off, BxH)],
+        chan_hbm.at[pl.ds((rx * R + ry) * R, R), pl.ds(gx * Bx + off, BxH)],
         chan_l,
         sems.at[0],
     )
@@ -130,19 +134,19 @@ def _deposit_kernel(
     ok = dok_l[3]
     rho = _rho(R)
     rho_rx = rho_ref[rx]
+    rho_ry = rho_ref[ry]
 
-    @pl.when(rx == 0)
+    @pl.when(jnp.logical_and(rx == 0, ry == 0))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     for uz in range(-S, S + 2):
-        wz = [_hat(dz + (rho[rz] - uz)) * ok for rz in range(R)]
-        t = [
-            sum(chan_l[ry * R + rz] * wz[rz] for rz in range(R))
-            for ry in range(R)
-        ]
+        t = None
+        for rz in range(R):
+            c = chan_l[rz] * (_hat(dz + (rho[rz] - uz)) * ok)
+            t = c if t is None else t + c
         for uy in range(-S, S + 2):
-            u2 = sum(t[ry] * _hat(dy + (rho[ry] - uy)) for ry in range(R))
+            u2 = t * _hat(dy + (rho_ry - uy))
             w = None
             for ux in range(-S, S + 2):
                 v = u2 * _hat(dx + (rho_rx - ux))
@@ -169,15 +173,15 @@ def _build_deposit_call(R, S, Bx, nx, ny, nz):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), jnp.float32),
-        grid=(nx // Bx, R),
+        grid=(nx // Bx, R, R),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((Bx, ny, nz), lambda gx, rx: (gx, 0, 0)),
+        out_specs=pl.BlockSpec((Bx, ny, nz), lambda gx, rx, ry: (gx, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((R * R, BxH, ny, nz), jnp.float32),
+            pltpu.VMEM((R, BxH, ny, nz), jnp.float32),
             pltpu.VMEM((4, BxH, ny, nz), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -196,12 +200,12 @@ def pallas_factored_deposit(
         raise ValueError(f"support {S} exceeds PAD_X={PAD_X}")
     nx, ny, nz = lo_shape
     if block_x is None:
-        # R^2-channel window + d window + t/u/v temps + double-buffered out
+        # R-channel window + d window + t/u/v temps + double-buffered out
         # must fit the 128 MB VMEM; budget conservatively at 48 MB of
         # block-sized planes
         budget = 48 * 1024 * 1024 // 4
         per_row = ny * nz
-        planes = R * R + 4 + R + 6
+        planes = R + 4 + 6
         block_x = max(1, budget // (per_row * planes) - 2 * (S + 1))
         block_x = min(32, 1 << int(np.log2(max(block_x, 1))))
     Bx = block_x

@@ -11,7 +11,7 @@ from py21cmfast_tpu.ops.pallas_deposit import (
 )
 
 rng = np.random.default_rng(0)
-for R, nl, S in ((2, 128, 1), (4, 128, 1), (2, 128, 2)):
+for R, nl, S in ((2, 128, 1), (4, 128, 1), (2, 128, 2), (4, 128, 3), (3, 128, 2)):
     nh = nl * R
     hires = jnp.asarray(rng.normal(0, 0.1, (nh, nh, nh)).astype(np.float32))
     d = tuple(jnp.asarray(rng.normal(0, 0.7, (nl, nl, nl)).astype(np.float32)) for _ in range(3))
