@@ -176,21 +176,26 @@ def _run_segment_subprocess(segment: str, timeout_s: float):
 
 def main():
     detail = {}
-    # bank the known-stable 3x headline FIRST (never risk an rc!=0 round)
-    full = _run_segment_subprocess("full768", timeout_s=min(1100.0, _remaining()))
+    # bank the known-stable 3x headline FIRST (never risk an rc!=0 round).
+    # It gets essentially the WHOLE budget: a cold-cache run needs ~1300 s
+    # (the round-4 verification run timed out at 1100 s cold; ~900 s warm),
+    # and a banked 768 number matters more than the 4x attempt.
+    full = _run_segment_subprocess("full768", timeout_s=_remaining() - 60.0)
     ratio_tag = "dim768"
     if "error" in full:
         detail["dim768_error"] = full["error"]
 
-    # faithful 4x ratio attempt with the remaining budget; an OOM here can
-    # poison the TPU tunnel, so it runs LAST and in its own process
-    if _remaining() > 450.0:
+    # faithful 4x ratio attempt ONLY on top of a banked success and only with
+    # real budget left; an OOM here can poison the TPU tunnel, so it runs
+    # LAST and in its own process (measured round 4: DIM=1024 currently
+    # RESOURCE_EXHAUSTEDs on one 16 GB v5e, so this is opportunistic)
+    if "error" not in full and _remaining() > 500.0:
         full4 = _run_segment_subprocess(
-            "full1024", timeout_s=min(1100.0, _remaining() - 60.0))
+            "full1024", timeout_s=_remaining() - 60.0)
         if "error" in full4:
             detail["dim1024_error"] = full4["error"]
         else:
-            detail["dim768"] = {k: full[k] for k in full} if "error" not in full else full
+            detail["dim768"] = {k: full[k] for k in full}
             full, ratio_tag = full4, "dim1024"
     else:
         detail["dim1024_error"] = "skipped: insufficient budget remaining"

@@ -250,11 +250,14 @@ def freq_integrals(zp, x_e_values, lower_limits_hz, astro_params, Y_He):
 # X-ray optical depth and the tau=1 horizon (heating_helper:901-1226)
 
 
-def tau_x(nu_at_zp, zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He, n_nodes=96):
+def tau_x(nu_at_zp, zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He, n_nodes=96,
+          nion_mini_of_z=None, ion_eff_mini=0.0):
     """tau_X for a photon arriving at zp with frequency nu, emitted at zpp.
 
     `nion_of_z` is a callable giving the global relative Nion at z (the mean
-    collapsed/ionizing fraction entering the HI filling factor estimate)."""
+    collapsed/ionizing fraction entering the HI filling factor estimate).
+    With minihalos, `nion_mini_of_z` adds the MCG ionizing contribution to
+    the filling factor (tauX_integrand_MINI, heating_helper_progs.c:901-941)."""
     # ascending grid: zhat runs zp -> zpp so the trapezoid weights are
     # positive (a descending grid silently returned tau < 0, which made
     # nu_tau_one bail to its 24.6 eV floor and turned OFF all X-ray
@@ -262,7 +265,10 @@ def tau_x(nu_at_zp, zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He, n
     zhat = np.linspace(zp, zpp, n_nodes)
     nuhat = nu_at_zp / (1 + zp) * (1 + zhat)
     fcoll = nion_of_z(zhat)
-    fill = np.where(fcoll < 1e-20, 1.0, 1 - ion_eff * fcoll / (1.0 - x_e_ave))
+    fcoll_mini = nion_mini_of_z(zhat) if nion_mini_of_z is not None else 0.0
+    nion_tot = ion_eff * fcoll + ion_eff_mini * fcoll_mini
+    no_light = (fcoll < 1e-20) & (np.asarray(fcoll_mini) < 1e-20)
+    fill = np.where(no_light, 1.0, 1 - nion_tot / (1.0 - x_e_ave))
     fill = np.maximum(fill, 1e-4)
     fH = h_frac(Y_He)
     fHe = he_frac(Y_He)
@@ -277,14 +283,17 @@ def tau_x(nu_at_zp, zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He, n
     return np.trapezoid(integrand, zhat)
 
 
-def nu_tau_one(zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He):
-    """Frequency where tau_X = 1 (bisection in log nu, heating_helper:1162-1226)."""
+def nu_tau_one(zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He,
+               nion_mini_of_z=None, ion_eff_mini=0.0):
+    """Frequency where tau_X = 1 (bisection in log nu, heating_helper:1162-1226;
+    the mini args give the nu_tau_one_MINI variant, :1094-1160)."""
     if x_e_ave > 0.9999:
         return physconst.nu_ion_HeI
 
     def f(ln_nu):
         return (
-            tau_x(np.exp(ln_nu), zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn, Y_He)
+            tau_x(np.exp(ln_nu), zp, zpp, x_e_ave, nion_of_z, ion_eff, N_b0, dtdz_fn,
+                  Y_He, nion_mini_of_z=nion_mini_of_z, ion_eff_mini=ion_eff_mini)
             - 1.0
         )
 

@@ -343,8 +343,8 @@ def _trilerp(tbl, t, s, g, t_ax, s_ax, g_ax):
     jax.jit,
     static_argnames=(
         "shape", "box_lens", "heat_filter", "use_xray_heat", "use_cmb_heat", "lagrangian",
-        "use_minihalos", "use_minihalos_lagr", "use_lya_heat", "use_cheby",
-        "const_model", "gops",
+        "use_minihalos", "use_minihalos_lagr", "use_lw_shells", "use_lya_heat",
+        "use_cheby", "const_model", "gops",
     ),
 )
 def _ts_shell_scan(
@@ -355,6 +355,8 @@ def _ts_shell_scan(
     sfr_shells,
     xray_shells,
     sfr_mini_shells,
+    sfr_lw_shells,
+    sfr_mini_lw_shells,
     # per-R stacked arrays (largest index = largest R; loop order irrelevant for sums)
     r_values,
     do_filter,
@@ -404,9 +406,10 @@ def _ts_shell_scan(
     lagrangian,
     use_minihalos,
     use_minihalos_lagr,
-    use_lya_heat,
-    use_cheby,
-    const_model,
+    use_lw_shells=False,
+    use_lya_heat=False,
+    use_cheby=False,
+    const_model=False,
     gops: GridOps = SINGLE,
 ):
     kmag = gops.kmag(shape, box_lens)
@@ -454,6 +457,7 @@ def _ts_shell_scan(
         (r, do_f, growth, zfac, xr_fac, dlo, dhi, table, table_fc, cap,
          cheb_c, cheb_e,
          msfrd, th, ti, tl, p_star, p_cont, p_inj, sfr_sh, xray_sh, sfr_mini_sh,
+         sfr_lw_sh, sfr_mini_lw_sh,
          table_mini, msfrd_mini, p_star_mini, p_cont_mini, p_inj_mini,
          p_lw, p_lw_mini) = xs
 
@@ -490,6 +494,15 @@ def _ts_shell_scan(
             sfr_term = sfr_sh * zfac
             xray_sfr = xray_sh * (zfac * xr_fac)
             sfr_term_mini = sfr_mini_sh * zfac if use_minihalos_lagr else 0.0
+            # LW photons travel in straight lines: under the MS Lya window
+            # they get their own annulus-filtered shells
+            # (SpinTemperatureBox.c:1676-1683, 1698-1706)
+            if use_lw_shells:
+                sfr_term_lw = sfr_lw_sh * zfac
+                sfr_term_mini_lw = sfr_mini_lw_sh * zfac
+            else:
+                sfr_term_lw = sfr_term
+                sfr_term_mini_lw = sfr_term_mini
         else:
             # aliasing clip at delta = -1 in PERTURBED-FIELD-redshift units,
             # i.e. BEFORE the 1/D(z_pf) extrapolation factor (fill_Rbox_table:
@@ -574,6 +587,8 @@ def _ts_shell_scan(
             else:
                 sfr_term_mini = 0.0
                 xray_sfr = sfr_term * xr_fac
+            sfr_term_lw = sfr_term
+            sfr_term_mini_lw = sfr_term_mini
 
         # frequency-integral gathers: th/ti/tl are (14,) vectors for this shell
         f_heat = th[xidx] + ival * (th[xidx + 1] - th[xidx])
@@ -595,7 +610,7 @@ def _ts_shell_scan(
                 dlya_inj = dlya_inj + sfr_term_mini * p_inj_mini
         if use_minihalos or use_minihalos_lagr:
             dstarlya = dstarlya + sfr_term_mini * p_star_mini
-            dstarlw = dstarlw + sfr_term * p_lw + sfr_term_mini * p_lw_mini
+            dstarlw = dstarlw + sfr_term_lw * p_lw + sfr_term_mini_lw * p_lw_mini
         acc = dict(
             dxheat=dxheat, dxion=dxion, dxlya=dxlya, dstarlya=dstarlya,
             dstarlw=dstarlw, dlya_cont=dlya_cont, dlya_inj=dlya_inj,
@@ -613,6 +628,7 @@ def _ts_shell_scan(
             mean_sfrd,
             tbl_heat, tbl_ion, tbl_lya, pref_starlya, pref_lya_cont, pref_lya_inj,
             sfr_shells, xray_shells, sfr_mini_shells,
+            sfr_lw_shells, sfr_mini_lw_shells,
             sfrd_tables_mini, mean_sfrd_mini, pref_starlya_mini,
             pref_lya_cont_mini, pref_lya_inj_mini, pref_lw, pref_lw_mini,
         ),
@@ -1024,6 +1040,83 @@ def compute_spin_temperature(
     else:
         ion_eff = sc_zp.pop2_ion * sc_zp.fstar_10 * sc_zp.fesc_10
 
+    # minihalo feedback state needed ahead of the tau_X horizons: per-cell
+    # log10-Mcrit box (Eulerian) or the per-shell halobox means (Lagrangian)
+    use_minihalos = ao.USE_MINI_HALOS and not lagrangian
+    mcrit_box = jnp.zeros(shape, jnp.float32)
+    mcrit_clip = 0.0
+    ave_mcrit = 0.0
+    if use_minihalos:
+        j21_box = (
+            prev_state.J_21_LW
+            if prev_state.J_21_LW is not None
+            else jnp.zeros(shape, jnp.float32)
+        )
+        vcb = (
+            initial_conditions.lowres_vcb
+            if (initial_conditions is not None
+                and getattr(initial_conditions, "lowres_vcb", None) is not None)
+            else jnp.full(shape, jnp.float32(sc_zp.vcb_const))
+        )
+        # full feedback turnover: LW + streaming + Sobacchi-Mesinger
+        # reionization feedback when the previous IonizedBox is available
+        from .ionization import _mcrit_kernel
+
+        prev_g12 = (
+            previous_ionized_box.ionisation_rate_G12
+            if previous_ionized_box is not None
+            else jnp.zeros(shape, jnp.float32)
+        )
+        prev_zre = (
+            previous_ionized_box.z_reion
+            if previous_ionized_box is not None
+            else jnp.full(shape, -1.0, jnp.float32)
+        )
+        _, mcrit_box = _mcrit_kernel(
+            prev_g12, prev_zre, j21_box,
+            jnp.float32(redshift),
+            jnp.float32(sc_zp.mturn_a_nofb),
+            jnp.float32(sc_zp.mturn_m_nofb),
+            vcb,
+            jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
+            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
+            jnp.float32(sc_zp.v_cb_avg * np.sqrt(3.0 * np.pi / 8.0)),
+        )
+        mcrit_clip = float(np.log10(hmf.lyman_werner_threshold(redshift, 0.0, 0.0, ap)))
+        ave_mcrit = float(jnp.mean(mcrit_box))
+
+    # MCG contribution to the tau_X filling factor (nu_tau_one_MINI,
+    # heating_helper_progs.c:901-941 + fill_freqint_tables:838): per shell,
+    # the global MCG Nion(z) at that shell's mean LW turnover mass.  The
+    # Eulerian per-shell filtered average equals the box average (the annulus
+    # filter preserves the mean); the Lagrangian means come from the halobox
+    # nodes via the source box (ts_main:1481).
+    nion_mini_shells = [None] * n_r
+    ion_eff_mini = 0.0
+    if ao.USE_MINI_HALOS and not const_model:
+        ion_eff_mini = sc_zp.pop3_ion * sc_zp.fstar_7 * sc_zp.fesc_7
+        if (lagrangian and source_box is not None
+                and source_box.mean_log10_Mcrit_LW is not None):
+            shell_mcrit = np.asarray(source_box.mean_log10_Mcrit_LW, np.float64)
+        else:
+            shell_mcrit = np.full(n_r, max(ave_mcrit, mcrit_clip))
+        zg_mini = np.linspace(redshift * 0.999, ladder.zpp[-1] * 1.001, 48)
+        _curves = {}
+        for i in range(n_r):
+            key = round(float(shell_mcrit[i]), 3)
+            if key not in _curves:
+                mt = 10.0 ** key
+                vals = np.array([
+                    hmf.nion_general_mini(
+                        sigma_table, cosmo, hmf_int, z,
+                        float(np.log(hmf.minimum_source_mass(z, inputs, xray=True))),
+                        ln_mmax, mt, sc_zp,
+                    )
+                    for z in zg_mini
+                ])
+                _curves[key] = lambda zz, v=vals: np.interp(zz, zg_mini, v)
+            nion_mini_shells[i] = _curves[key]
+
     # tau_X = 1 horizons and frequency-integral tables
     nu_th = ap.NU_X_THRESH * physconst.eV_to_Hz
     lower_limits = np.array(
@@ -1032,6 +1125,8 @@ def compute_spin_temperature(
                 heating.nu_tau_one(
                     redshift, ladder.zpp[i], x_e_ave, nion_of_z, ion_eff,
                     cosmo.N_b0, cosmo.dtdz, cosmo.Y_He,
+                    nion_mini_of_z=nion_mini_shells[i],
+                    ion_eff_mini=ion_eff_mini,
                 ),
                 nu_th,
             )
@@ -1091,52 +1186,13 @@ def compute_spin_temperature(
         ) / ap.t_STAR
     xray_r_factor = (1 + ladder.zpp) ** (-ap.X_RAY_SPEC_INDEX)
 
-    # minihalo (MCG) SFRD: per-cell log10-Mcrit box (LW + streaming feedback)
-    # filtered per shell in the kernel, gathered from 2D (Mcrit, delta) tables
-    # (reference fill_Rbox_table of log10_Mcrit_LW + calculate_sfrd_from_grid)
-    use_minihalos = ao.USE_MINI_HALOS and not lagrangian
+    # minihalo (MCG) SFRD: per-cell log10-Mcrit box (LW + streaming feedback,
+    # built above ahead of the tau_X horizons) filtered per shell in the
+    # kernel, gathered from 2D (Mcrit, delta) tables (reference
+    # fill_Rbox_table of log10_Mcrit_LW + calculate_sfrd_from_grid)
     sfrd_tables_mini = np.zeros((n_r, 2, N_DELTA_SFRD))
     mean_sfrd_mini = np.zeros(n_r)
-    mcrit_box = jnp.zeros(shape, jnp.float32)
-    mcrit_clip = 0.0
     if use_minihalos:
-        j21_box = (
-            prev_state.J_21_LW
-            if prev_state.J_21_LW is not None
-            else jnp.zeros(shape, jnp.float32)
-        )
-        vcb = (
-            initial_conditions.lowres_vcb
-            if (initial_conditions is not None
-                and getattr(initial_conditions, "lowres_vcb", None) is not None)
-            else jnp.full(shape, jnp.float32(sc_zp.vcb_const))
-        )
-        # full feedback turnover: LW + streaming + Sobacchi-Mesinger
-        # reionization feedback when the previous IonizedBox is available
-        from .ionization import _mcrit_kernel
-
-        prev_g12 = (
-            previous_ionized_box.ionisation_rate_G12
-            if previous_ionized_box is not None
-            else jnp.zeros(shape, jnp.float32)
-        )
-        prev_zre = (
-            previous_ionized_box.z_reion
-            if previous_ionized_box is not None
-            else jnp.full(shape, -1.0, jnp.float32)
-        )
-        _, mcrit_box = _mcrit_kernel(
-            prev_g12, prev_zre, j21_box,
-            jnp.float32(redshift),
-            jnp.float32(sc_zp.mturn_a_nofb),
-            jnp.float32(sc_zp.mturn_m_nofb),
-            vcb,
-            jnp.float32(ap.A_LW), jnp.float32(ap.BETA_LW),
-            jnp.float32(ap.A_VCB), jnp.float32(ap.BETA_VCB),
-            jnp.float32(sc_zp.v_cb_avg * np.sqrt(3.0 * np.pi / 8.0)),
-        )
-        mcrit_clip = float(np.log10(hmf.lyman_werner_threshold(redshift, 0.0, 0.0, ap)))
-        ave_mcrit = float(jnp.mean(mcrit_box))
         mturn_axis = np.linspace(MT_TS_LO, MT_TS_HI, N_MTURN_TS)
         sfrd_tables_mini = np.zeros((n_r, N_MTURN_TS, N_DELTA_SFRD))
         hmf_i = hmf.HMF_NAMES[inputs.matter_options.HMF]
@@ -1292,18 +1348,26 @@ def compute_spin_temperature(
     do_filter = filter_R > cell_R
 
     use_minihalos_lagr = False
+    use_lw_shells = False
+    shell_ph = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+    sfr_lw_shells = sfr_mini_lw_shells = shell_ph
     if lagrangian:
         sfr_shells = source_box.filtered_sfr
         xray_shells = source_box.filtered_xray
         if ao.USE_MINI_HALOS and source_box.filtered_sfr_mini is not None:
             use_minihalos_lagr = True
             sfr_mini_shells = source_box.filtered_sfr_mini
+            if source_box.filtered_sfr_lw is not None:
+                # straight-line LW shells (MS + minihalos only)
+                use_lw_shells = True
+                sfr_lw_shells = source_box.filtered_sfr_lw
+                sfr_mini_lw_shells = source_box.filtered_sfr_mini_lw
         else:
-            sfr_mini_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+            sfr_mini_shells = shell_ph
     else:
-        sfr_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
-        xray_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
-        sfr_mini_shells = jnp.zeros((n_r, 1, 1, 1), jnp.float32)
+        sfr_shells = shell_ph
+        xray_shells = shell_ph
+        sfr_mini_shells = shell_ph
 
     _ts_args = (
         perturbed_field.density,
@@ -1313,6 +1377,8 @@ def compute_spin_temperature(
         sfr_shells,
         xray_shells,
         sfr_mini_shells,
+        sfr_lw_shells,
+        sfr_mini_lw_shells,
         jnp.asarray(filter_R, jnp.float32),
         jnp.asarray(do_filter),
         jnp.asarray(ladder.growth, jnp.float32),
@@ -1360,6 +1426,7 @@ def compute_spin_temperature(
         lagrangian=lagrangian,
         use_minihalos=use_minihalos,
         use_minihalos_lagr=use_minihalos_lagr,
+        use_lw_shells=use_lw_shells,
         use_lya_heat=use_lya_heat,
         use_cheby=use_cheby,
         const_model=const_model,

@@ -47,10 +47,12 @@ def lya_diffusion_scale(redshift: float, inputs: InputParameters, x_HI: float) -
     return r_cm / physconst.cm_per_Mpc
 
 
-@partial(jax.jit, static_argnames=("shape", "box_lens", "use_ms", "use_mini", "gops"))
+@partial(jax.jit,
+         static_argnames=("shape", "box_lens", "use_ms", "use_mini", "use_lw", "gops"))
 def _annulus_scan(sfr_nodes, xray_nodes, sfr_mini_nodes, idx_lo, idx_hi, weights,
                   r_inner, r_outer, do_filter, ms_k_table, ms_w_tables, *,
-                  shape, box_lens, use_ms, use_mini, gops: GridOps = SINGLE):
+                  shape, box_lens, use_ms, use_mini, use_lw=False,
+                  gops: GridOps = SINGLE):
     kmag = gops.kmag(shape, box_lens)
 
     def shell(_, xs):
@@ -76,13 +78,18 @@ def _annulus_scan(sfr_nodes, xray_nodes, sfr_mini_nodes, idx_lo, idx_hi, weights
             one(xray_nodes, False),
             one(sfr_mini_nodes, use_ms) if use_mini else jnp.zeros((1, 1, 1)),
         )
+        if use_lw:
+            # straight-line (plain annulus) re-filter of the SFR grids for
+            # the LW photons (SpinTemperatureBox.c:775-783): only needed when
+            # the Lya shells above used the multiple-scattering window
+            ys = ys + (one(sfr_nodes, False), one(sfr_mini_nodes, False))
         return None, ys
 
-    _, (sfr_shells, xray_shells, sfr_mini_shells) = jax.lax.scan(
+    _, shells = jax.lax.scan(
         shell, None,
         (idx_lo, idx_hi, weights, r_inner, r_outer, do_filter, ms_w_tables),
     )
-    return sfr_shells, xray_shells, sfr_mini_shells
+    return shells
 
 
 def compute_xray_source_field(
@@ -174,20 +181,23 @@ def compute_xray_source_field(
         ms_k_table,
         ms_w_tables,
     )
+    use_lw = use_ms and use_mini
     _ann_static = dict(
         shape=shape,
         box_lens=so.box_lens,
         use_ms=use_ms,
         use_mini=use_mini,
+        use_lw=use_lw,
     )
     if mesh is not None:
         from ..parallel.shardcall import sharded_kernel_call
 
-        sfr_shells, xray_shells, sfr_mini_shells = sharded_kernel_call(
+        shells = sharded_kernel_call(
             mesh, _annulus_scan, _ann_args, _ann_static, shape)
     else:
-        sfr_shells, xray_shells, sfr_mini_shells = _annulus_scan(
-            *_ann_args, **_ann_static)
+        shells = _annulus_scan(*_ann_args, **_ann_static)
+    sfr_shells, xray_shells, sfr_mini_shells = shells[:3]
+    sfr_lw_shells, sfr_mini_lw_shells = shells[3:] if use_lw else (None, None)
     mean_mcrit = None
     if use_mini:
         # per-shell mean log10 MCG turnover, z-interpolated between nodes
@@ -201,4 +211,6 @@ def compute_xray_source_field(
         filtered_sfr_mini=sfr_mini_shells if use_mini else None,
         filtered_xray=xray_shells,
         mean_log10_Mcrit_LW=mean_mcrit,
+        filtered_sfr_lw=sfr_lw_shells,
+        filtered_sfr_mini_lw=sfr_mini_lw_shells,
     )

@@ -141,6 +141,11 @@ class XraySourceBox:
     filtered_sfr_mini: jax.Array | None = None
     filtered_xray: jax.Array | None = None
     mean_log10_Mcrit_LW: jax.Array | None = None
+    # LYA_MULTIPLE_SCATTERING + minihalos: the LW photons travel in straight
+    # lines, so the SFR grids are filtered a second time with the plain
+    # annulus (SpinTemperatureBox.c:775-783)
+    filtered_sfr_lw: jax.Array | None = None
+    filtered_sfr_mini_lw: jax.Array | None = None
 
 
 @_register
