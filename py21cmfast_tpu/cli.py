@@ -58,6 +58,46 @@ def cmd_template_create(args):
     print(f"wrote {args.out}")
 
 
+def cmd_run_params(args):
+    """Show the resolved simulation parameters, grouped by struct
+    (reference cli.py `run params`, :481-500)."""
+    from .input_serialization import serialize_inputs
+
+    inputs = _build_inputs(args)
+    d = serialize_inputs(inputs)
+    for group, fields in d.items():
+        if not isinstance(fields, dict):
+            print(f"{group} = {fields}")
+            continue
+        print(f"[{group}]")
+        for k, v in sorted(fields.items()):
+            print(f"  {k} = {v}")
+        print()
+
+
+def cmd_run_ics(args):
+    """Compute initial conditions only, writing to the cache
+    (reference cli.py `run ics`, :502-547)."""
+    from .drivers.single_field import compute_initial_conditions
+    from .io.caching import OutputCache
+    from .outputs import InitialConditions
+
+    inputs = _build_inputs(args)
+    cache = OutputCache(args.cache_dir)
+    if cache.exists(InitialConditions, inputs):
+        if args.regenerate:
+            print("initial conditions already exist; regenerating as requested")
+        else:
+            print(
+                "initial conditions already exist in "
+                f"{args.cache_dir}; skipping computation (--regenerate to override)"
+            )
+            return
+    ics = compute_initial_conditions(inputs)
+    cache.write(ics, inputs)
+    print(f"saved initial conditions to {args.cache_dir}")
+
+
 def cmd_run_coeval(args):
     from .drivers.coeval import run_coeval
     from .io.caching import OutputCache
@@ -267,6 +307,17 @@ def main(argv=None):
 
     r = sub.add_parser("run", help="run simulations")
     rsub = r.add_subparsers(dest="rcmd", required=True)
+
+    rp = rsub.add_parser("params", help="show resolved simulation parameters")
+    common(rp)
+    rp.set_defaults(func=cmd_run_params)
+
+    ri = rsub.add_parser("ics", help="initial conditions only, written to cache")
+    common(ri)
+    ri.add_argument("--cache-dir", default="_cache")
+    ri.add_argument("--regenerate", action="store_true",
+                    help="recompute even if cached ICs exist")
+    ri.set_defaults(func=cmd_run_ics)
 
     rc = rsub.add_parser("coeval", help="coeval cube(s)")
     common(rc)
