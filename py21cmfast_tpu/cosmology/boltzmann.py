@@ -186,9 +186,29 @@ class BoltzmannSolver:
     def _potentials(self, a, ach, k, dens, mom, shear_src):
         """phi, psi, phi' from the Einstein constraints (MB95 eq 23):
         dens = sum rho_i delta_i, mom = sum (rho_i+p_i) theta_i,
-        shear_src = sum (rho_i+p_i) sigma_i; rho in Omega_i/a^n units."""
+        shear_src = sum (rho_i+p_i) sigma_i; rho in Omega_i/a^n units.
+
+        VALID ONLY SUB-HORIZON (k tau >~ X_ALG): super-horizon, dens and
+        3 ach mom / k^2 cancel to O((k tau)^2), so phi reconstructed this way
+        amplifies any state error by ~1.5 (aH/k)^2 — the O((k tau0)^2)
+        IC truncation then feeds back through k^2 psi and corrupts every
+        mode by O(1) before horizon entry (the round-4 'flat low-k /
+        contaminated high-k' z=0 shape).  While k tau < X_ALG the solver
+        instead carries phi as a state variable (`_potentials_from_phi`)."""
         H0sq = self.H0**2
         phi = -1.5 * H0sq * a**2 * (dens + 3.0 * ach * mom / k**2) / k**2
+        psi = phi - 4.5 * H0sq * a**2 * shear_src / k**2
+        dphi = -ach * psi + 1.5 * H0sq * a**2 * mom / k**2
+        return phi, psi, dphi
+
+    def _potentials_from_phi(self, a, ach, k, phi, mom, shear_src):
+        """psi, phi' with phi CARRIED AS A STATE VARIABLE: psi from the
+        anisotropic-stress constraint (additive, no cancellation), phi' from
+        the momentum constraint (MB95 eq 23b).  Used while k tau < X_ALG,
+        where the algebraic 00-constraint reconstruction is singular (see
+        `_potentials`); phi(tau0) is set to its exact analytic adiabatic
+        value, so no cancellation ever determines it."""
+        H0sq = self.H0**2
         psi = phi - 4.5 * H0sq * a**2 * shear_src / k**2
         dphi = -ach * psi + 1.5 * H0sq * a**2 * mom / k**2
         return phi, psi, dphi
@@ -203,7 +223,7 @@ class BoltzmannSolver:
     def _n_full(self):
         return 6 + 1 + (self.lmax_g - 1) + (self.lmax_pol + 1) + (self.lmax_nu + 1)
 
-    def _rhs(self, tau, y, k):
+    def _rhs(self, tau, y, k, phi_state=False):
         lg, ln, lp = self.lmax_g, self.lmax_nu, self.lmax_pol
         a = y[0]
         ach = self.hubble_conf(a)
@@ -233,7 +253,11 @@ class BoltzmannSolver:
         mom = (rho_c * th_c + rho_b * th_b
                + (4.0 / 3.0) * (rho_g * th_g + rho_n * th_n))
         shear_src = (4.0 / 3.0) * (rho_g * sig_g + rho_n * sig_n)
-        phi, psi, dphi = self._potentials(a, ach, k, dens, mom, shear_src)
+        if phi_state:
+            phi, psi, dphi = self._potentials_from_phi(
+                a, ach, k, y[-1], mom, shear_src)
+        else:
+            phi, psi, dphi = self._potentials(a, ach, k, dens, mom, shear_src)
 
         kap = self.dkappa_dtau(a)
         R = (4.0 / 3.0) * rho_g / rho_b
@@ -288,6 +312,8 @@ class BoltzmannSolver:
         i = 7 + lg - 1
         out[i: i + lp + 1] = dGp; i += lp + 1
         out[i: i + ln + 1] = dFn
+        if phi_state:
+            out[-1] = dphi
         return out
 
     # Massless-neutrino block.  Deep sub-horizon (k tau > UFA_KTAU) the
@@ -330,7 +356,7 @@ class BoltzmannSolver:
     # damping rate) until kappa' < S max(k, aH), then hand over.
     # TC state: [a, d_c, th_c, d_b, th, d_g, F_nu 0..l]
 
-    def _rhs_tc(self, tau, y, k):
+    def _rhs_tc(self, tau, y, k, phi_state=False):
         ln = self.lmax_nu
         a = y[0]
         ach = self.hubble_conf(a)
@@ -357,7 +383,11 @@ class BoltzmannSolver:
         mom = (rho_c * th_c + rho_b * th
                + (4.0 / 3.0) * (rho_g * th + rho_n * th_n))
         shear_src = (4.0 / 3.0) * (rho_g * sig_g + rho_n * sig_n)
-        phi, psi, dphi = self._potentials(a, ach, k, dens, mom, shear_src)
+        if phi_state:
+            phi, psi, dphi = self._potentials_from_phi(
+                a, ach, k, y[-1], mom, shear_src)
+        else:
+            phi, psi, dphi = self._potentials(a, ach, k, dens, mom, shear_src)
 
         R = (4.0 / 3.0) * rho_g / rho_b
         cs2 = self._cs2_baryon(a)
@@ -378,6 +408,8 @@ class BoltzmannSolver:
         out[3] = dd_b; out[4] = dth
         out[5] = dd_g
         out[6: 6 + ln + 1] = dFn
+        if phi_state:
+            out[-1] = dphi
         return out
 
     # -------------------------------------------------------- late matter stage
@@ -425,7 +457,7 @@ class BoltzmannSolver:
         d_g = -2.0 * psi
         th = 0.5 * k * kt * psi  # = k^2 tau / 2 * psi
 
-        y = np.zeros(6 + ln + 1)
+        y = np.zeros(6 + ln + 1 + 1)
         y[0] = a0
         y[1] = 0.75 * d_g; y[2] = th   # CDM
         y[3] = 0.75 * d_g; y[4] = th   # photon-baryon common velocity
@@ -435,12 +467,14 @@ class BoltzmannSolver:
         if ln >= 2:
             # MB95 eq 98: sigma_nu = (k tau)^2 (phi + psi) / 15; F2 = 2 sigma
             y[8] = 2.0 * kt**2 * (phi + psi) / 15.0
+        y[-1] = phi                    # phi carried as a state while k tau < X_ALG
         return y
 
-    def _tc_to_full(self, y_tc, k):
+    def _tc_to_full(self, y_tc, k, phi_state=False):
         """Map the TC state onto the full hierarchy at the switch, seeding
         Delta/F2/F3/G0/G1/G2 with their first-order tight-coupling values
-        (sigma_g = 16/45 th/kap, Pi = 5 sigma, G0 = 5 sig/2, G2 = sig/2)."""
+        (sigma_g = 16/45 th/kap, Pi = 5 sigma, G0 = 5 sig/2, G2 = sig/2).
+        With phi_state both states carry phi as their last entry."""
         lg, ln, lp = self.lmax_g, self.lmax_nu, self.lmax_pol
         a = y_tc[0]
         th = y_tc[4]
@@ -456,7 +490,7 @@ class BoltzmannSolver:
         Delta0 = (k**2 * (0.25 * d_g - sig) + ach * th
                   - cs2 * k**2 * d_b) / ((1.0 + R) * kap)
 
-        y = np.zeros(self._n_full())
+        y = np.zeros(self._n_full() + (1 if phi_state else 0))
         y[0:4] = y_tc[0:4]
         y[4] = th - Delta0 * R / (1.0 + R)   # theta_b (th was the mixture velocity)
         y[5] = Delta0
@@ -472,6 +506,8 @@ class BoltzmannSolver:
             y[i + 2] = 0.5 * sig              # G2
         i += lp + 1
         y[i: i + ln + 1] = y_tc[6: 6 + ln + 1]
+        if phi_state:
+            y[-1] = y_tc[-1]
         return y
 
     # ----------------------------------------------------------------- the solve
@@ -479,6 +515,9 @@ class BoltzmannSolver:
     A_SWITCH_MAX = 4e-4   # hierarchy must be live well before recombination
     A_LATE = 2.5e-3       # z ~ 400: radiation forcing of phi is < 1% sub-horizon
     KTAU_LATE = 25.0      # ...but only for well-sub-horizon modes
+    X_ALG = 8.0           # k tau above which the algebraic 00-constraint phi is
+                          # safe (amplification of state error ~1.5/x^2 < 3%);
+                          # below it phi is carried as a state (see _potentials)
 
     def solve_k(self, k, z_out=(1059.94,), rtol=1e-7, atol=1e-12,
                 tc_switch=500.0):
@@ -505,66 +544,74 @@ class BoltzmannSolver:
         if a_out[0] <= a_sw:
             raise ValueError(f"z_out {z_out[0]} is inside the TC stage")
         tau_out = np.interp(a_out, a_grid, tau_grid)
-
-        # stage 1: tight coupling
-        if tau_sw > tau0 * 1.05:
-            sol1 = solve_ivp(
-                self._rhs_tc, (tau0, tau_sw), self._adiabatic_ic_tc(k, tau0, a0),
-                args=(k,), method="BDF", rtol=rtol, atol=atol,
-                first_step=tau0 * 0.01,
-            )
-            if not sol1.success:
-                raise RuntimeError(
-                    f"TC Boltzmann stage failed at k={k}: {sol1.message}")
-            y0, t_start = self._tc_to_full(sol1.y[:, -1], k), tau_sw
-        else:
-            y0, t_start = self._tc_to_full(
-                self._adiabatic_ic_tc(k, tau0, a0), k), tau0
-
-        # stage boundary to the late matter-only system
-        tau_late = float(np.interp(self.A_LATE, a_grid, tau_grid))
-        tau_late = max(tau_late, self.KTAU_LATE / k)
         tau_end = float(tau_out[-1])
 
-        if tau_late >= tau_end:
-            # everything fits in the full-hierarchy stage
+        # stage boundaries: phi-state -> algebraic at k tau = X_ALG; full
+        # hierarchy -> matter-only once a > A_LATE and k tau > KTAU_LATE.
+        tau_x = self.X_ALG / k
+        tau_late = float(np.interp(self.A_LATE, a_grid, tau_grid))
+        tau_late = max(tau_late, self.KTAU_LATE / k)
+
+        # segment edges strictly inside (tau0, tau_end); regime of a segment
+        # is decided by its midpoint against (tau_sw, tau_x, tau_late)
+        edges = [tau0]
+        for t in sorted({tau_sw, tau_x, tau_late}):
+            if tau0 * 1.05 < t < tau_end:
+                edges.append(t)
+        edges.append(tau_end)
+
+        y = self._adiabatic_ic_tc(k, tau0, a0)
+        in_tc, has_phi = True, True
+        if tau_sw <= tau0 * 1.05:
+            y = self._tc_to_full(y, k, phi_state=True)
+            in_tc = False
+
+        outputs = {}
+        for t_a, t_b in zip(edges[:-1], edges[1:]):
+            mid = 0.5 * (t_a + t_b)
+            # regime transitions at the segment head
+            if in_tc and mid > tau_sw:
+                y = self._tc_to_full(y, k, phi_state=has_phi)
+                in_tc = False
+            if has_phi and mid > tau_x:
+                y = y[:-1]
+                has_phi = False
+            late = (not in_tc) and mid > tau_late
+            if late and len(y) > 5:
+                y = y[:5].copy()
+
+            sel = (tau_out > t_a) & (tau_out <= t_b)
+            t_eval = np.unique(np.concatenate([tau_out[sel], [t_b]]))
+            if late:
+                rhs, args = self._rhs_late, (k,)
+            elif in_tc:
+                rhs, args = self._rhs_tc, (k, has_phi)
+            else:
+                rhs, args = self._rhs, (k, has_phi)
             sol = solve_ivp(
-                self._rhs, (t_start, tau_end), y0, args=(k,),
-                method="BDF", t_eval=tau_out, rtol=rtol, atol=atol,
+                rhs, (t_a, t_b), y, args=args, method="BDF",
+                t_eval=t_eval, rtol=rtol, atol=atol,
+                **({"first_step": tau0 * 0.01} if t_a == tau0 else {}),
             )
             if not sol.success:
-                raise RuntimeError(f"Boltzmann solve failed at k={k}: {sol.message}")
-            ys = sol.y.T
-        else:
-            mid_mask = tau_out <= tau_late
-            t_eval_full = np.concatenate([tau_out[mid_mask], [tau_late]])
-            sol = solve_ivp(
-                self._rhs, (t_start, tau_late), y0, args=(k,),
-                method="BDF", t_eval=t_eval_full, rtol=rtol, atol=atol,
-            )
-            if not sol.success:
-                raise RuntimeError(f"Boltzmann solve failed at k={k}: {sol.message}")
-            y_mid = sol.y[:, -1]
-            sol_late = solve_ivp(
-                self._rhs_late, (tau_late, tau_end), y_mid[:5], args=(k,),
-                method="BDF", t_eval=tau_out[~mid_mask], rtol=rtol, atol=atol,
-            )
-            if not sol_late.success:
                 raise RuntimeError(
-                    f"late Boltzmann stage failed at k={k}: {sol_late.message}")
-            ys = list(sol.y[:, :-1].T)
-            for col in sol_late.y.T:
-                full = np.zeros(self._n_full())
-                full[:5] = col
-                ys.append(full)
-            ys = np.asarray(ys)
+                    f"Boltzmann stage ({'late' if late else 'tc' if in_tc else 'full'})"
+                    f" failed at k={k}: {sol.message}")
+            for tt, col in zip(sol.t, sol.y.T):
+                for j in np.nonzero(sel)[0]:
+                    if abs(tau_out[j] - tt) < 1e-9 * max(tt, 1.0):
+                        if in_tc:
+                            # TC state: th is the common velocity
+                            snap = (col[0], col[1], col[2], col[3], col[4])
+                        else:
+                            snap = tuple(col[:5])
+                        outputs[j] = snap
+            y = sol.y[:, -1]
 
         res = []
+        rho_c, rho_b = self.OMc, self.OMb
         for j, z in enumerate(z_out):
-            y = ys[j]
-            a = y[0]
-            d_c, th_c, d_b, th_b = y[1], y[2], y[3], y[4]
-            rho_c, rho_b = self.OMc, self.OMb
+            a, d_c, th_c, d_b, th_b = outputs[j]
             d_m = (rho_c * d_c + rho_b * d_b) / (rho_c + rho_b)
             res.append({
                 "z": float(z), "a": float(a),
