@@ -112,8 +112,12 @@ class BoltzmannSolver:
         self.n_H0 = rho_crit * self.OMb * (1 - self.Y_He) / physconst.m_p  # cm^-3
 
         self._xe_tab = None
-        # background tau(a) lookup, shared by every solve_k call
-        self._a_grid = np.logspace(-9, 0.001, 6000)
+        # background tau(a) lookup, shared by every solve_k call.  The lower
+        # edge must sit below a(tau0) for the HIGHEST k served: tau0 = 0.05/k
+        # and tau(1e-11) ~ 4.6e-6 Mpc covers k up to ~1e4/Mpc (a tau0 clamped
+        # to the grid edge re-introduces the tau/a desync fixed in
+        # tau_of_a_grid for k > 108).
+        self._a_grid = np.logspace(-11.5, 0.001, 9000)
         self._tau_grid = self.tau_of_a_grid(self._a_grid)
 
     # ---------------------------------------------------------------- background
@@ -124,11 +128,19 @@ class BoltzmannSolver:
         )
 
     def tau_of_a_grid(self, a_grid):
-        """Conformal time tau(a) in Mpc by quadrature."""
+        """Conformal time tau(a) in Mpc by quadrature.
+
+        The integration constant matters: tau(a_min) is NOT zero but the
+        exact radiation-era value a_min / (H0 sqrt(OMr)).  Omitting it
+        desynchronizes a(tau) from tau by ~1e-3 Mpc, which breaks the
+        -aH psi vs momentum-term cancellation in phi' for modes whose
+        integration starts at small tau0 (high k): phi decayed at x < 1
+        and every k >~ 2 locked onto a sign-flipped growing mode."""
         from scipy.integrate import cumulative_trapezoid
 
         integrand = 1.0 / (a_grid**2 * (self.hubble_conf(a_grid) / a_grid))
-        tau = cumulative_trapezoid(integrand, a_grid, initial=0.0)
+        tau0 = a_grid[0] / (self.H0 * np.sqrt(self.OMr))
+        tau = cumulative_trapezoid(integrand, a_grid, initial=0.0) + tau0
         return tau
 
     # ------------------------------------------------------------- recombination
@@ -541,8 +553,8 @@ class BoltzmannSolver:
 
         z_out = np.sort(np.asarray(z_out, np.float64))[::-1]
         a_out = 1.0 / (1 + z_out)
-        if a_out[0] <= a_sw:
-            raise ValueError(f"z_out {z_out[0]} is inside the TC stage")
+        # outputs inside the TC stage are fine: the staged march snapshots the
+        # TC state (th = common velocity) directly
         tau_out = np.interp(a_out, a_grid, tau_grid)
         tau_end = float(tau_out[-1])
 

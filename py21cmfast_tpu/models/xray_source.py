@@ -114,6 +114,11 @@ def compute_xray_source_field(
 
     nodes = sorted(halobox_nodes, key=lambda t: t[0])
     z_nodes = np.array([t[0] for t in nodes])
+    # shells whose emission redshift lies above Z_HEAT_MAX (or above the
+    # oldest computed HaloBox) carry no sources: the reference zeroes them
+    # rather than clamping to the oldest node (single_field.py:585-597)
+    z_shell_max = min(float(z_nodes[-1]), float(so.Z_HEAT_MAX))
+    live_shell = ladder.zpp < z_shell_max
     sfr_nodes = jnp.stack([t[1].halo_sfr for t in nodes])
     xray_nodes = jnp.stack([t[1].halo_xray for t in nodes])
     use_mini = bool(ao.USE_MINI_HALOS) and all(
@@ -196,14 +201,23 @@ def compute_xray_source_field(
             mesh, _annulus_scan, _ann_args, _ann_static, shape)
     else:
         shells = _annulus_scan(*_ann_args, **_ann_static)
+    if not live_shell.all():
+        mask = jnp.asarray(live_shell, jnp.float32)[:, None, None, None]
+        shells = tuple(s * mask for s in shells)
     sfr_shells, xray_shells, sfr_mini_shells = shells[:3]
     sfr_lw_shells, sfr_mini_lw_shells = shells[3:] if use_lw else (None, None)
     mean_mcrit = None
     if use_mini:
         # per-shell mean log10 MCG turnover, z-interpolated between nodes
-        # (reference single_field.py:580-640, mean_log10_Mcrit_LW)
+        # (reference single_field.py:580-640, mean_log10_Mcrit_LW); dead
+        # shells get the M_TURN floor (single_field.py:592)
         mean_mcrit = jnp.asarray(
-            mcrit_nodes[idx_lo] * (1.0 - w) + mcrit_nodes[idx_hi] * w, jnp.float32
+            np.where(
+                live_shell,
+                mcrit_nodes[idx_lo] * (1.0 - w) + mcrit_nodes[idx_hi] * w,
+                float(inputs.astro_params.M_TURN),
+            ),
+            jnp.float32,
         )
     return XraySourceBox(
         redshift=np.float32(redshift),

@@ -40,12 +40,27 @@ def test_xray_source_shapes_and_interp(inputs):
 
 
 def test_xray_source_annulus_conserves_uniform(inputs):
-    """Annulus filters have W(k=0)=1: a uniform field stays uniform."""
+    """Annulus filters have W(k=0)=1: a uniform field stays uniform.
+
+    The node list must extend above the shell z'' range: shells beyond the
+    oldest node (or Z_HEAT_MAX) are zeroed, matching the reference
+    (single_field.py:585-597)."""
     shape = inputs.simulation_options.lowres_shape
-    nodes = [(10.0, _fake_halobox(10.0, shape, 2.0))]
+    nodes = [(10.0, _fake_halobox(10.0, shape, 2.0)),
+             (34.0, _fake_halobox(34.0, shape, 2.0))]
     sb = compute_xray_source_field(10.0, inputs, nodes)
     arr = np.asarray(sb.filtered_sfr)
     np.testing.assert_allclose(arr, 2.0, rtol=1e-4)
+
+
+def test_xray_source_shells_beyond_nodes_are_zeroed(inputs):
+    """Shells whose z'' lies above the oldest HaloBox carry no sources
+    (reference single_field.py:585-597): with a single node at the current
+    redshift every shell is beyond it, so the whole stack must be zero."""
+    shape = inputs.simulation_options.lowres_shape
+    nodes = [(10.0, _fake_halobox(10.0, shape, 2.0))]
+    sb = compute_xray_source_field(10.0, inputs, nodes)
+    assert float(np.abs(np.asarray(sb.filtered_sfr)).max()) == 0.0
 
 
 def test_angular_lightconer_against_rectilinear(inputs):
