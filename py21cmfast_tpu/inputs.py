@@ -786,17 +786,17 @@ def register_class_transfer(k, transfer_density, k_vcb=None, transfer_vcb=None):
     _cached_cosmology.cache_clear()
 
 
-def _bundled_class_transfer(cosmo_params: CosmoParams):
-    """The packaged Planck18 CLASS density transfer
-    (_data/class_transfer_density_planck18.dat; provenance in its header
-    and _data/README.md) — valid only for the default cosmology, checked
-    here to 0.1%.  Returns (k, T) or None."""
+def _bundled_class_transfer(cosmo_params: CosmoParams, kind: str = "density"):
+    """The packaged Planck18 CLASS-convention transfer tables
+    (_data/class_transfer_{density,vcb}_planck18.dat; provenance in their
+    headers and _data/README.md) — valid only for the default cosmology,
+    checked here to 0.1%.  Returns (k, T) or None."""
     defaults = CosmoParams()
     for attr in ("hlittle", "OMm", "OMb", "POWER_INDEX"):
         a, b = float(getattr(cosmo_params, attr)), float(getattr(defaults, attr))
         if abs(a - b) > 1e-3 * max(abs(b), 1e-10):
             return None
-    path = Path(__file__).parent / "_data" / "class_transfer_density_planck18.dat"
+    path = Path(__file__).parent / "_data" / f"class_transfer_{kind}_planck18.dat"
     if not path.exists():
         return None
     dat = np.loadtxt(path)
@@ -825,14 +825,21 @@ def _cached_cosmology(cosmo_params: CosmoParams, ps_int: int, _v: int = 0,
             )
     cosmo = cosmo_params.cosmology(power_spectrum=ps_int, transfer_table=table,
                                    vcb_suppression=uses_vcb)
-    if ps_int == 5 and _class_transfer["vcb"] is not None:
-        kv, tv = _class_transfer["vcb"]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p_vcb = (
-                cosmo.sigma_norm
-                * cosmo.primordial_curvature_power(kv)
-                * (tv * physconst.c_cms / 1e5) ** 2
-                / kv**3
-            )
-        cosmo.set_vcb_power_table(kv, np.where(kv > 0, p_vcb, 0.0))
+    if ps_int == 5:
+        vcb_table = _class_transfer["vcb"]
+        if vcb_table is None and uses_vcb:
+            # packaged Planck18 T_vcb (computed by the in-house Boltzmann
+            # solver, scripts/r5_make_vcb_table.py) — the stand-in for the
+            # reference's live-CLASS v_cb transfer (wrapper/inputs.py:1915-1935)
+            vcb_table = _bundled_class_transfer(cosmo_params, kind="vcb")
+        if vcb_table is not None:
+            kv, tv = vcb_table
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p_vcb = (
+                    cosmo.sigma_norm
+                    * cosmo.primordial_curvature_power(kv)
+                    * (tv * physconst.c_cms / 1e5) ** 2
+                    / kv**3
+                )
+            cosmo.set_vcb_power_table(kv, np.where(kv > 0, p_vcb, 0.0))
     return cosmo
