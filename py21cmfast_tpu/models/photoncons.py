@@ -111,15 +111,19 @@ def euler_q(nion_fn, ion_eff, z_end=3.5):
 
 
 def _dsig2_unstable(cosmo, m: float) -> float:
-    """The reference's dsigma^2/dM evaluation, verbatim: the cancellation-
-    prone top-hat dW/dr of dwdm_filter (filtering.c:49-78) under adaptive
-    Gauss-Kronrod quadrature over k (cosmology.c dsigmasqdm_z0:421-455,
-    GSL QAG rel_tol 1e-6).  In f64 the two O(u^-2) terms cancel to O(u) as
-    u = kR -> 0, and the adaptive integrator chases that noise; for
-    M >~ 1e9 this inflates |dsigma^2/dM| by a systematic 20-30%
-    (quantified in scripts/photoncons_repro.py: scipy QUADPACK, the same
-    Gauss-Kronrod family, reproduces it)."""
-    from scipy import integrate
+    """The reference's dsigma^2/dM evaluation, faithfully: the cancellation-
+    prone top-hat dW/dr of dwdm_filter (filtering.c:49-78) under the SAME
+    adaptive quadrature the reference uses — GSL QAG with the 61-point
+    Gauss-Kronrod rule, epsabs=0, epsrel=1e-6, k from 1e-99/R to 350/R
+    (cosmology.c dsigmasqdm_z0:421-455; cosmology/quadrature.qag_gk61 is a
+    QUADPACK-qage reimplementation).  In f64 the two O(u^-2) terms of dW/dr
+    cancel to O(u) as u = kR -> 0 and the adaptive integrator chases that
+    noise; for M >~ 1e9 this inflates |dsigma^2/dM| by a structured 20-30%
+    (root-caused in scripts/photoncons_repro.py).  Matching the rule AND the
+    subdivision policy reproduces the reference's noise *realization*, not
+    just its magnitude — scipy's QAGS (GK21 + extrapolation) samples the
+    same cancellation differently."""
+    from ..cosmology.quadrature import qag_gk61
 
     rho = float(cosmo.rho_mean)
     R = (3.0 * m / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
@@ -141,19 +145,43 @@ def _dsig2_unstable(cosmo, m: float) -> float:
 
     with np.errstate(all="ignore"), warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        return integrate.quad(f, 1e-12, 350.0 / R, limit=1000, epsrel=1e-6)[0]
+        return qag_gk61(f, 1e-99 / R, 350.0 / R, epsabs=0.0, epsrel=1e-6)[0]
 
 
 _noisy_table_cache: dict = {}
 
 
-def _noisy_sigma_table(inputs: InputParameters, n: int = 128):
-    """SigmaTable whose dsigma^2/dM carries the reference's quadrature-noise
+class _RefDsigmaTable:
+    """Mimics the reference's dSigmasqdm interp table exactly: 300 nodes
+    log-spaced over M in [5e2, 1e20] (_global_initialization.py:132-134,
+    interp_tables.c N_MASS_INTERP), values stored as FLOAT32 log10(-ds)
+    (initialiseSigmaMInterpTable:1154), linear interpolation in lnM
+    (EvaluateRGTable1D_f)."""
+
+    def __init__(self, base, ln_m, log10_neg_ds):
+        self._base = base
+        self._ln_m = ln_m
+        self._l10 = np.asarray(log10_neg_ds, np.float32).astype(np.float64)
+
+    @property
+    def ln_m(self):
+        return self._base.ln_m
+
+    def sigma_of_lnm(self, lnm):
+        return self._base.sigma_of_lnm(lnm)
+
+    def dsigmasq_of_lnm(self, lnm):
+        return -(10.0 ** np.interp(lnm, self._ln_m, self._l10))
+
+
+def _noisy_sigma_table(inputs: InputParameters, n: int = 300):
+    """Sigma table whose dsigma^2/dM carries the reference's quadrature-noise
     inflation (_dsig2_unstable) — used ONLY by the photon-conservation
     analytic Q(z), whose gold histories inherit that inflation through the
     reference's forced-QAG Nion_General (photoncons.c:168-172 'We Force
-    QAG').  sigma(M) itself has no cancellation and stays the stable table."""
-    from ..cosmology.power import SigmaTable
+    QAG').  sigma(M) itself has no cancellation and stays the stable table.
+    The node grid, float32 log10 storage and linear-in-lnM interpolation all
+    match the reference's dSigmasqdm_InterpTable."""
     from .ionization import _get_sigma_table
 
     key = inputs.matter_cosmo_hash if hasattr(inputs, "matter_cosmo_hash") else (
@@ -163,9 +191,9 @@ def _noisy_sigma_table(inputs: InputParameters, n: int = 128):
         return _noisy_table_cache[key]
     base = _get_sigma_table(inputs)
     cosmo = inputs.cosmology
-    ln_m = np.linspace(np.log(1e5), np.log(hmf.M_MAX_INTEGRAL), n)
+    ln_m = np.linspace(np.log(5e2), np.log(1e20), n)
     ds = np.array([_dsig2_unstable(cosmo, float(m)) for m in np.exp(ln_m)])
-    tbl = SigmaTable(ln_m=ln_m, sigma=base.sigma_of_lnm(ln_m), dsigmasq_dm=ds)
+    tbl = _RefDsigmaTable(base, ln_m, np.log10(np.maximum(-ds, 1e-300)))
     _noisy_table_cache[key] = tbl
     return tbl
 

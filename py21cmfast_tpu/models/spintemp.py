@@ -140,6 +140,7 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
     nu_lw_norm = 2.70331197e15 / 3.288465e15  # nu_LW_thresh / nu_ion_HI
 
     sum_prev = ly2_prev = lynto2_prev = 0.0
+    mini_prev = ly2_mini_prev = lynto2_mini_prev = 0.0
     first_radii, first_zero = True, True
     prev_zpp = 0.0
     for i in range(n_r):
@@ -189,6 +190,12 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
             sum_lyn = weight * sum_prev
             sum_ly2 = weight * ly2_prev
             sum_lynto2 = weight * lynto2_prev
+            if ao.USE_MINI_HALOS:
+                # the reference corrects the Pop III sums in the same branch
+                # (SpinTemperatureBox.c:456-459)
+                sum_mini = weight * mini_prev
+                sum_ly2_mini = weight * ly2_mini_prev
+                sum_lynto2_mini = weight * lynto2_mini_prev
             first_radii = False
 
         zpp_integrand = (1 + zp) ** 2 * (1 + zpp)
@@ -202,6 +209,9 @@ def spectral_prefactors(zp, ladder: ShellLadder, inputs: InputParameters):
         lw_mini[i] = zpp_integrand * sum_lw_mini
 
         sum_prev, ly2_prev, lynto2_prev = sum_lyn, sum_ly2, sum_lynto2
+        mini_prev, ly2_mini_prev, lynto2_mini_prev = (
+            sum_mini, sum_ly2_mini, sum_lynto2_mini
+        )
         prev_zpp = zpp
     return {"starlya": starlya, "cont": cont, "inj": inj,
             "starlya_mini": starlya_mini, "cont_mini": cont_mini,
@@ -1093,10 +1103,15 @@ def compute_spin_temperature(
     # nodes via the source box (ts_main:1481).
     nion_mini_shells = [None] * n_r
     ion_eff_mini = 0.0
-    if ao.USE_MINI_HALOS and not const_model:
+    has_lagr_mcrit = (source_box is not None
+                      and source_box.mean_log10_Mcrit_LW is not None)
+    if ao.USE_MINI_HALOS and not const_model and (not lagrangian or has_lagr_mcrit):
+        # Lagrangian mode without per-shell halobox Mcrit means carries no
+        # minihalo information at all — the shell path treats that case as
+        # "no minihalos" (use_minihalos_lagr=False below), so the MCG tau_X
+        # term is skipped too rather than run at an unphysical Mturn.
         ion_eff_mini = sc_zp.pop3_ion * sc_zp.fstar_7 * sc_zp.fesc_7
-        if (lagrangian and source_box is not None
-                and source_box.mean_log10_Mcrit_LW is not None):
+        if lagrangian:
             shell_mcrit = np.asarray(source_box.mean_log10_Mcrit_LW, np.float64)
         else:
             shell_mcrit = np.full(n_r, max(ave_mcrit, mcrit_clip))

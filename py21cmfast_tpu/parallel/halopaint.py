@@ -178,6 +178,7 @@ def sharded_halo_grids(
         props = _halo_props_kernel(
             mass, rng[0], rng[1], rng[2], halo_mt_a, halo_mt_m, c,
             use_upper=use_upper, use_mini=use_mini,
+            use_metal_lx=bool(ao.USE_UPPER_STELLAR_TURNOVER),
         )
         fields = [props["n_ion"], props["sfr"], props["wsfr"], props["xray38"]]
         if use_mini:
