@@ -652,3 +652,89 @@ def compute_vcb_transfer(k_arr, *, z_dec=None, solver=None, **cosmo_kwargs):
         t_vcb[i] = r["v_cb"]
         d_m[i] = r["delta_m"]
     return t_vcb, d_m
+
+
+# the reference's k_transfer grid (classy_interface.py:21-31): the grid its
+# CLASS-derived cosmo tables are sampled on
+REFERENCE_K_TRANSFER = np.concatenate([
+    np.logspace(-5.15, -1.49, 50),
+    np.logspace(-1.45, -0.258, 80),
+    np.logspace(-0.2083, 3.049, 100),
+])
+
+
+def generate_transfer_tables(cosmo_params=None, *, vcb=True, n_k=64,
+                             k_max_exact=500.0, z_dec=None, verbose=False,
+                             **cosmo_kwargs):
+    """First-principles CLASS-convention transfer tables for ANY cosmology:
+    (k, T_density(z=0)[, T_vcb(z_dec)]) on the reference's k_transfer grid,
+    from the in-house Boltzmann solver — the classy-free replacement for the
+    reference's live CLASS run (wrapper/inputs.py:1861-1966).
+
+    The density transfer is solved exactly at `n_k` log-spaced points and
+    cubic-interpolated (in log) onto the reference grid; BAO wiggles (~5%
+    amplitude) are resolved to ~1-2% at the default n_k=64.  T_vcb oscillates
+    much faster, so it is solved exactly at every reference grid point up to
+    k=3 (above which Silk damping makes it smooth), as the bundled Planck18
+    table was.  Runtime is dominated by the vcb band (~20-40 min single
+    core); pass vcb=False when V_CB_MODEL is NONE/AVG.
+
+    Typical use:
+
+        k, td, tv = generate_transfer_tables(my_cosmo_params)
+        register_class_transfer(k, td, k_vcb=k, transfer_vcb=tv)
+
+    Accuracy (validated against the gold CLASS table for Planck18): density
+    shape within ~2% over k = 0.004-1/Mpc with a constant ~+5% amplitude
+    offset that cancels under SIGMA_8 normalization; V_CB_RMS within 3% of
+    CLASS.  Known omissions: massive neutrinos treated as massless,
+    Saha+Peebles recombination instead of RECFAST."""
+    from scipy.interpolate import CubicSpline
+
+    if cosmo_params is not None:
+        cosmo_kwargs = dict(
+            hlittle=float(cosmo_params.hlittle), OMm=float(cosmo_params.OMm),
+            OMb=float(cosmo_params.OMb), Y_He=float(cosmo_params.Y_He),
+        )
+    solver = BoltzmannSolver(**cosmo_kwargs)
+    k_grid = REFERENCE_K_TRANSFER
+
+    ks_d = np.logspace(np.log10(k_grid[0]), np.log10(min(k_grid[-1], 20.0)), n_k)
+    td = np.empty(n_k)
+    for i, k in enumerate(ks_d):
+        td[i] = abs(solver.solve_k(float(k), z_out=(0.0,))[0]["delta_m"])
+        if verbose:
+            print(f"density k={k:10.5g} T={td[i]:.5g}", flush=True)
+    spl = CubicSpline(np.log(ks_d), np.log(td))
+    t_dens = np.exp(spl(np.log(np.clip(k_grid, ks_d[0], ks_d[-1]))))
+    # power-law tail beyond the exact range
+    hi = k_grid > ks_d[-1]
+    if hi.any():
+        slope = (np.log(td[-1]) - np.log(td[-2])) / (
+            np.log(ks_d[-1]) - np.log(ks_d[-2]))
+        t_dens[hi] = td[-1] * (k_grid[hi] / ks_d[-1]) ** slope
+
+    if not vcb:
+        return k_grid, t_dens, None
+
+    if z_dec is None:
+        from .classy_interface import find_redshift_kinematic_decoupling
+
+        z_dec = find_redshift_kinematic_decoupling()
+    exact = k_grid[k_grid <= 3.0]
+    tv_exact = np.array([
+        solver.solve_k(float(k), z_out=(z_dec,))[0]["v_cb"] for k in exact
+    ])
+    anchors = np.logspace(np.log10(3.2), np.log10(k_max_exact), 14)
+    tv_anchor = np.array([
+        solver.solve_k(float(k), z_out=(z_dec,))[0]["v_cb"] for k in anchors
+    ])
+    spl_v = CubicSpline(np.log(anchors), np.log(tv_anchor))
+    mid = k_grid[(k_grid > 3.0) & (k_grid <= anchors[-1])]
+    tv_mid = np.exp(spl_v(np.log(mid)))
+    slope = (np.log(tv_anchor[-1]) - np.log(tv_anchor[-2])) / (
+        np.log(anchors[-1]) - np.log(anchors[-2]))
+    tail = k_grid[k_grid > anchors[-1]]
+    tv_tail = tv_anchor[-1] * (tail / anchors[-1]) ** slope
+    t_vcb = np.concatenate([tv_exact, tv_mid, tv_tail])
+    return k_grid, t_dens, t_vcb

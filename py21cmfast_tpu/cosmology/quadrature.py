@@ -7,14 +7,15 @@ Nion integrals with gsl_integration_qag(..., GSL_INTEG_GAUSS61)
 largest error estimate until the summed estimate meets
 max(epsabs, epsrel*|result|).
 
-For smooth integrands any quadrature agrees and this module is pointless —
-production uses tabulated sigma.  It exists for ONE consumer: the
-photon-conservation calibration, whose gold histories inherit the
-catastrophic-cancellation noise of the reference's dwdm_filter integrand
-(filtering.c:49-78) AS SAMPLED BY GK61 UNDER QAG SUBDIVISION.  scipy's
-`quad` (QAGS: 21-point rule + epsilon extrapolation) samples the same noise
-differently; matching the reference's noise realization requires the same
-rule and the same subdivision policy (models/photoncons._noisy_sigma_table).
+For smooth integrands any quadrature agrees and this module is mostly a
+cross-check — production uses tabulated sigma.  It was built to test
+whether the photon-conservation gold's dsigma^2/dM inflation is the
+catastrophic-cancellation noise of dwdm_filter (filtering.c:49-78) AS
+SAMPLED BY GK61 UNDER QAG SUBDIVISION.  Negative result: this faithful
+qage converges cleanly to the stable value at the reference's own
+tolerances (models/photoncons._dsig2_unstable documents the consequence) —
+so the module now serves as an independent integrator for validation work
+and as the recorded evidence for that conclusion.
 
 The GK61 nodes/weights are constructed at import from first principles:
 Kronrod nodes are the roots of the Stieltjes polynomial E_31 (orthogonal to

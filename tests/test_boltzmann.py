@@ -49,6 +49,25 @@ def test_vcb_positive_and_peaked(solver):
 
 
 @pytest.mark.slow
+def test_generate_transfer_tables_matches_gold_shape():
+    """The classy-free table generator reproduces the bundled gold table's
+    density shape for the default cosmology (coarse n_k; BAO unresolved, so
+    the gate is loose)."""
+    from py21cmfast_tpu.cosmology.boltzmann import (
+        REFERENCE_K_TRANSFER, generate_transfer_tables,
+    )
+
+    k, td, tv = generate_transfer_tables(OMm=0.30964, n_k=12, vcb=False)
+    assert tv is None
+    assert k.shape == REFERENCE_K_TRANSFER.shape
+    probe = np.array([0.01, 0.1, 0.5])
+    ours = np.interp(np.log(probe), np.log(k), td)
+    gold = np.array([_gold_at(p) for p in probe])
+    shape = (ours / ours[1]) / (gold / gold[1])
+    np.testing.assert_allclose(shape, 1.0, rtol=0.08)
+
+
+@pytest.mark.slow
 def test_delta_m_z0_shape_against_gold(solver):
     """Shape (normalized at k=0.1) within 3% of the gold CLASS table over
     k = 0.004-1.0; the constant amplitude offset divides out."""
