@@ -18,6 +18,8 @@ from ..lightconers import Lightconer, RectilinearLightconer
 from ..outputs import InitialConditions
 from .coeval import generate_coeval
 
+_MEANS_JIT = None  # fused global-quantity means (one dispatch per node)
+
 __all__ = ["LightCone", "run_lightcone", "generate_lightcone"]
 
 
@@ -194,6 +196,14 @@ def generate_lightcone(
     # claims).
     pending_slices: list = []
 
+    def _means_jit():
+        global _MEANS_JIT
+        if _MEANS_JIT is None:
+            _MEANS_JIT = jax.jit(
+                lambda arrays: tuple(jnp.mean(a) for a in arrays)
+            )
+        return _MEANS_JIT
+
     def _drain():
         for q, idx, vals in pending_slices:
             arr = np.asarray(vals)
@@ -213,14 +223,24 @@ def generate_lightcone(
             yield coeval.redshift, coeval, lc
             continue
 
-        for q in global_quantities:
-            # keep the mean as a device scalar — fetched at finalization
-            gq[q].append(jnp.mean(lightconer.get_field(coeval, q, device=True)))
+        if global_quantities:
+            # keep the means as device scalars — fetched at finalization; one
+            # dispatch for all of them (remote per-dispatch latency dominates)
+            fields = [lightconer.get_field(coeval, q, device=True)
+                      for q in global_quantities]
+            means = _means_jit()(tuple(fields))
+            for q, m in zip(global_quantities, means):
+                gq[q].append(m)
 
         _drain()
         if prev_coeval is not None:
             make_async = getattr(lightconer, "make_lightcone_slices_async", None)
-            for q in quantities:
+            multi = getattr(lightconer, "scatter_slices_device_multi", None)
+            if assemble_on_device and multi is not None:
+                dev_lc = multi(dev_lc, coeval, prev_coeval, cosmo, inputs,
+                               quantities)
+            for q in (() if (assemble_on_device and multi is not None)
+                      else quantities):
                 if assemble_on_device:
                     dev_lc[q] = lightconer.scatter_slices_device(
                         dev_lc[q], coeval, prev_coeval, cosmo, inputs, q

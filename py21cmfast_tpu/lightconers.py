@@ -120,6 +120,33 @@ def _interp_scatter_padded(buf, box_lo, box_hi, pix, w, idx_pad, *, mean_max):
     return buf.at[:, :, idx_pad].set(vals)
 
 
+def _interp_scatter_multi(bufs, boxes_lo, boxes_hi, pix, w, idx_pad, *,
+                          mean_max_flags):
+    """All quantities of one node pair in a single dispatch: the remote-TPU
+    per-dispatch latency (~0.1-0.2 s) dominates the actual slice work, so
+    one fused call for (brightness_temp, tau_21, velocity_z, ...) replaces
+    n_q separate ones (~0.3-0.6 s/node at the bench config)."""
+    return tuple(
+        _interp_scatter_padded(b, lo, hi, pix, w, idx_pad, mean_max=mm)
+        for b, lo, hi, mm in zip(bufs, boxes_lo, boxes_hi, mean_max_flags)
+    )
+
+
+_SCATTER_MULTI_JIT = None
+
+
+def _interp_scatter_multi_jit():
+    global _SCATTER_MULTI_JIT
+    if _SCATTER_MULTI_JIT is None:
+        import jax
+
+        _SCATTER_MULTI_JIT = jax.jit(
+            _interp_scatter_multi, static_argnames=("mean_max_flags",),
+            donate_argnums=(0,),
+        )
+    return _SCATTER_MULTI_JIT
+
+
 _SCATTER_JIT = None
 
 
@@ -234,6 +261,39 @@ class RectilinearLightconer(Lightconer):
             buf, box_lo, box_hi, pix_pad, w_pad, idx_pad,
             mean_max=self.interp_kinds.get(quantity) == "mean_max",
         )
+
+    def scatter_slices_device_multi(
+        self, bufs: dict, coeval_low, coeval_high, cosmo, inputs, quantities
+    ):
+        """`scatter_slices_device` for every quantity in ONE device dispatch
+        (shared slice schedule, fused jit; see _interp_scatter_multi).
+        Returns the updated buffer dict."""
+        sched = self._slice_schedule(coeval_low, coeval_high, cosmo, inputs)
+        if sched is None:
+            return bufs
+        idx, pix_pad, w_pad = sched
+        idx_pad = np.full(len(pix_pad), self.n_slices, np.int32)
+        idx_pad[: len(idx)] = idx
+        qs = []
+        lo, hi = [], []
+        for q in quantities:
+            box_lo = self.get_field(coeval_low, q, device=True)
+            box_hi = self.get_field(coeval_high, q, device=True)
+            if box_lo is None or box_hi is None:
+                continue
+            qs.append(q)
+            lo.append(box_lo)
+            hi.append(box_hi)
+        if not qs:
+            return bufs
+        flags = tuple(self.interp_kinds.get(q) == "mean_max" for q in qs)
+        out = _interp_scatter_multi_jit()(
+            tuple(bufs[q] for q in qs), tuple(lo), tuple(hi),
+            pix_pad, w_pad, idx_pad, mean_max_flags=flags,
+        )
+        for q, b in zip(qs, out):
+            bufs[q] = b
+        return bufs
 
     def make_lightcone_slices(self, coeval_low, coeval_high, cosmo, inputs, quantity):
         idx, vals = self.make_lightcone_slices_async(
