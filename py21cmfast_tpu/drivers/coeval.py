@@ -292,6 +292,10 @@ def generate_coeval(
                 source_box=source_box,
                 previous_ionized_box=prev_ion,
             )
+            # overlap the next node's host-side SFRD tables with this node's
+            # device kernels (worker thread; see spintemp.prefetch_sfrd_tables)
+            if i + 1 < len(all_z):
+                spintemp_module.prefetch_sfrd_tables(all_z[i + 1], inputs)
 
         ion = compute_ionization_field(
             z,

@@ -255,6 +255,52 @@ def _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp):
     return d_lo, d_hi, tables, caps
 
 
+# next-node SFRD-table prefetch: ~0.35 s/node of pure-numpy host work that
+# otherwise serializes with the device kernels.  A single worker thread
+# builds the NEXT node's tables while the main thread blocks on this node's
+# device execution (numpy releases the GIL, so the overlap is real even on
+# one core).
+_SFRD_PREFETCH: dict = {"pool": None, "futs": {}}
+
+
+def prefetch_sfrd_tables(zp: float, inputs: InputParameters) -> None:
+    """Start building the E-INTEGRAL per-shell SFRD tables for a future node
+    on a worker thread.  No-op for source models that don't use them."""
+    if inputs.matter_options.SOURCE_MODEL != "E-INTEGRAL":
+        return
+    import concurrent.futures
+
+    if _SFRD_PREFETCH["pool"] is None:
+        _SFRD_PREFETCH["pool"] = concurrent.futures.ThreadPoolExecutor(
+            1, thread_name_prefix="sfrd-prefetch"
+        )
+    key = (round(float(zp), 9), inputs.full_hash)
+    futs = _SFRD_PREFETCH["futs"]
+    if key in futs:
+        return
+    if len(futs) > 4:  # stale entries (cache-resumed nodes)
+        futs.clear()
+
+    def work():
+        ladder = setup_z_edges(float(zp), inputs)
+        return _build_sfrd_tables(
+            inputs, ladder, _get_sigma_table(inputs),
+            hmf.set_scaling_constants(float(zp), inputs),
+        )
+
+    futs[key] = _SFRD_PREFETCH["pool"].submit(work)
+
+
+def _sfrd_tables_for(zp, inputs, ladder, sigma_table, sc_zp):
+    """The prefetched tables when available, a synchronous build otherwise."""
+    fut = _SFRD_PREFETCH["futs"].pop(
+        (round(float(zp), 9), inputs.full_hash), None
+    )
+    if fut is not None:
+        return fut.result()
+    return _build_sfrd_tables(inputs, ladder, sigma_table, sc_zp)
+
+
 # ---------------------------------------------------------------------------
 # device kernel
 
@@ -1132,16 +1178,26 @@ def compute_spin_temperature(
                 _curves[key] = lambda zz, v=vals: np.interp(zz, zg_mini, v)
             nion_mini_shells[i] = _curves[key]
 
-    # tau_X = 1 horizons and frequency-integral tables
+    # tau_X = 1 horizons and frequency-integral tables.  Single-cell (0-D
+    # global evolution) runs zero the collapsed fractions in the tau_X
+    # integrand while <x_e> is still tiny, exactly like the reference
+    # (tauX_integrand, heating_helper_progs.c:914-923: HII_DIM==1 &&
+    # x_e_ave < MIN_XE_FOR_FCOLL_IN_TAUX -> fcoll = fcoll_MINI = 0).
+    zero_fcoll_in_tau = (
+        inputs.simulation_options.HII_DIM == 1
+        and x_e_ave < inputs.simulation_options.MIN_XE_FOR_FCOLL_IN_TAUX
+    )
+    nion_of_z_tau = (lambda z: np.zeros_like(np.asarray(z, np.float64))) \
+        if zero_fcoll_in_tau else nion_of_z
     nu_th = ap.NU_X_THRESH * physconst.eV_to_Hz
     lower_limits = np.array(
         [
             max(
                 heating.nu_tau_one(
-                    redshift, ladder.zpp[i], x_e_ave, nion_of_z, ion_eff,
+                    redshift, ladder.zpp[i], x_e_ave, nion_of_z_tau, ion_eff,
                     cosmo.N_b0, cosmo.dtdz, cosmo.Y_He,
-                    nion_mini_of_z=nion_mini_shells[i],
-                    ion_eff_mini=ion_eff_mini,
+                    nion_mini_of_z=None if zero_fcoll_in_tau else nion_mini_shells[i],
+                    ion_eff_mini=0.0 if zero_fcoll_in_tau else ion_eff_mini,
                 ),
                 nu_th,
             )
@@ -1188,8 +1244,8 @@ def compute_spin_temperature(
             sfrd_caps[i] = sfrd_tables[i][-1]
         z_edge_factor = np.abs(ladder.dzpp)
     else:
-        d_lo, d_hi, sfrd_tables, sfrd_caps = _build_sfrd_tables(
-            inputs, ladder, sigma_table, sc_zp
+        d_lo, d_hi, sfrd_tables, sfrd_caps = _sfrd_tables_for(
+            redshift, inputs, ladder, sigma_table, sc_zp
         )
         from .ionization import CHEBY_DEG, _fit_log_cheby
 

@@ -39,13 +39,28 @@ def test_delta_m_z0_at_k01(solver):
     assert 1.0 < ratio < 1.10, ratio
 
 
+@pytest.mark.slow
 def test_vcb_positive_and_peaked(solver):
     """T_vcb at kinematic decoupling: acoustic-scale modes carry far more
-    relative velocity than super-horizon or Silk-damped ones."""
+    relative velocity than super-horizon or Silk-damped ones.  (Slow tier:
+    the k=0.001 solve alone takes ~2 min.)"""
     ks = (0.001, 0.1, 300.0)
     v = [solver.solve_k(k, z_out=(1069.0,))[0]["v_cb"] for k in ks]
     assert v[1] > 10 * v[0]
     assert v[1] > 10 * v[2]
+
+
+def test_vcb_table_consistency(solver):
+    """Fast anchor: the bundled Planck18 T_vcb table matches a fresh solve at
+    one acoustic-band mode to 1% (the table generator and solver share code,
+    so this locks the table against solver regressions)."""
+    from pathlib import Path
+
+    tab = np.loadtxt(Path(GOLD).parent / "class_transfer_vcb_planck18.dat")
+    i = int(np.argmin(np.abs(tab[:, 0] - 0.13)))  # acoustic-band grid row
+    k, t_tab = tab[i, 0], tab[i, 1]
+    r = solver.solve_k(float(k), z_out=(1069.6,))[0]
+    np.testing.assert_allclose(r["v_cb"], t_tab, rtol=0.01)
 
 
 @pytest.mark.slow

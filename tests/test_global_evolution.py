@@ -149,15 +149,13 @@ def _gold_inputs():
 def test_gold_parity():
     """Our global histories vs the reference's stored global_evolution.h5.
 
-    Current state (round 4): after fixing the LW-threshold pivot, the
-    V_CB_AVG normalization, and the tau_X sign bug (a descending trapezoid
-    grid returned tau < 0, disabling ALL X-ray attenuation), the histories
-    track the gold closely over the whole ladder: J_21_LW within 1.5%, Tk
-    within 0.5% through the trough (worst 11% at z~6.5 post-overlap), the
-    trough depth -92.7 vs -95.0 mK (~2.4%), xH within 0.004 pre-overlap.
-    The remaining late-z Tk deficit traces to nu_tau_one approximations
-    (ours omits the reference's HII_DIM==1 fcoll=0 early-tau special case
-    and the MCG term in the filling factor)."""
+    Current state (round 5): with the MCG term in the tau_X filling factor
+    (tauX_integrand_MINI, heating_helper_progs.c:901-941) AND the reference's
+    HII_DIM==1 early-tau special case (fcoll = fcoll_MINI = 0 while
+    x_e_ave < MIN_XE_FOR_FCOLL_IN_TAUX, :914-923) both implemented, the
+    histories track the gold over the whole ladder: Tk within 0.6%
+    everywhere, Ts within 0.75%, xH within 0.003, Tb trough -94.3 vs
+    -95.0 mK (worst node dev 0.77 mK)."""
     import h5py
 
     with h5py.File(GOLD, "r") as f:
@@ -170,11 +168,11 @@ def test_gold_parity():
 
     # neutral fraction history: absolute agreement over the whole ladder
     xh_dev = np.max(np.abs(ge.quantities["neutral_fraction"] - gold["neutral_fraction"]))
-    assert xh_dev < 0.02, f"xH max dev {xh_dev:.3f}"
+    assert xh_dev < 0.006, f"xH max dev {xh_dev:.4f}"
 
     # kinetic temperature of the neutral IGM: relative agreement
     tk_ratio = ge.quantities["kinetic_temp_neutral"] / gold["kinetic_temp_neutral"]
-    assert np.max(np.abs(np.log(tk_ratio))) < 0.15, (
+    assert np.max(np.abs(np.log(tk_ratio))) < 0.012, (
         f"Tk ratio range {tk_ratio.min():.3f}-{tk_ratio.max():.3f}"
     )
 
@@ -191,13 +189,13 @@ def test_gold_parity():
     # spin temperature where the signal lives (pre-overlap)
     sel = gold["neutral_fraction"] > 0.05
     ts_ratio = ge.quantities["spin_temperature"][sel] / gold["spin_temperature"][sel]
-    assert np.max(np.abs(np.log(ts_ratio))) < 0.12
+    assert np.max(np.abs(np.log(ts_ratio))) < 0.012
 
-    # global signal: trough depth within 4%, worst deviation ratcheted
+    # global signal: trough depth within 1.5%, worst node within 1.5 mK
     depth = np.abs(gold["brightness_temp"]).max()
     ours_depth = np.abs(ge.quantities["brightness_temp"]).max()
-    assert abs(ours_depth - depth) < 0.04 * depth, (
+    assert abs(ours_depth - depth) < 0.015 * depth, (
         f"trough depth {ours_depth:.1f} vs {depth:.1f} mK"
     )
     tb_dev = np.max(np.abs(ge.quantities["brightness_temp"] - gold["brightness_temp"]))
-    assert tb_dev < 0.04 * depth, f"Tb max dev {tb_dev:.1f} mK vs depth {depth:.1f} mK"
+    assert tb_dev < 1.5, f"Tb max dev {tb_dev:.2f} mK vs depth {depth:.1f} mK"
