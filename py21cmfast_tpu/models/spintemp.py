@@ -749,16 +749,18 @@ def _ts_cell_update(
     # device-side quantity stays within float32 range.
     (zp, dzp, growth_zp, inv_growth_pf_c, dgrowth_dzp, dt_dzp, hubble_zp, trad,
      nb_zp, n_zp, xc_inverse, xa_tilde_prefactor, ts_prefactor, dcomp_prefactor,
-     clump, fH, fHe, no_total, nb0_total) = consts
+     clump, fH, fHe, no_total, nb0_total,
+     s_heat, s_ion, s_lya, s_star, s_cont, s_inj, s_lw) = consts
 
     delta = density_pf * (growth_zp * inv_growth_pf_c)
     delta = jnp.maximum(delta, -1.0 + FRACT_FLOAT_ERR)
 
-    # tables already include the unit conversions
-    dxheat_dt = dxheat
-    dxion_dt = dxion
-    dxlya_dt = dxlya * (1.0 + delta)
-    dstarlya_dt = dstarlya
+    # the tables were peak-normalized for f32 on the host (dynamic-range
+    # note in compute_spin_temperature); rescale each accumulator ONCE here
+    dxheat_dt = dxheat * s_heat
+    dxion_dt = dxion * s_ion
+    dxlya_dt = dxlya * (1.0 + delta) * s_lya
+    dstarlya_dt = dstarlya * s_star
 
     # --- x_e evolution ---
     logT = jnp.log(jnp.clip(prev_tk, 1e-2, 1e6) / 1.1604505e4)
@@ -787,8 +789,10 @@ def _ts_cell_update(
     dadia = dadia * (2.0 / 3.0) * prev_tk
     dspec = -dxe_dzp * prev_tk / (1.0 + prev_xe)
     dcomp = dcomp_prefactor * (prev_xe / (1.0 + prev_xe + fHe)) * (trad - prev_tk)
+    # 1/k_B is folded into tbl_heat on the host (see the fold note in
+    # compute_spin_temperature) so the f32 heat table cannot denormal-flush
     dxheat_dzp = (
-        dxheat_dt * dt_dzp * 2.0 / 3.0 / physconst.k_B / (1.0 + prev_xe)
+        dxheat_dt * dt_dzp * 2.0 / 3.0 / (1.0 + prev_xe)
         if use_xray_heat
         else 0.0
     )
@@ -826,7 +830,7 @@ def _ts_cell_update(
         g_ax = (LOG_GP_MIN, LOG_GP_MAX)
         tbl_pair = jnp.stack([lya_tbl_cont, lya_tbl_inj], axis=-1)
         e_cont, e_inj = _trilerp_pair(tbl_pair, lt, ls, lg, t_ax, t_ax, g_ax)
-        dlya = -(dlya_cont * e_cont + dlya_inj * e_inj) / (
+        dlya = -(dlya_cont * s_cont * e_cont + dlya_inj * s_inj * e_inj) / (
             (1.0 + delta) * (1.0 + prev_xe)
         )
 
@@ -921,6 +925,8 @@ def _ts_cell_update(
     ts = jnp.where(j_alpha > 1e-20, ts_wf, ts_coll)
     ts = jnp.abs(ts)
 
+    if dstarlw is not None:
+        dstarlw = dstarlw * s_lw
     return ts, tk, x_e, j_alpha, dstarlw
 
 
@@ -1341,6 +1347,14 @@ def compute_spin_temperature(
 
     # Fold unit conversions into the tables (f64 on host) so all device-side
     # scalars are float32-safe: the raw prefactors span ~1e-64..1e66.
+    # NOTE on the 1/k_B fold: the heating frequency integral is ~1e-15 in raw
+    # units, 9-11 orders below the ion/lya integrals, and the Lagrangian
+    # branch's folded heat table landed at ~1e-43 — below float32's normal
+    # range, so XLA's denormal flushing silently ZEROED all X-ray heating for
+    # every Lagrangian-source Ts run (Tk ran ~0.5 K cold by z=18, the
+    # mini-family Tb parity gap).  Folding the consumer's 1/k_B (7.2e15)
+    # here keeps the f32 table comfortably normal in both branches; the
+    # device-side Tk update (dxheat_dzp) no longer divides by k_B.
     if lagrangian:
         # halo grids are Msun/s/Mpc^3 (SFR) and 1e38 erg/s/Mpc^3 (X-ray);
         # the emissivity-to-per-baryon conversion is 1/cm_per_Mpc^3
@@ -1348,7 +1362,7 @@ def compute_spin_temperature(
         volunit_inv = physconst.cm_per_Mpc**-3
         xray_norm = xray_prefactor * volunit_inv * 1e38
         lya_norm = lya_star_prefactor * volunit_inv
-        tbl_heat = tbl_heat * xray_norm
+        tbl_heat = tbl_heat * (xray_norm / physconst.k_B)
         tbl_ion = tbl_ion * xray_norm
         tbl_lya = tbl_lya * (xray_norm * nb_zp)
         starlya_pref = starlya_pref * lya_norm
@@ -1356,7 +1370,7 @@ def compute_spin_temperature(
         xray_norm = xray_prefactor * volunit_inv
         lya_norm = lya_star_prefactor * volunit_inv
         lx_lin = ap.l_x * physconst.s_per_yr  # L_X * s/yr
-        tbl_heat = tbl_heat * (xray_norm * lx_lin)
+        tbl_heat = tbl_heat * (xray_norm * lx_lin / physconst.k_B)
         tbl_ion = tbl_ion * (xray_norm * lx_lin)
         tbl_lya = tbl_lya * (xray_norm * lx_lin * nb_zp)  # (1+delta) applied on device
         starlya_pref = starlya_pref * lya_norm
@@ -1440,6 +1454,50 @@ def compute_spin_temperature(
         xray_shells = shell_ph
         sfr_mini_shells = shell_ph
 
+    # ---- f32 dynamic-range normalization -----------------------------------
+    # The folded tables/prefactors can land anywhere in ~[1e-44, 1e0]
+    # depending on the units branch and astro params — the Lagrangian heat
+    # table once folded to ~1e-43 and was silently denormal-flushed to zero
+    # on device (ZERO X-ray heating for every Lagrangian Ts run; the
+    # mini-family Tb parity gap).  Normalize each group to peak 1.0 for the
+    # f32 kernels and hand the true peaks to _ts_cell_update via `consts`;
+    # each accumulator is rescaled exactly once on consumption.  Groups that
+    # add into the same accumulator (ACG + MCG prefactor pairs) share one
+    # scale.
+    starlya_mini_f = starlya_mini_pref * lya_norm
+    lw_f = lw_pref * lya_norm * physconst.h_p * 1e21
+    lw_mini_f = lw_mini_pref * lya_norm * physconst.h_p * 1e21
+
+    def _norm_group(*arrs):
+        peak = max(float(np.max(np.abs(np.asarray(a, np.float64)))) for a in arrs)
+        if peak > 1e37:
+            raise FloatingPointError(
+                f"folded Ts table peaks at {peak:.2e} — beyond float32 range;"
+                " rebalance the unit folding (see the fold note above)"
+            )
+        if peak < 1e-37:
+            # the whole group is numerically negligible even after descale
+            # (~40 orders below the signal terms); zero it explicitly rather
+            # than let the device flush it
+            return tuple(
+                np.zeros_like(np.asarray(a, np.float64)) for a in arrs
+            ) + (0.0,)
+        return tuple(np.asarray(a, np.float64) / peak for a in arrs) + (peak,)
+
+    tbl_heat, s_heat = _norm_group(tbl_heat)
+    tbl_ion, s_ion = _norm_group(tbl_ion)
+    tbl_lya, s_lya = _norm_group(tbl_lya)
+    starlya_pref, starlya_mini_f, s_star = _norm_group(starlya_pref, starlya_mini_f)
+    lya_cont_pref, lya_cont_mini_pref, s_cont = _norm_group(
+        lya_cont_pref, lya_cont_mini_pref)
+    lya_inj_pref, lya_inj_mini_pref, s_inj = _norm_group(
+        lya_inj_pref, lya_inj_mini_pref)
+    lw_f, lw_mini_f, s_lw = _norm_group(lw_f, lw_mini_f)
+    consts = consts + tuple(
+        jnp.float32(v)
+        for v in (s_heat, s_ion, s_lya, s_star, s_cont, s_inj, s_lw)
+    )
+
     _ts_args = (
         perturbed_field.density,
         prev_state.spin_temperature,
@@ -1474,11 +1532,11 @@ def compute_spin_temperature(
         jnp.float32(gp_norm),
         jnp.asarray(sfrd_tables_mini, jnp.float32),
         jnp.asarray(mean_sfrd_mini, jnp.float32),
-        jnp.asarray(starlya_mini_pref * lya_norm, jnp.float32),
+        jnp.asarray(starlya_mini_f, jnp.float32),
         jnp.asarray(lya_cont_mini_pref, jnp.float32),
         jnp.asarray(lya_inj_mini_pref, jnp.float32),
-        jnp.asarray(lw_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
-        jnp.asarray(lw_mini_pref * lya_norm * physconst.h_p * 1e21, jnp.float32),
+        jnp.asarray(lw_f, jnp.float32),
+        jnp.asarray(lw_mini_f, jnp.float32),
         mcrit_box,
         jnp.float32(mcrit_clip),
         jnp.float32(inv_growth_pf),

@@ -47,6 +47,25 @@ def lya_diffusion_scale(redshift: float, inputs: InputParameters, x_HI: float) -
     return r_cm / physconst.cm_per_Mpc
 
 
+def _exact_shell_redshifts(redshift: float, r_outer: np.ndarray,
+                           inputs: InputParameters) -> np.ndarray:
+    """Mean emission redshift of each shell from the exact comoving-distance
+    inversion (reference single_field.py:499-516: `z_at_value` on the shell's
+    comoving edges, then zpp_avg = edge - d(edge)/2)."""
+    cosmo = inputs.cosmology
+    z_hi = max(2.0 * float(inputs.simulation_options.Z_HEAT_MAX), redshift + 10.0)
+    zg = np.linspace(redshift, z_hi, 8192)
+    drdz = np.abs(
+        (1.0 + zg) * physconst.c_cms * cosmo.dtdz(zg)
+    ) / physconst.cm_per_Mpc
+    dist = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (drdz[1:] + drdz[:-1]) * np.diff(zg))]
+    )
+    edges = np.interp(np.asarray(r_outer, np.float64), dist, zg)
+    prev = np.concatenate([[redshift], edges[:-1]])
+    return edges - 0.5 * (edges - prev)
+
+
 @partial(jax.jit,
          static_argnames=("shape", "box_lens", "use_ms", "use_mini", "use_lw", "gops"))
 def _annulus_scan(sfr_nodes, xray_nodes, sfr_mini_nodes, idx_lo, idx_hi, weights,
@@ -112,13 +131,22 @@ def compute_xray_source_field(
     ladder = setup_z_edges(redshift, inputs)
     n_r = len(ladder.R)
 
+    # Shell emission redshifts for the halobox interpolation: the reference
+    # driver inverts the EXACT comoving distance for the shell edges
+    # (single_field.py:499-516, z_at_value) rather than reusing the Ts
+    # ladder's chained first-order z edges (setup_z_edges) — the two drift
+    # apart by up to dz ~ 0.08 at R = 500 Mpc, which is ~5-8% in SFRD at
+    # these redshifts.  The ladder zpp still drives prefactors and
+    # z_edge_factor exactly as the C ladder does.
+    zpp_interp = _exact_shell_redshifts(redshift, ladder.R, inputs)
+
     nodes = sorted(halobox_nodes, key=lambda t: t[0])
     z_nodes = np.array([t[0] for t in nodes])
     # shells whose emission redshift lies above Z_HEAT_MAX (or above the
     # oldest computed HaloBox) carry no sources: the reference zeroes them
     # rather than clamping to the oldest node (single_field.py:585-597)
     z_shell_max = min(float(z_nodes[-1]), float(so.Z_HEAT_MAX))
-    live_shell = ladder.zpp < z_shell_max
+    live_shell = zpp_interp < z_shell_max
     sfr_nodes = jnp.stack([t[1].halo_sfr for t in nodes])
     xray_nodes = jnp.stack([t[1].halo_xray for t in nodes])
     use_mini = bool(ao.USE_MINI_HALOS) and all(
@@ -132,11 +160,11 @@ def compute_xray_source_field(
     else:
         sfr_mini_nodes = jnp.zeros((len(nodes), 1, 1, 1), jnp.float32)
 
-    idx_lo = np.searchsorted(z_nodes, ladder.zpp) - 1
+    idx_lo = np.searchsorted(z_nodes, zpp_interp) - 1
     idx_lo = np.clip(idx_lo, 0, len(z_nodes) - 1)
     idx_hi = np.clip(idx_lo + 1, 0, len(z_nodes) - 1)
     denom = np.where(idx_hi > idx_lo, z_nodes[idx_hi] - z_nodes[idx_lo], 1.0)
-    w = np.clip((ladder.zpp - z_nodes[idx_lo]) / denom, 0.0, 1.0)
+    w = np.clip((zpp_interp - z_nodes[idx_lo]) / denom, 0.0, 1.0)
 
     do_filter = ladder.R_inner > 0
 
