@@ -49,8 +49,11 @@ data (see scripts/r4_make_class_tables.py) and loads through the same
 `register_class_transfer` path a live CLASS run would use.
 
 STATUS (round 5): production-usable.  After fixing the super-horizon phi
-carriage and the tau(a) integration constant, the z=0 delta_m SHAPE agrees
-with the gold CLASS table to ~2% over k = 0.004-1/Mpc (BAO wiggles
+carriage, the tau(a) integration constant, and the output gauge (CLASS's
+`d_m` is the COMOVING gauge-invariant density even under
+`gauge: Newtonian` — the 3 aH theta/k^2 shift is (aH/k)^2-scaled and was
+the former +7% low-k "shape error"), the z=0 delta_m SHAPE agrees with
+the gold CLASS table to ~1.7% over k = 1.2e-3-1/Mpc (BAO wiggles
 resolved; a constant ~+5% amplitude offset cancels under the SIGMA_8
 normalization every consumer applies), and the T_vcb(z_dec) band
 reproduces CLASS's V_CB_RMS to ~3%.  `generate_transfer_tables` produces
@@ -625,10 +628,21 @@ class BoltzmannSolver:
         rho_c, rho_b = self.OMc, self.OMb
         for j, z in enumerate(z_out):
             a, d_c, th_c, d_b, th_b = outputs[j]
-            d_m = (rho_c * d_c + rho_b * d_b) / (rho_c + rho_b)
+            # CLASS tabulates density transfers in the SYNCHRONOUS gauge
+            # comoving with CDM (its default); the integration here is
+            # Newtonian.  The gauge time-shift that sets theta_c^S = 0 is
+            # alpha = theta_c^N / k^2, moving every matter density by
+            # 3 aH (1+w) alpha — a (aH/k)^2-scaled term that reaches ~6% of
+            # delta_m at k = 1e-3/Mpc, z = 0 (the former low-k "shape error"
+            # vs the gold table).  Velocities and v_cb = |th_b - th_c|/k are
+            # reported in Newtonian gauge; v_cb is unchanged by the shift
+            # (both thetas move by k^2 alpha).
+            ach = float(self.hubble_conf(a))
+            gauge = 3.0 * ach * th_c / k**2
+            d_m = (rho_c * d_c + rho_b * d_b) / (rho_c + rho_b) + gauge
             res.append({
                 "z": float(z), "a": float(a),
-                "delta_c": float(d_c), "delta_b": float(d_b),
+                "delta_c": float(d_c + gauge), "delta_b": float(d_b + gauge),
                 "delta_m": float(d_m),
                 "theta_c": float(th_c), "theta_b": float(th_b),
                 "v_cb": float(abs(th_b - th_c) / k),
