@@ -85,6 +85,9 @@ def _headline_inputs(hii_dim, dim, seed, z_min, z_max, zprime):
         CELL_RECOMB=False,
         Z_HEAT_MAX=z_max,
         ZPRIME_STEP_FACTOR=zprime,
+        # at the faithful 4x hires ratio the scroll must release the hires
+        # density after the channel-stack build to fit 16 GiB
+        MINIMIZE_MEMORY=(dim >= 4 * hii_dim),
     ).with_logspaced_redshifts(z_min)
 
 

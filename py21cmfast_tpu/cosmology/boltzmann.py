@@ -49,23 +49,28 @@ data (see scripts/r4_make_class_tables.py) and loads through the same
 `register_class_transfer` path a live CLASS run would use.
 
 STATUS (round 5): production-usable.  After fixing the super-horizon phi
-carriage, the tau(a) integration constant, and the output gauge (CLASS's
+carriage, the tau(a) integration constant, the output gauge (CLASS's
 `d_m` is the COMOVING gauge-invariant density even under
 `gauge: Newtonian` — the 3 aH theta/k^2 shift is (aH/k)^2-scaled and was
-the former +7% low-k "shape error"), the z=0 delta_m SHAPE agrees with
-the gold CLASS table to ~1.7% over k = 1.2e-3-1/Mpc (BAO wiggles
-resolved; a constant ~+5% amplitude offset cancels under the SIGMA_8
-normalization every consumer applies), and the T_vcb(z_dec) band
-reproduces CLASS's V_CB_RMS to ~3%.  `generate_transfer_tables` produces
-CLASS-convention (k, T_density, T_vcb) tables for ANY cosmology on the
-reference's k_transfer grid — the classy-free replacement for the
-reference's live CLASS run — and the bundled Planck18 package data
+the former +7% low-k "shape error"), and adding the reference's 0.06 eV
+massive neutrino (exact Fermi-Dirac background + hierarchy-then-fluid
+perturbations, `_init_ncdm_background`/`_dFnc` — the reference's CLASS
+runs put it ON TOP of Omega_cdm = OMm - OMb, inputs.py:562-565), the z=0
+delta_m SHAPE agrees with the gold CLASS table to +-0.7% for
+k = 0.03-1/Mpc and +-1.2% over the full k = 1.2e-3-1/Mpc band (BAO
+wiggles resolved; the residual is a low-k hump from the truncated
+adiabatic ICs feeding the phi-state stage — X_ALG=8 minimizes it — plus
+Saha+Peebles vs RECFAST recombination; the constant ~+3% amplitude
+offset cancels under the SIGMA_8 normalization every consumer applies).
+The T_vcb(z_dec) band reproduces CLASS's V_CB_RMS to ~3% (the ncdm is
+still relativistic at z_dec and N_ur + ncdm matches the massless 3.044
+there to <0.1%, so the bundled vcb table predates the ncdm terms
+unchanged).  `generate_transfer_tables` produces CLASS-convention
+(k, T_density, T_vcb) tables for ANY cosmology on the reference's
+k_transfer grid — the classy-free replacement for the reference's live
+CLASS run — and the bundled Planck18 package data
 (_data/class_transfer_density_planck18.dat, class_transfer_vcb_planck18.dat)
-was generated through this path (scripts/r5_make_vcb_table.py).
-Known omissions vs the reference's CLASS setup: the 0.06 eV massive
-neutrino is treated as massless and recombination is Saha + Peebles
-rather than RECFAST's multi-level atom (both absorbed by the amplitude
-normalization to ~2%).
+ships through this path (scripts/r5_make_vcb_table.py).
 """
 
 from __future__ import annotations
@@ -90,7 +95,7 @@ class BoltzmannSolver:
     """
 
     def __init__(self, *, hlittle=0.6766, OMm=0.30966, OMb=0.04897,
-                 T_cmb=2.7255, Y_He=0.245, N_ur=3.044,
+                 T_cmb=2.7255, Y_He=0.245, N_ur=None, m_ncdm=0.06,
                  lmax_g=12, lmax_nu=12, lmax_pol=8):
         self.h = float(hlittle)
         self.OMm = float(OMm)
@@ -98,9 +103,17 @@ class BoltzmannSolver:
         self.OMc = self.OMm - self.OMb
         self.T_cmb = float(T_cmb)
         self.Y_He = float(Y_He)
+        self.m_ncdm = float(m_ncdm)
         self.lmax_g = int(lmax_g)
         self.lmax_nu = int(lmax_nu)
         self.lmax_pol = int(lmax_pol)
+        # the reference's CLASS setup (classy_interface.py:32-50): one 0.06 eV
+        # massive neutrino on TOP of Omega_cdm = OMm - OMb (inputs.py:562-565)
+        # plus N_ur = 2.0308 massless species; with m_ncdm = 0 all 3.044 are
+        # massless and Omega_m = OMm exactly.
+        if N_ur is None:
+            N_ur = 2.0308 if self.m_ncdm > 0 else 3.044
+        self.N_ur = float(N_ur)
 
         H0 = 100.0 * self.h / (_C_CMS * 1e-5)  # 1/Mpc (H0/c)
         self.H0 = H0
@@ -108,8 +121,12 @@ class BoltzmannSolver:
         omega_g = 2.47282e-5 * (self.T_cmb / 2.7255) ** 4  # Omega_gamma h^2
         self.OMg = omega_g / self.h**2
         self.OMnu = self.OMg * (7.0 / 8.0) * (4.0 / 11.0) ** (4.0 / 3.0) * N_ur
-        self.OMr = self.OMg + self.OMnu
-        self.OMl = 1.0 - self.OMm - self.OMr
+        self._init_ncdm_background()
+        self.OMr = self.OMg + self.OMnu  # strictly-massless radiation
+        # early-time radiation total (for tau(a)'s integration constant):
+        # the ncdm is relativistic there, rho a^4 -> its massless limit
+        self.OMr_early = self.OMr + self.OMnc_rel
+        self.OMl = 1.0 - self.OMc - self.OMb - self.OMr - self.OMnc0
 
         # comoving baryon number densities for the Thomson term
         rho_crit = 3 * (self.h * 3.2407e-18) ** 2 / (8 * np.pi * physconst.G)
@@ -125,8 +142,79 @@ class BoltzmannSolver:
         self._tau_grid = self.tau_of_a_grid(self._a_grid)
 
     # ---------------------------------------------------------------- background
+    def _init_ncdm_background(self):
+        """Exact massive-neutrino background from the Fermi-Dirac momentum
+        integrals, tabulated over the dimensionless mass r = m a / T_nc0:
+
+          rho(a) a^4 = OMnc_rel * I_rho(r)/I_rho(0),
+          P(a)  a^4 = OMnc_rel * I_P(r)/I_rho(0),
+          I_rho = int q^2 sqrt(q^2+r^2) f(q) dq,  I_P = int q^4/(3 sqrt) f dq
+
+        with T_ncdm = 0.71611 T_cmb (CLASS's default, which makes
+        Omega_ncdm h^2 = m/93.14 eV) and OMnc_rel the massless-limit Omega of
+        one such species.  w(a) and the adiabatic c_a^2 = P'/rho' feed the
+        late-stage fluid closure."""
+        self.has_ncdm = self.m_ncdm > 0
+        if not self.has_ncdm:
+            self.OMnc_rel = 0.0
+            self.OMnc0 = 0.0
+            return
+        T_nc = 0.71611 * self.T_cmb      # K
+        T_nc_eV = T_nc * 8.617333e-5     # eV
+        self.OMnc_rel = self.OMg * (7.0 / 8.0) * 0.71611**4
+
+        q = np.linspace(1e-4, 50.0, 4000)
+        fq = 1.0 / (np.exp(q) + 1.0)
+        r_grid = np.concatenate([[0.0], np.logspace(-4, np.log10(2e4), 400)])
+        eps = np.sqrt(q[None, :] ** 2 + r_grid[:, None] ** 2)
+        i0 = np.trapezoid(q**3 * fq, q)
+        i_rho = np.trapezoid(q[None, :] ** 2 * eps * fq[None, :], q, axis=1) / i0
+        i_p = np.trapezoid(
+            q[None, :] ** 4 / (3.0 * eps) * fq[None, :], q, axis=1) / i0
+        self._nc_r = r_grid
+        self._nc_irho = i_rho
+        self._nc_ip = i_p
+        self._nc_m_over_T = self.m_ncdm / T_nc_eV  # = r at a = 1
+        self.OMnc0 = float(self._rho_nc(1.0))
+        # adiabatic sound speed c_a^2 = dP/drho: with rho a^4 = C I_rho(r),
+        # P a^4 = C I_P(r) and r proportional to a,
+        # dP/da = C (r I_P' - 4 I_P)/a^5 (same for rho), so
+        # c_a^2 = (r I_P' - 4 I_P) / (r I_rho' - 4 I_rho)
+        dp = np.gradient(i_p, r_grid)
+        drho = np.gradient(i_rho, r_grid)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ca2 = (r_grid * dp - 4.0 * i_p) / (r_grid * drho - 4.0 * i_rho)
+        ca2[0] = 1.0 / 3.0
+        self._nc_ca2 = np.clip(ca2, 0.0, 1.0 / 3.0)
+
+    def _nc_interp(self, table, a):
+        r = self._nc_m_over_T * np.asarray(a, np.float64)
+        return np.interp(r, self._nc_r, table)
+
+    def _rho_nc(self, a):
+        """ncdm density in Omega units (rho/rho_crit0)."""
+        if not self.has_ncdm:
+            return np.zeros_like(np.asarray(a, np.float64))
+        a = np.asarray(a, np.float64)
+        return self.OMnc_rel * self._nc_interp(self._nc_irho, a) / a**4
+
+    def _p_nc(self, a):
+        if not self.has_ncdm:
+            return np.zeros_like(np.asarray(a, np.float64))
+        a = np.asarray(a, np.float64)
+        return self.OMnc_rel * self._nc_interp(self._nc_ip, a) / a**4
+
+    def _ca2_nc(self, a):
+        return self._nc_interp(self._nc_ca2, a)
+
     def hubble_conf(self, a):
         """Conformal Hubble a'/a in 1/Mpc."""
+        if self.has_ncdm:
+            a = np.asarray(a, np.float64)
+            return self.H0 * np.sqrt(
+                (self.OMc + self.OMb) / a + self.OMr / a**2 + self.OMl * a**2
+                + a**2 * self._rho_nc(a)
+            )
         return self.H0 * np.sqrt(
             self.OMm / a + self.OMr / a**2 + self.OMl * a**2
         )
@@ -143,7 +231,7 @@ class BoltzmannSolver:
         from scipy.integrate import cumulative_trapezoid
 
         integrand = 1.0 / (a_grid**2 * (self.hubble_conf(a_grid) / a_grid))
-        tau0 = a_grid[0] / (self.H0 * np.sqrt(self.OMr))
+        tau0 = a_grid[0] / (self.H0 * np.sqrt(self.OMr_early))
         tau = cumulative_trapezoid(integrand, a_grid, initial=0.0) + tau0
         return tau
 
@@ -237,7 +325,10 @@ class BoltzmannSolver:
     # algebraic.
 
     def _n_full(self):
-        return 6 + 1 + (self.lmax_g - 1) + (self.lmax_pol + 1) + (self.lmax_nu + 1)
+        n = 6 + 1 + (self.lmax_g - 1) + (self.lmax_pol + 1) + (self.lmax_nu + 1)
+        if self.has_ncdm:
+            n += self.lmax_nu + 1  # ncdm hierarchy block (massless-form)
+        return n
 
     def _rhs(self, tau, y, k, phi_state=False):
         lg, ln, lp = self.lmax_g, self.lmax_nu, self.lmax_pol
@@ -253,6 +344,7 @@ class BoltzmannSolver:
         i = 7 + lg - 1
         Gp = y[i: i + lp + 1]; i += lp + 1
         Fn = y[i: i + ln + 1]; i += ln + 1
+        Fnc = y[i: i + ln + 1] if self.has_ncdm else None
 
         th_g = th_b + Delta
         sig_g = 0.5 * Fg2[0]
@@ -269,6 +361,16 @@ class BoltzmannSolver:
         mom = (rho_c * th_c + rho_b * th_b
                + (4.0 / 3.0) * (rho_g * th_g + rho_n * th_n))
         shear_src = (4.0 / 3.0) * (rho_g * sig_g + rho_n * sig_n)
+        if self.has_ncdm:
+            # massive neutrino: massless-form hierarchy (exact while
+            # relativistic; the semi/non-relativistic evolution is handled by
+            # the late-stage fluid), exact rho(a)/P(a) in the Einstein sources
+            rho_nc = float(self._rho_nc(a))
+            rpp_nc = rho_nc + float(self._p_nc(a))
+            th_nc = 0.75 * k * Fnc[1]
+            dens += rho_nc * Fnc[0]
+            mom += rpp_nc * th_nc
+            shear_src += rpp_nc * 0.5 * Fnc[2]
         if phi_state:
             phi, psi, dphi = self._potentials_from_phi(
                 a, ach, k, y[-1], mom, shear_src)
@@ -327,7 +429,9 @@ class BoltzmannSolver:
         out[7: 7 + lg - 1] = dFg2
         i = 7 + lg - 1
         out[i: i + lp + 1] = dGp; i += lp + 1
-        out[i: i + ln + 1] = dFn
+        out[i: i + ln + 1] = dFn; i += ln + 1
+        if self.has_ncdm:
+            out[i: i + ln + 1] = self._dFnc(Fnc, tau, k, dphi, psi, a)
         if phi_state:
             out[-1] = dphi
         return out
@@ -364,6 +468,37 @@ class BoltzmannSolver:
         dFn[ln] = k * Fn[ln - 1] - ((ln + 1) / max(tau, 1e-12)) * Fn[ln]
         return dFn
 
+    # CLASS's ncdm fluid trigger: sub-horizon (k tau > ~31) the massive
+    # neutrino hierarchy hands over to a 3-moment fluid with the adiabatic
+    # c_a^2(a) — which also carries the non-relativistic transition
+    # (clustering below k_fs) that the massless-form hierarchy cannot.
+    # Without this, modes that never reach the LATE stage (low k) kept
+    # radiation-form ncdm to z=0 while high-k modes got the late-stage
+    # fluid — a ~1% spurious step across k = 0.002-0.04/Mpc.
+    NC_FLUID_KTAU = 31.0
+
+    def _dFnc(self, Fnc, tau, k, dphi, psi, a):
+        """Massive-neutrino block: massless-form hierarchy while
+        super-horizon-ish/relativistic, 3-moment adiabatic fluid once
+        k tau > NC_FLUID_KTAU.  Slot convention matches the massless block
+        (delta in [0], theta = 0.75 k F1, sigma = 0.5 F2), so the regime
+        switch and the late-stage handoff are state-identity maps."""
+        if k * tau <= self.NC_FLUID_KTAU:
+            return self._dFn(Fnc, tau, k, dphi, psi)
+        w = float(self._p_nc(a)) / float(self._rho_nc(a))
+        ca2 = float(self._ca2_nc(a))
+        ach = self.hubble_conf(a)
+        d = Fnc[0]
+        th = 0.75 * k * Fnc[1]
+        sig = 0.5 * Fnc[2]
+        dFnc = np.zeros_like(Fnc)
+        dFnc[0] = -(1.0 + w) * (th - 3.0 * dphi) - 3.0 * ach * (ca2 - w) * d
+        dth = (-ach * (1.0 - 3.0 * ca2) * th
+               + (ca2 / (1.0 + w)) * k**2 * d - k**2 * sig + k**2 * psi)
+        dFnc[1] = dth / (0.75 * k)
+        dFnc[2] = -6.0 * ach * sig  # source-free decay; feedback is (rho+P)-suppressed
+        return dFnc
+
     # ------------------------------------------------- tight-coupling stage
     # Deep in the photon-baryon era kappa' reaches ~1e9/Mpc; even with the
     # slip variable the full hierarchy wastes steps there.  Evolve one
@@ -382,6 +517,7 @@ class BoltzmannSolver:
         d_b, th = y[3], y[4]
         d_g = y[5]
         Fn = y[6: 6 + ln + 1]
+        Fnc = y[6 + ln + 1: 6 + 2 * (ln + 1)] if self.has_ncdm else None
 
         th_n = 0.75 * k * Fn[1]
         sig_n = 0.5 * Fn[2]
@@ -399,6 +535,12 @@ class BoltzmannSolver:
         mom = (rho_c * th_c + rho_b * th
                + (4.0 / 3.0) * (rho_g * th + rho_n * th_n))
         shear_src = (4.0 / 3.0) * (rho_g * sig_g + rho_n * sig_n)
+        if self.has_ncdm:
+            rho_nc = float(self._rho_nc(a))
+            rpp_nc = rho_nc + float(self._p_nc(a))
+            dens += rho_nc * Fnc[0]
+            mom += rpp_nc * 0.75 * k * Fnc[1]
+            shear_src += rpp_nc * 0.5 * Fnc[2]
         if phi_state:
             phi, psi, dphi = self._potentials_from_phi(
                 a, ach, k, y[-1], mom, shear_src)
@@ -424,6 +566,9 @@ class BoltzmannSolver:
         out[3] = dd_b; out[4] = dth
         out[5] = dd_g
         out[6: 6 + ln + 1] = dFn
+        if self.has_ncdm:
+            out[6 + ln + 1: 6 + 2 * (ln + 1)] = self._dFnc(
+                Fnc, tau, k, dphi, psi, a)
         if phi_state:
             out[-1] = dphi
         return out
@@ -444,16 +589,35 @@ class BoltzmannSolver:
         rho_b = self.OMb / a**3
         dens = rho_c * d_c + rho_b * d_b
         mom = rho_c * th_c + rho_b * th_b
+        if self.has_ncdm:
+            # ncdm as an adiabatic fluid (sigma dropped): this stage spans
+            # the non-relativistic transition (z_nr ~ 110 for 0.06 eV), so
+            # w(a) and c_a^2(a) from the exact background carry both the
+            # rho a^-4 -> a^-3 handover and the free-streaming k^2 c_a^2
+            # pressure that suppresses sub-k_fs clustering.
+            d_nc, th_nc = y[5], y[6]
+            rho_nc = float(self._rho_nc(a))
+            p_nc = float(self._p_nc(a))
+            w = p_nc / rho_nc
+            ca2 = float(self._ca2_nc(a))
+            dens += rho_nc * d_nc
+            mom += (rho_nc + p_nc) * th_nc
         phi, psi, dphi = self._potentials(a, ach, k, dens, mom, 0.0)
         cs2 = self._cs2_baryon(a)
 
-        return np.array([
+        out = [
             a * ach,
             -th_c + 3 * dphi,
             -ach * th_c + k**2 * psi,
             -th_b + 3 * dphi,
             -ach * th_b + cs2 * k**2 * d_b + k**2 * psi,
-        ])
+        ]
+        if self.has_ncdm:
+            out.append(-(1.0 + w) * (th_nc - 3 * dphi)
+                       - 3 * ach * (ca2 - w) * d_nc)
+            out.append(-ach * (1.0 - 3 * ca2) * th_nc
+                       + (ca2 / (1.0 + w)) * k**2 * d_nc + k**2 * psi)
+        return np.array(out)
 
     # --------------------------------------------------------- initial conditions
     def _adiabatic_ic_tc(self, k, tau0, a0):
@@ -464,7 +628,7 @@ class BoltzmannSolver:
         curvature is R = psi (3/2 + 2 R_nu / 5), so psi = 1/(3/2 + 2 R_nu/5)
         gives unit curvature — the CLASS transfer normalization."""
         ln = self.lmax_nu
-        rho_n = self.OMnu / a0**4
+        rho_n = self.OMnu / a0**4 + float(self._rho_nc(a0))  # ncdm relativistic
         rho_g = self.OMg / a0**4
         R_nu = rho_n / (rho_n + rho_g)
         psi = 1.0 / (1.5 + 0.4 * R_nu)
@@ -473,16 +637,19 @@ class BoltzmannSolver:
         d_g = -2.0 * psi
         th = 0.5 * k * kt * psi  # = k^2 tau / 2 * psi
 
-        y = np.zeros(6 + ln + 1 + 1)
+        nblk = (ln + 1) * (2 if self.has_ncdm else 1)
+        y = np.zeros(6 + nblk + 1)
         y[0] = a0
         y[1] = 0.75 * d_g; y[2] = th   # CDM
         y[3] = 0.75 * d_g; y[4] = th   # photon-baryon common velocity
         y[5] = d_g
-        y[6] = d_g                     # neutrino F0
-        y[7] = 4.0 / (3.0 * k) * th    # neutrino F1
-        if ln >= 2:
-            # MB95 eq 98: sigma_nu = (k tau)^2 (phi + psi) / 15; F2 = 2 sigma
-            y[8] = 2.0 * kt**2 * (phi + psi) / 15.0
+        for blk in range(2 if self.has_ncdm else 1):
+            j = 6 + blk * (ln + 1)
+            y[j] = d_g                     # neutrino F0 (delta_nu = delta_g)
+            y[j + 1] = 4.0 / (3.0 * k) * th  # neutrino F1
+            if ln >= 2:
+                # MB95 eq 98: sigma_nu = (k tau)^2 (phi+psi)/15; F2 = 2 sigma
+                y[j + 2] = 2.0 * kt**2 * (phi + psi) / 15.0
         y[-1] = phi                    # phi carried as a state while k tau < X_ALG
         return y
 
@@ -521,7 +688,8 @@ class BoltzmannSolver:
         if lp >= 2:
             y[i + 2] = 0.5 * sig              # G2
         i += lp + 1
-        y[i: i + ln + 1] = y_tc[6: 6 + ln + 1]
+        nblk = (ln + 1) * (2 if self.has_ncdm else 1)
+        y[i: i + nblk] = y_tc[6: 6 + nblk]
         if phi_state:
             y[-1] = y_tc[-1]
         return y
@@ -592,9 +760,19 @@ class BoltzmannSolver:
             if has_phi and mid > tau_x:
                 y = y[:-1]
                 has_phi = False
+            n_late = 7 if self.has_ncdm else 5
             late = (not in_tc) and mid > tau_late
-            if late and len(y) > 5:
-                y = y[:5].copy()
+            if late and len(y) > n_late:
+                if self.has_ncdm:
+                    # map the ncdm hierarchy onto the late fluid (delta, theta)
+                    ln = self.lmax_nu
+                    # full-state ncdm block starts after [6 scalars+d_g, F2.., G.., Fn..]
+                    i_nc = 7 + (self.lmax_g - 1) + (self.lmax_pol + 1) + (ln + 1)
+                    d_nc = y[i_nc]
+                    th_nc = 0.75 * k * y[i_nc + 1]
+                    y = np.concatenate([y[:5], [d_nc, th_nc]])
+                else:
+                    y = y[:5].copy()
 
             sel = (tau_out > t_a) & (tau_out <= t_b)
             t_eval = np.unique(np.concatenate([tau_out[sel], [t_b]]))
@@ -616,18 +794,27 @@ class BoltzmannSolver:
             for tt, col in zip(sol.t, sol.y.T):
                 for j in np.nonzero(sel)[0]:
                     if abs(tau_out[j] - tt) < 1e-9 * max(tt, 1.0):
-                        if in_tc:
-                            # TC state: th is the common velocity
-                            snap = (col[0], col[1], col[2], col[3], col[4])
-                        else:
-                            snap = tuple(col[:5])
+                        # snap = (a, d_c, th_c, d_b, th_b[, d_nc, th_nc]);
+                        # in the TC state th is the common velocity
+                        snap = (col[0], col[1], col[2], col[3], col[4])
+                        if self.has_ncdm:
+                            ln2 = self.lmax_nu
+                            if late:
+                                snap += (col[5], col[6])
+                            else:
+                                i_nc = (6 if in_tc else
+                                        7 + (self.lmax_g - 1)
+                                        + (self.lmax_pol + 1)) + ln2 + 1
+                                snap += (col[i_nc],
+                                         0.75 * k * col[i_nc + 1])
                         outputs[j] = snap
             y = sol.y[:, -1]
 
         res = []
         rho_c, rho_b = self.OMc, self.OMb
         for j, z in enumerate(z_out):
-            a, d_c, th_c, d_b, th_b = outputs[j]
+            a, d_c, th_c, d_b, th_b = outputs[j][:5]
+            d_nc = outputs[j][5] if self.has_ncdm else 0.0
             # CLASS tabulates density transfers in the SYNCHRONOUS gauge
             # comoving with CDM (its default); the integration here is
             # Newtonian.  The gauge time-shift that sets theta_c^S = 0 is
@@ -639,7 +826,12 @@ class BoltzmannSolver:
             # (both thetas move by k^2 alpha).
             ach = float(self.hubble_conf(a))
             gauge = 3.0 * ach * th_c / k**2
-            d_m = (rho_c * d_c + rho_b * d_b) / (rho_c + rho_b) + gauge
+            # delta_m is rho-weighted over cdm + baryons + ncdm (CLASS's d_m
+            # includes the massive neutrino with its exact rho(a))
+            rc, rb = rho_c / a**3, rho_b / a**3
+            rnc = float(self._rho_nc(a)) if self.has_ncdm else 0.0
+            d_m = ((rc * d_c + rb * d_b + rnc * d_nc) / (rc + rb + rnc)
+                   + gauge)
             res.append({
                 "z": float(z), "a": float(a),
                 "delta_c": float(d_c + gauge), "delta_b": float(d_b + gauge),

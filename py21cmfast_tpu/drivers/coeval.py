@@ -200,6 +200,22 @@ def generate_coeval(
                 inputs, initial_conditions, min(all_z)
             )
 
+    # Under MINIMIZE_MEMORY, the swept-deposit scroll reads the hires density
+    # only through the run-constant channel stack (perturb._channel_stack_for,
+    # built at the first node); for source models that never touch hires IC
+    # fields again (integral models; samplers/DEXM read them per node) the
+    # DIM^3 buffer can be released from HBM after that build — at the
+    # reference's faithful DIM = 4 x HII_DIM ratio the hires grid is 4 GiB of
+    # dead weight on a 16 GiB chip (the difference between a DIM=1024 run
+    # fitting or RESOURCE_EXHAUSTING).  The deleted buffer raises loudly if
+    # anything does read it later.
+    release_hires = (
+        mo.MINIMIZE_MEMORY
+        and deposit_plan is not None
+        and not mo.source_model_uses_halo_sampler
+        and cache is None
+    )
+
     prev_ion: IonizedBox | None = None
     prev_ts = None
     prev_z = None
@@ -234,6 +250,14 @@ def generate_coeval(
 
         pf = perturb_field(z, inputs, initial_conditions,
                            deposit_plan=deposit_plan)
+        if release_hires:
+            # channel stack exists now (built by the first perturb); the
+            # hires density is dead for the rest of the scroll — free 4 GiB
+            # of HBM at DIM=1024 (see the release_hires note above)
+            release_hires = False
+            buf = initial_conditions.hires_density
+            if hasattr(buf, "delete") and not getattr(buf, "is_deleted", lambda: False)():
+                buf.delete()
 
         halobox = None
         if mo.source_model_uses_halo_sampler:

@@ -179,14 +179,19 @@ def generate_lightcone(
         and hasattr(lightconer, "scatter_slices_device")
         and dev_bytes < 6e9
     )
+    # dev_lc is allocated LAZILY at its first scatter (node 2): the first
+    # node's perturb builds the run-constant deposit channel stack, whose
+    # transient peak (hires grid + stack) plus an eager lightcone allocation
+    # OOMs a 16 GiB chip at DIM=1024.  By node 2 the MINIMIZE_MEMORY scroll
+    # has released the hires grid (drivers/coeval.py release_hires).
     dev_lc: dict = {}
-    if assemble_on_device:
+
+    def _dev_lc_init():
         import jax.numpy as _jnp
 
-        dev_lc = {
-            q: _jnp.zeros(shape2d + (n_slices + 1,), _jnp.float32)
-            for q in quantities
-        }
+        if assemble_on_device and not dev_lc:
+            for q in quantities:
+                dev_lc[q] = _jnp.zeros(shape2d + (n_slices + 1,), _jnp.float32)
 
     # async slice plumbing (host path): each node's interpolated slices start
     # their device→host copy immediately but are only consumed one node
@@ -236,6 +241,8 @@ def generate_lightcone(
         if prev_coeval is not None:
             make_async = getattr(lightconer, "make_lightcone_slices_async", None)
             multi = getattr(lightconer, "scatter_slices_device_multi", None)
+            if assemble_on_device:
+                _dev_lc_init()
             if assemble_on_device and multi is not None:
                 dev_lc = multi(dev_lc, coeval, prev_coeval, cosmo, inputs,
                                quantities)
@@ -270,6 +277,7 @@ def generate_lightcone(
                             for q, vs in gq.items()}
 
     if assemble_on_device:
+        _dev_lc_init()  # no-op unless the scroll had < 2 nodes
         # drop the scratch padding slice; finalization below runs on device
         lightcones = {q: a[:, :, :n_slices] for q, a in dev_lc.items()}
         lc.lightcones = lightcones
